@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One verifiable operator exercise: a Spark build plus (when the semantics
+  * are ANSI-SQL-expressible) an equivalent DuckDB oracle query. `bench=true`
+  * marks queries included in the headline benchmark set.
+  */
+final case class Q(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = true)
+
+object Catalog {
+  /** Load one driver-provided parquet table. The read is a plain
+    * DataSource scan so Catalyst pushes filters/pruning into parquet.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; we read it as a nanos-since-epoch long
+    * (`nanosAsLong`) and restore a proper TimestampType column with exact
+    * integer division (micros = nanos DIV 1000 — matches DuckDB's own
+    * ns→us view of the same file).
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
+
+  /** Exact decimal view of a double column: makes SUM/AVG order-independent
+    * (decimal addition is exact and associative) so Spark and the DuckDB
+    * oracle agree bit-for-bit after the final cast back to double.
+    */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Order-independent exact sum of a double column, returned as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Order-independent mean of a double column, returned as double. */
+  def davg(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(lit(1))
+
+  /** SQL-side equivalents of dsum/davg (DuckDB). */
+  def sqlDsum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+  def sqlDavg(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)"
+
+  lazy val all: Seq[Q] =
+    RelationalQueries.all ++ StockOps.all ++ StreamShape.all ++
+      TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ EngineOps.all
+
+  lazy val byName: Map[String, Q] = {
+    val m = all.map(q => q.name -> q).toMap
+    require(m.size == all.size, "duplicate query names in Catalog")
+    m
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Catalog._
+import graft.functions.GraftFunctions
+
+/** Engine-proper operators from SURVEY §2a exercised as verifiable queries:
+  * hex-quantity decode (S18), scan range chunking (S5), and the multimodal
+  * binary-column plumbing. The DSv2 connector itself (S3-S9) is spec-tested
+  * against a stub node in `graft.sources`.
+  */
+object EngineOps {
+
+  val all: Seq[Q] = Seq(
+    // S18: hex → int64 decode via the custom codegen'd Catalyst expression.
+    // Round-trips engine-generated hex strings; the oracle is the identity.
+    Q("s18_hex_decode",
+      (s, d) => {
+        GraftFunctions.register(s)
+        t(s, d, "events")
+          .select(col("event_id"),
+            GraftFunctions.hex_to_long(
+              concat(lit("0x"), lower(hex(col("event_id"))))).as("decoded"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_id AS decoded FROM events ORDER BY event_id""")),
+
+    // S5: range chunking — split [0, max_id] into 500-sized closed intervals
+    // (reference: LogsService.java:509-521 chunk loop → our
+    // planInputPartitions). Expressed as a data-driven sequence generator.
+    Q("s05_chunk_plan",
+      (s, d) => {
+        val mx = t(s, d, "events").agg(max(col("event_id")).as("mx"))
+        mx.select(explode(sequence(lit(0L), col("mx"), lit(500L))).as("chunk_start"), col("mx"))
+          .select(col("chunk_start"), least(col("chunk_start") + 499L, col("mx")).as("chunk_end"))
+          .orderBy("chunk_start")
+      },
+      Some("""WITH m AS (SELECT MAX(event_id) AS mx FROM events)
+              SELECT CAST(t.s AS BIGINT) AS chunk_start,
+                     CAST(LEAST(t.s + 499, m.mx) AS BIGINT) AS chunk_end
+              FROM m, LATERAL (SELECT UNNEST(range(0, m.mx + 1, 500)) AS s) t
+              ORDER BY chunk_start""")),
+
+    // Multimodal plumbing: opaque binary column + typed metadata extraction.
+    // The real decode (image/audio libs) is stubbed (see graft.operators
+    // MultimodalOps); the schema/partition/batch plumbing is real.
+    Q("m01_binary_meta",
+      (s, d) => t(s, d, "documents")
+        .withColumn("payload", col("text").cast(BinaryType))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          hex(substring(col("payload"), 1, 8)).as("head_hex"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                     substring(hex(encode(text)), 1, 16) AS head_hex
+              FROM documents ORDER BY doc_id"""))
+  )
+}

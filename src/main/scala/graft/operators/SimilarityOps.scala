@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Catalog._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Numeric design for cross-engine verifiability AND order-independence at
+  * scale: per-element products are computed in double, scaled by 1e15 and
+  * floored to integers (exactly representable: |x·y|·1e15 ≈ 1e13 < 2^53),
+  * then summed as longs — an exact, associative reduction, so the result is
+  * identical no matter how Spark partitions the work, and identical to the
+  * DuckDB oracle. Final cosine is a deterministic function of exact longs.
+  */
+object SimilarityOps {
+
+  val SCALE = 1e15
+
+  /** Σ floor(a[i]·b[i]·1e15) as Long — exact scaled dot product. */
+  def scaledDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => floor(x.cast(DoubleType) * y.cast(DoubleType) * lit(SCALE))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Σ floor(v[i]²·1e15) as Long — exact scaled squared norm. */
+  def scaledNorm2(v: Column): Column =
+    aggregate(
+      transform(v, x => floor(x.cast(DoubleType) * x.cast(DoubleType) * lit(SCALE))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** cosine from exact scaled components (double, deterministic). */
+  def cosine(dot: Column, n1: Column, n2: Column): Column =
+    dot.cast(DoubleType) / sqrt(n1.cast(DoubleType) * n2.cast(DoubleType))
+
+  /** Embeddings with precomputed scaled norms. At cluster scale this is a
+    * single narrow projection; the norm is computed once per vector, not per
+    * pair.
+    */
+  def withNorm(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").withColumn("norm2", scaledNorm2(col("embedding")))
+
+  val sqlNorm2 =
+    "CAST(list_sum(list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e15) AS BIGINT))) AS BIGINT)"
+  val sqlDot = // a, b list columns
+    "CAST(list_sum(list_transform(a.embedding, (x, i) -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1e15) AS BIGINT))) AS BIGINT)"
+
+  /** Brute-force cosine pairs of probe vectors (vec_id < nProbes) × corpus.
+    * The probe side is tiny → Spark broadcasts it; the corpus side streams:
+    * no shuffle, scales linearly with corpus size across executors.
+    */
+  def probePairs(s: SparkSession, d: String, nProbes: Int): DataFrame = {
+    val corpus = withNorm(s, d)
+    val probes = corpus.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("norm2").as("qnorm2"))
+    corpus.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", cosine(scaledDot(col("qvec"), col("embedding")), col("qnorm2"), col("norm2")))
+  }
+
+  def sqlProbePairs(nProbes: Int): String =
+    s"""WITH nv AS (SELECT vec_id, embedding, $sqlNorm2 AS norm2 FROM embeddings)
+        SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+               $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+        FROM nv a JOIN nv b ON a.vec_id < $nProbes AND a.vec_id <> b.vec_id"""
+
+  val all: Seq[Q] = Seq(
+    // Brute-force cosine top-k per probe (the exact ANN baseline).
+    Q("sim01_topk_cosine",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("vec_id"))
+        probePairs(s, d, 10)
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 5)
+          .select("qid", "vec_id", "cos_sim", "rk")
+          .orderBy("qid", "rk")
+      },
+      Some(s"""SELECT qid, vec_id, cos_sim, rk FROM (
+                 SELECT qid, vec_id, cos_sim,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+                 FROM (${sqlProbePairs(10)}))
+               WHERE rk <= 5 ORDER BY qid, rk"""))
+  )
+}

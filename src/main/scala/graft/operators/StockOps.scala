@@ -1,0 +1,324 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Catalog._
+
+/** SURVEY §2c: operator categories the reference has no server-side
+  * implementation of — parity means exposing the stock Spark operator.
+  * Windows, rollup/cube/grouping-sets, semi/anti joins, set ops, sort/limit,
+  * string/date/math/JSON scalar functions, subqueries, pivot, explode, UDAF.
+  */
+object StockOps {
+
+  val all: Seq[Q] = Seq(
+    // Ranking window functions (row_number / rank / dense_rank).
+    Q("c01_window_rank",
+      (s, d) => {
+        val byPrice = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        val byPriceTies = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(desc("o_totalprice"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(byPrice))
+          .withColumn("rk", rank().over(byPriceTies))
+          .withColumn("drk", dense_rank().over(byPriceTies))
+          .where(col("rn") <= 3)
+          .select("o_orderpriority", "rn", "rk", "drk", "o_orderkey", "o_totalprice")
+          .orderBy("o_orderpriority", "rn")
+      },
+      Some("""SELECT o_orderpriority, rn, rk, drk, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                       RANK()       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rk,
+                       DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drk
+                FROM orders) WHERE rn <= 3
+              ORDER BY o_orderpriority, rn""")),
+
+    // Running aggregate window (frame ROWS UNBOUNDED PRECEDING..CURRENT),
+    // exact decimal arithmetic so the running sum is order-stable.
+    Q("c02_window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "lineitem")
+          .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast(DoubleType))
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+                       PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+              FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+
+    // lag / lead analytic functions.
+    Q("c03_window_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+          .select("o_custkey", "o_orderkey", "o_totalprice", "prev_price", "next_key")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+                     LAG(o_totalprice, 1)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+                     LEAD(o_orderkey, 1)   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key
+              FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // ROLLUP hierarchy aggregate.
+    Q("c04_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                      ${sqlDsum("l_quantity")} AS sum_qty
+               FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+               ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // CUBE aggregate.
+    Q("c05_cube",
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+              FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+              ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // GROUPING SETS (via SQL surface — also exercises spark.sql entry).
+    Q("c06_grouping_sets",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("graft_li")
+        s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+                 FROM graft_li
+                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+                 ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+              FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+              ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // Left-semi join (EXISTS).
+    Q("c07_semi_join",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").select("o_custkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey""")),
+
+    // Left-anti join (NOT EXISTS) — customers with no 400k+ order, so the
+    // result is non-empty at every scale factor (every customer has orders).
+    Q("c08_anti_join",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").where(col("o_totalprice") > 400000).select("o_custkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+              ORDER BY c_custkey""")),
+
+    // Set operations: UNION (distinct) then EXCEPT.
+    Q("c09_union_except",
+      (s, d) => {
+        val p = t(s, d, "part")
+        val a = p.where(col("p_size") < 15).select("p_partkey")
+        val b = p.where(col("p_retailprice") > 910).select("p_partkey")
+        val c = p.where(col("p_size").between(10, 14)).select("p_partkey")
+        a.union(b).distinct().except(c).orderBy("p_partkey")
+      },
+      Some("""(SELECT p_partkey FROM part WHERE p_size < 15
+               UNION
+               SELECT p_partkey FROM part WHERE p_retailprice > 910)
+              EXCEPT
+              SELECT p_partkey FROM part WHERE p_size BETWEEN 10 AND 14
+              ORDER BY p_partkey""")),
+
+    // INTERSECT.
+    Q("c10_intersect",
+      (s, d) => {
+        val p = t(s, d, "part")
+        p.where(col("p_size") < 15).select("p_partkey")
+          .intersect(p.where(col("p_retailprice") > 910).select("p_partkey"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey FROM part WHERE p_size < 15
+              INTERSECT
+              SELECT p_partkey FROM part WHERE p_retailprice > 910
+              ORDER BY p_partkey""")),
+
+    // Global sort + limit (TakeOrderedAndProject).
+    Q("c11_orderby_limit",
+      (s, d) => t(s, d, "orders")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // String scalar functions.
+    Q("c12_string_funcs",
+      (s, d) => t(s, d, "customer")
+        .where(col("c_name").like("%1%"))
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 5).as("prefix"),
+          length(col("c_name")).as("name_len"),
+          concat(col("c_name"), lit("-"), col("c_mktsegment")).as("tagged"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, UPPER(c_name) AS uname,
+                     SUBSTRING(c_name, 1, 5) AS prefix,
+                     CAST(LENGTH(c_name) AS INT) AS name_len,
+                     c_name || '-' || c_mktsegment AS tagged
+              FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey""")),
+
+    // Date/time scalar functions + temporal grouping.
+    Q("c13_date_funcs",
+      (s, d) => t(s, d, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .withColumn("mo", month(col("o_orderdate")))
+        .groupBy("yr", "mo").agg(count(lit(1)).as("n"))
+        .orderBy("yr", "mo"),
+      Some("""SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+                     CAST(MONTH(o_orderdate) AS INT) AS mo, COUNT(*) AS n
+              FROM orders GROUP BY 1, 2 ORDER BY yr, mo""")),
+
+    // JSON extraction over a string column.
+    Q("c14_json_funcs",
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+              FROM events ORDER BY event_id""")),
+
+    // Math scalar functions (IEEE-exact subset: abs/floor/ceil/sqrt).
+    Q("c15_math_funcs",
+      (s, d) => t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - lit(0.05)).as("abs_disc"),
+          floor(col("l_extendedprice")).as("floor_price"),
+          ceil(col("l_extendedprice")).as("ceil_price"),
+          sqrt(col("l_extendedprice")).as("sqrt_price"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     ABS(l_discount - 0.05) AS abs_disc,
+                     CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
+                     CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_price,
+                     SQRT(l_extendedprice) AS sqrt_price
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // Scalar subquery predicate (orders above 1.5× the global mean).
+    Q("c16_scalar_subquery",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val thr = o.agg((davg(col("o_totalprice")) * 1.5).as("thr"))
+        o.crossJoin(thr).where(col("o_totalprice") > col("thr"))
+          .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_totalprice > (SELECT 1.5 * (${sqlDavg("o_totalprice")}) FROM orders)
+               ORDER BY o_orderkey""")),
+
+    // Pivot (conditional aggregation surface).
+    Q("c17_pivot",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = t(s, d, "events").groupBy("user_id")
+          .pivot("event_type", types).agg(count(lit(1)))
+        types.foldLeft(p)((df, ty) => df.withColumn(ty, coalesce(col(ty), lit(0L))))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+                     COUNT(CASE WHEN event_type='click'    THEN 1 END) AS click,
+                     COUNT(CASE WHEN event_type='error'    THEN 1 END) AS error,
+                     COUNT(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
+                     COUNT(CASE WHEN event_type='signup'   THEN 1 END) AS signup,
+                     COUNT(CASE WHEN event_type='view'     THEN 1 END) AS "view"
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // posexplode generator (lateral array flatten).
+    Q("c18_posexplode",
+      (s, d) => t(s, d, "embeddings")
+        .where(col("vec_id") < 5)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .orderBy("vec_id", "pos"),
+      Some("""SELECT vec_id, CAST(i AS INT) AS pos, embedding[i + 1] AS val
+              FROM embeddings, LATERAL (SELECT UNNEST(range(len(embedding))) AS i)
+              WHERE vec_id < 5 ORDER BY vec_id, pos""")),
+
+    // ntile / percent_rank / cume_dist distribution windows.
+    Q("c19_window_distribution",
+      (s, d) => {
+        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .select("o_orderkey", "o_totalprice", "quartile", "pct_rank", "cume")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+                     CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile,
+                     PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+                     CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey) AS cume
+              FROM orders ORDER BY o_orderkey""")),
+
+    // DISTINCT projection.
+    Q("c20_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    // Custom typed UDAF (Aggregator[IN,BUF,OUT]) — exact integer math.
+    Q("c21_udaf_sum_squares",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(call_function("sum_of_squares", col("l_linenumber").cast(LongType)).as("sumsq"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+                     CAST(SUM(CAST(l_linenumber AS BIGINT) * l_linenumber) AS BIGINT) AS sumsq
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Exact variance/stddev via order-independent decimal moments.
+    Q("c22_moments",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          dsum(col("l_quantity")).as("s1"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast(DoubleType).as("s2"),
+          count(lit(1)).as("n"))
+        .withColumn("variance",
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+        .withColumn("stddev", sqrt(col("variance")))
+        .select("l_returnflag", "n", "variance", "stddev")
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, n,
+                      (s2 - s1 * s1 / n) / (n - 1) AS variance,
+                      SQRT((s2 - s1 * s1 / n) / (n - 1)) AS stddev
+               FROM (SELECT l_returnflag,
+                            ${sqlDsum("l_quantity")} AS s1,
+                            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+                            COUNT(*) AS n
+                     FROM lineitem GROUP BY l_returnflag)
+               ORDER BY l_returnflag"""))
+  )
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Catalog._
+
+/** Text-analysis pipeline operators for training-data curation at scale:
+  * token counting, quality scoring, n-gram language-ID heuristic, document
+  * fingerprinting. All are per-row, codegen'd column expressions (no UDFs):
+  * on a 1000-executor cluster each is an embarrassingly-parallel map with
+  * full column pruning (only `text` is read from parquet).
+  */
+object TextOps {
+
+  /** Whitespace tokens of the `text` column. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  private val stopwords = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+
+  // lang → signature-word set for the n-gram/stopword language-ID heuristic.
+  val langSignatures: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "und", "das"),
+    "fr" -> Seq("le", "et", "les"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, w => array_contains(lit(words.toArray), w)))
+
+  private def sqlCountIn(words: Seq[String]): String =
+    s"CAST(len(list_filter(toks, w -> list_contains([${words.map(w => s"'$w'").mkString(",")}], w))) AS INT)"
+
+  val all: Seq[Q] = Seq(
+    // Token counting: whitespace tokens + a BPE-ish regex token count.
+    Q("t01_token_count",
+      (s, d) => t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+                     CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens
+              FROM documents ORDER BY doc_id""")),
+
+    // Quality scoring: length / punctuation / stopword-ratio heuristics.
+    Q("t02_quality_score",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        t(s, d, "documents")
+          .withColumn("n_tokens", size(toks))
+          .withColumn("n_punct", size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0))))
+          .withColumn("n_stop", countIn(toks, stopwords))
+          .withColumn("avg_token_len",
+            length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / col("n_tokens"))
+          .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
+          .select("doc_id", "n_tokens", "n_punct", "n_stop", "avg_token_len", "stop_ratio")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+                      CAST(len(toks) AS INT) AS n_tokens,
+                      CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS INT) AS n_punct,
+                      ${sqlCountIn(stopwords)} AS n_stop,
+                      CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks) AS avg_token_len,
+                      CAST(${sqlCountIn(stopwords)} AS DOUBLE) / len(toks) AS stop_ratio
+               FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+               ORDER BY doc_id"""),
+      bench = true),
+
+    // Language-ID heuristic: per-language signature-word hit counts, argmax
+    // with a fixed precedence tie-break, 'unknown' when nothing matches.
+    Q("t03_lang_id",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val scored = langSignatures.foldLeft(t(s, d, "documents")) {
+          case (df, (lang, words)) => df.withColumn(s"s_$lang", countIn(toks, words))
+        }
+        val best = langSignatures.map(_._1).foldRight(lit("unknown")) {
+          case (lang, elseCol) =>
+            val isMax = langSignatures.map(_._1).map(o => col(s"s_$lang") >= col(s"s_$o"))
+              .reduce(_ && _) && col(s"s_$lang") > 0
+            when(isMax, lit(lang)).otherwise(elseCol)
+        }
+        scored.withColumn("pred_lang", best)
+          .select("doc_id", "s_en", "s_es", "s_de", "s_fr", "pred_lang")
+          .orderBy("doc_id")
+      },
+      Some {
+        val scores = langSignatures.map { case (l, ws) => s"${sqlCountIn(ws)} AS s_$l" }.mkString(",\n                      ")
+        val langs = langSignatures.map(_._1)
+        val caseExpr = langs.map { l =>
+          val conds = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $conds AND s_$l > 0 THEN '$l'"
+        }.mkString("\n                      ")
+        s"""SELECT doc_id, s_en, s_es, s_de, s_fr,
+                   CASE $caseExpr ELSE 'unknown' END AS pred_lang
+            FROM (SELECT doc_id, $scores
+                  FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents))
+            ORDER BY doc_id"""
+      }),
+
+    // Document fingerprint: position-weighted token hash mod a prime
+    // (rolling-hash family; deterministic, engine-independent arithmetic).
+    Q("t04_fingerprint",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val weighted = transform(toks, (w, i) =>
+          ((ascii(w) * lit(31) + length(w)).cast(LongType)) * (i.cast(LongType) + lit(1L)))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            pmod(aggregate(weighted, lit(0L), (acc, x) => acc + x), lit(1000000007L)).as("fingerprint"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                            (w, i) -> (CAST(ascii(w) AS BIGINT) * 31 + length(w)) * i)) % 1000000007 AS BIGINT) AS fingerprint
+              FROM documents ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,153 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 source for Ethereum-style block-range datasets — the Spark-first
+  * re-expression of the reference server's scan machinery
+  * (reference: LogsService.java:505-614, BlocksService.java:92-154).
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft-eth")
+  *     .option("dataset", "logs")          // or "blocks"
+  *     .option("startBlock", 0).option("endBlock", 5000)
+  *     .option("maxBlockRange", 500)       // chunk = InputPartition (S5)
+  *     .option("addresses", "0xabc,0xdef") // optional pre-filter (S10-as-pushdown)
+  *     .option("topics", "0x123")          // topic0 OR-set (quirk §8.4)
+  *     .option("rpc", "synthetic")         // or "http" + url=...
+  *     .load()
+  * }}}
+  *
+  * Streaming (`spark.readStream`, same options minus endBlock) replaces the
+  * reference's BACKFILLING/STREAMING state machine (Subscription.java:39-149)
+  * with offset-contiguous micro-batches: backfill and live are the same code
+  * path, so the §8.3 duplicate window disappears.
+  *
+  * Scale design: each `maxBlockRange` chunk is one InputPartition, so a
+  * 1000-executor cluster fans the RPC fetches out in parallel (the reference
+  * is strictly sequential — LogsService.java:509-521); `fetchDelayMs`
+  * throttles per-task for node politeness; data-dependent range bisection
+  * runs inside the reader on node result caps.
+  */
+final class EthSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-eth"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EthSchemas.forDataset(options.getOrDefault("dataset", "logs"))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new EthTable(schema, properties)
+}
+
+final class EthTable(schema: StructType, props: util.Map[String, String])
+    extends Table with SupportsRead {
+  private val dataset = Option(props.get("dataset")).getOrElse("logs")
+  override def name(): String = s"graft-eth:$dataset"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EthScanBuilder(dataset, schema, options)
+}
+
+/** Scan builder with filter pushdown and column pruning.
+  *
+  * Pushdown (reference: address+topic+range go into the node-side filter,
+  * LogsService.java:548-556): range predicates on the block-number column
+  * narrow the scan range; address equality/membership becomes the node
+  * filter. Pushed filters are still re-applied by Spark (we return them as
+  * residuals) so case-insensitive semantics (§8.5) can never drop rows —
+  * the pushdown is a data-reduction hint, exactly like the reference's
+  * re-filter after node-side filtering (Subscription.java:161).
+  */
+final class EthScanBuilder(dataset: String, fullSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val blockCol = if (dataset == "logs") "blockNumber" else "number"
+
+  private var startBlock: Long = options.getLong("startBlock", 0L)
+  private var endBlock: Long = options.getLong("endBlock", -1L)
+  private var addresses: Seq[String] =
+    Option(options.get("addresses")).map(_.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+  private val topics: Seq[String] =
+    Option(options.get("topics")).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+  private var pushed: Array[Filter] = Array.empty
+  private var requiredSchema: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = filters.filter {
+      case GreaterThan(c, v: Long) if c == blockCol => startBlock = math.max(startBlock, v + 1); true
+      case GreaterThanOrEqual(c, v: Long) if c == blockCol => startBlock = math.max(startBlock, v); true
+      case LessThan(c, v: Long) if c == blockCol =>
+        endBlock = if (endBlock < 0) v - 1 else math.min(endBlock, v - 1); true
+      case LessThanOrEqual(c, v: Long) if c == blockCol =>
+        endBlock = if (endBlock < 0) v else math.min(endBlock, v); true
+      case EqualTo(c, v: Long) if c == blockCol =>
+        startBlock = math.max(startBlock, v)
+        endBlock = if (endBlock < 0) v else math.min(endBlock, v); true
+      case EqualTo("address", v: String) if dataset == "logs" =>
+        addresses = Seq(v.toLowerCase); true
+      case In("address", vs) if dataset == "logs" && vs.forall(_.isInstanceOf[String]) =>
+        addresses = vs.map(_.asInstanceOf[String].toLowerCase).toSeq; true
+      case _ => false
+    }
+    pushed = accepted
+    // everything is residual: Spark re-applies pushed predicates post-scan
+    // (cheap — codegen'd) which keeps §8.5 case-sensitivity parity safe.
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit = {
+    requiredSchema = required
+  }
+
+  override def build(): Scan = new EthScan(
+    dataset, requiredSchema, startBlock, endBlock, addresses, topics,
+    options.getLong("maxBlockRange", 500L),
+    options.getLong("maxBlocksPerTrigger", 5000L),
+    EthRpcSpec.fromOptions(options))
+}
+
+final class EthScan(
+    dataset: String,
+    requiredSchema: StructType,
+    startBlock: Long,
+    endBlock: Long,
+    addresses: Seq[String],
+    topics: Seq[String],
+    maxBlockRange: Long,
+    maxBlocksPerTrigger: Long,
+    rpc: EthRpcSpec) extends Scan {
+
+  override def readSchema(): StructType = requiredSchema
+
+  override def description(): String =
+    s"graft-eth $dataset [$startBlock..${if (endBlock < 0) "latest" else endBlock}] " +
+      s"chunk=$maxBlockRange addrs=${addresses.size} topics=${topics.size}"
+
+  override def toBatch: Batch = {
+    // endBlock unset ⇒ snapshot the chain head at planning time, exactly the
+    // reference's latest-block resolution (S7 — LogsService.java:489-500).
+    val resolvedEnd = if (endBlock >= 0) endBlock else rpc.build().blockNumber()
+    new EthBatch(dataset, requiredSchema, startBlock, resolvedEnd, addresses, topics, maxBlockRange, rpc)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new EthMicroBatchStream(
+      dataset, requiredSchema, startBlock, addresses, topics, maxBlockRange, maxBlocksPerTrigger, rpc)
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over the graft-eth source (SURVEY M4): the
+  * subscription surface of the reference (Subscription.java:39-149,
+  * LogsService.java:391-486) re-expressed as Structured Streaming programs.
+  * A client "subscription" = one streaming query over the shared source
+  * table; per-client predicates are plain `filter`s (reference S13,
+  * LogSubscription.java:36-49); fan-out (S12) is N independent queries.
+  */
+object StreamOps {
+
+  /** Unbounded logs stream, optionally starting in the past (backfill→live,
+    * reference trace B — the BACKFILLING state machine is subsumed by
+    * offset-contiguous micro-batches).
+    */
+  def logsStream(
+      spark: SparkSession,
+      startBlock: Long = 0L,
+      maxBlocksPerTrigger: Long = 5000L,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.readStream.format("graft-eth")
+      .option("dataset", "logs")
+      .option("startBlock", startBlock)
+      .option("maxBlocksPerTrigger", maxBlocksPerTrigger)
+    options.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  /** Per-client predicate (reference S13 semantics, quirks §8.4/§8.5):
+    * case-insensitive address membership; topic0-membership where a log
+    * with NO topics passes.
+    */
+  def clientFilter(df: DataFrame, addresses: Seq[String], topics: Seq[String]): DataFrame = {
+    val addrOk =
+      if (addresses.isEmpty) lit(true)
+      else lower(col("address")).isin(addresses.map(_.toLowerCase): _*)
+    val topicOk =
+      if (topics.isEmpty) lit(true)
+      else size(col("topics")) === 0 || element_at(col("topics"), 1).isin(topics: _*)
+    df.where(addrOk && topicOk)
+  }
+
+  /** Tumbling event-time window with watermark over the logs stream: logs
+    * per event-signature per window of `blockTime`-derived event time.
+    * At scale this is the canonical partial-agg + state-store pattern; the
+    * watermark bounds state size.
+    */
+  def signatureCountsPerWindow(logs: DataFrame, windowLen: String, watermark: String): DataFrame =
+    logs
+      .withColumn("event_time", to_timestamp(from_unixtime(col("blockNumber") * 12 + 1700000000L)))
+      .withColumn("sig", when(size(col("topics")) > 0, element_at(col("topics"), 1)).otherwise(lit("none")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen), col("sig"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("sig"), col("n"))
+
+  // ---- custom state: per-address activity sessions (mapGroupsWithState) ----
+
+  final case class AddrEvent(address: String, blockNumber: Long)
+  final case class AddrSessionState(firstBlock: Long, lastBlock: Long, n: Long)
+  final case class AddrSession(address: String, firstBlock: Long, lastBlock: Long, n: Long)
+
+  /** Per-address rolling activity summary via typed state
+    * (KeyValueGroupedDataset.mapGroupsWithState — SURVEY §2c custom stateful
+    * operator surface): tracks first/last block seen and event count per
+    * address. State is per-key and partition-distributed; no global state.
+    */
+  def addressActivity(logs: DataFrame): Dataset[AddrSession] = {
+    val spark = logs.sparkSession
+    import spark.implicits._
+    logs.select(col("address"), col("blockNumber")).as[AddrEvent]
+      .groupByKey(_.address)
+      .mapGroupsWithState[AddrSessionState, AddrSession](GroupStateTimeout.NoTimeout) {
+        (addr: String, events: Iterator[AddrEvent], state: GroupState[AddrSessionState]) =>
+          val prev = state.getOption.getOrElse(AddrSessionState(Long.MaxValue, Long.MinValue, 0L))
+          val next = events.foldLeft(prev) { (s, e) =>
+            AddrSessionState(math.min(s.firstBlock, e.blockNumber), math.max(s.lastBlock, e.blockNumber), s.n + 1)
+          }
+          state.update(next)
+          AddrSession(addr, next.firstBlock, next.lastBlock, next.n)
+      }
+  }
+
+  /** Run any of the above to a named in-memory sink until all currently
+    * available blocks are processed (Trigger.AvailableNow), returning the
+    * sink table. Test/dev helper.
+    */
+  def drainToMemory(df: DataFrame, name: String, outputMode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000L)
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic tests for the near-dup machinery that has no SQL oracle:
+  * MinHash/LSH candidate recall against exact Jaccard, and SimHash's
+  * Hamming-distance behavior on duplicates.
+  */
+class DedupOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Ground truth computed driver-side, independent of any engine hash:
+    * exact Jaccard over every doc pair (unblocked — unlike d02's
+    * lang-blocked variant, so cross-lang dups can't hide).
+    */
+  private lazy val exactPairs: Map[(Long, Long), Double] = {
+    val rows = Catalog.t(spark, sfDir, "documents")
+      .select($"doc_id", DedupOps.shingles3($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    (for {
+      (a, sa) <- rows.toSeq
+      (b, sb) <- rows.toSeq
+      if a < b
+      inter = (sa & sb).size
+      if inter > 0
+    } yield (a, b) -> inter.toDouble / (sa.size + sb.size - inter)).toMap
+  }
+
+  private lazy val lshPairs: Map[(Long, Long), Double] =
+    Catalog.byName("d03_minhash_lsh").build(spark, sfDir)
+      .select("da", "db", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("LSH recalls every high-Jaccard pair (J >= 0.8)") {
+    // 16 bands × 4 rows: P(candidate | J=0.8) = 1-(1-0.8^4)^16 ≈ 0.9997.
+    val high = exactPairs.filter(_._2 >= 0.8).keySet
+    val missed = high -- lshPairs.keySet
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+  }
+
+  test("LSH+verify output is exact: every pair truly has J >= 0.5") {
+    // the verify stage computes exact Jaccard on candidates, so the
+    // pipeline's output must be a subset of the exact J>=0.5 pair set,
+    // with identical jaccard values.
+    lshPairs.foreach { case (p, j) =>
+      assert(exactPairs.get(p).exists(e => math.abs(e - j) < 1e-12),
+        s"pair $p: lsh jaccard $j vs exact ${exactPairs.get(p)}")
+      assert(j >= 0.5)
+    }
+  }
+
+  test("identical texts collide in every signature") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different content with no overlap whatsoever here now")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("graft_dedup_probe")
+    val sh = docs.select($"doc_id", DedupOps.shingles3($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L).intersect(sh(3L)).isEmpty)
+  }
+
+  test("exact dedup keeps lowest doc_id per text") {
+    val out = Catalog.byName("d01_exact_dedup").build(spark, sfDir)
+    val total = Catalog.t(spark, sfDir, "documents").count()
+    assert(out.agg(sum("n_copies")).as[Long].head === total)
+  }
+
+  test("simhash of identical docs is identical") {
+    val out = Catalog.byName("d04_simhash").build(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = Catalog.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byText = texts.groupBy(_._2).filter(_._2.size > 1)
+    byText.foreach { case (_, ids) =>
+      val sigs = ids.keys.map(out).toSet
+      assert(sigs.size === 1, "duplicate texts got different simhashes")
+    }
+  }
+}
