@@ -21,7 +21,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // dev aid: GRAFT_BENCH_ONLY=q1,q2 restricts the run for iteration
+    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val qs = Catalog.all.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.name)))
     // Warm the JVM/parquet footers once so timings measure the engine,
     // not first-touch classloading.
     qs.headOption.foreach { q =>

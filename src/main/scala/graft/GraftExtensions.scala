@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{HexToDecimal, HexToLong}
+
+/** `SparkSessionExtensions` entry point: makes graft's native expressions
+  * available to ANY session — including pure-SQL users — via
+  * `spark.sql.extensions=graft.GraftExtensions`, with no code-side
+  * `register()` call needed:
+  * {{{ SELECT hex_to_long(difficulty) FROM blocks }}}
+  * This is the library's extension surface (SURVEY §7.3): injected
+  * expressions are full Catalyst citizens (codegen, constant-folding,
+  * null propagation) unlike Scala UDFs.
+  */
+final class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("hex_to_long"),
+      new ExpressionInfo(classOf[HexToLong].getName, "hex_to_long"),
+      (children: Seq[Expression]) => HexToLong(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hex_to_decimal"),
+      new ExpressionInfo(classOf[HexToDecimal].getName, "hex_to_decimal"),
+      (children: Seq[Expression]) => HexToDecimal(children.head)))
+  }
+}

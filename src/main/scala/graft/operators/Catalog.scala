@@ -50,7 +50,8 @@ object Catalog {
 
   lazy val all: Seq[Q] =
     RelationalQueries.all ++ StockOps.all ++ StreamShape.all ++
-      TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ EngineOps.all
+      TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ EngineOps.all ++
+      MultimodalOps.all
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

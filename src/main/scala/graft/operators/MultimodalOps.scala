@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Catalog._
+
+/** Multimodal-column plumbing for training-data pipelines: media as opaque
+  * `binary` columns with typed metadata, processed partition-parallel.
+  *
+  * The DECODE step is a deterministic stub (`StubImageCodec`) because no
+  * image/audio libraries exist in this environment — clearly marked below.
+  * Everything Spark-side is real and tested: the schema contract, the
+  * typed-Dataset `mapPartitions` batch shape (one codec instance per
+  * partition, streamed row iterator — the Scala analog of a Pandas-UDF
+  * `mapInPandas` batch loop), partition parallelism, and the downstream
+  * feature columns.
+  */
+object MultimodalOps {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
+
+  /** Decoded features: what a real image decoder would emit. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      channels: Int,
+      mean_intensity: Double)
+
+  /** STUB — stands in for a real decoder (e.g. libjpeg via JNI or a Pandas
+    * UDF with PIL). Deterministic pure function of the payload bytes so
+    * tests and oracles can pin it. A real deployment swaps ONLY this object;
+    * the Spark plumbing around it is unchanged.
+    */
+  object StubImageCodec extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Double) = {
+      val n = payload.length
+      // fake dimensions derived from content length; fake intensity =
+      // mean byte value — deterministic, engine-independent.
+      val width = 16 + (n % 64)
+      val height = 16 + ((n / 64) % 64)
+      val channels = 3
+      val mean = if (n == 0) 0.0 else payload.map(b => (b & 0xff).toLong).sum.toDouble / n
+      (width, height, channels, mean)
+    }
+  }
+
+  /** The media "table": documents' text bytes standing in for image payloads
+    * (the container has no media fixtures). Schema shape is the real
+    * contract: (id, binary payload, type tag).
+    */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"),
+        concat(lit("image/fake-"), col("lang")).as("media_type"))
+      .as[MediaRow]
+  }
+
+  /** Decode + feature-extract, partition-parallel: one codec per partition,
+    * rows streamed through it (never materialized per-partition) — the
+    * `mapInPandas` batch pattern in typed-Dataset form. Embarrassingly
+    * parallel at cluster scale; no shuffle.
+    */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = StubImageCodec // per-partition init (real codecs are costly to construct)
+      rows.map { r =>
+        val (w, h, c, mean) = codec.decode(r.payload)
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length, w, h, c, mean)
+      }
+    }
+  }
+
+  val all: Seq[Q] = Seq(
+    // Full multimodal pipeline: binary ingest → per-partition decode →
+    // typed features → relational post-processing. The decode is the
+    // documented stub; its arithmetic is reproduced in the DuckDB oracle so
+    // the whole pipeline stays hash-checked.
+    Q("m02_media_features",
+      (s, d) => decodeFeatures(mediaTable(s, d)).toDF()
+        .select("doc_id", "media_type", "n_bytes", "width", "height", "mean_intensity")
+        .orderBy("doc_id"),
+      // documents are pure ASCII (verified: octet_length == length for all
+      // rows), so byte mean == character-code mean in the oracle.
+      Some("""SELECT doc_id,
+                     'image/fake-' || lang AS media_type,
+                     CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                     CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+                     CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height,
+                     CAST(list_sum(list_transform(range(1, length(text) + 1),
+                            i -> ascii(text[i]))) AS DOUBLE) / length(text) AS mean_intensity
+              FROM documents ORDER BY doc_id""")),
+
+    // Frame-sampling shape: explode a payload into fixed-stride chunks
+    // (what video frame extraction looks like as dataflow): pure column
+    // expressions, no UDF.
+    Q("m03_frame_sample",
+      (s, d) => t(s, d, "documents")
+        .withColumn("payload", col("text").cast(BinaryType))
+        .withColumn("n", octet_length(col("payload")))
+        .where(col("n") >= 64)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0L), least(floor((col("n") - 1) / 32).cast(LongType), lit(7L))),
+            i => col("payload").substr((i * 32 + 1).cast(IntegerType), lit(16)))).as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx"),
+          sha2(col("frame"), 256).as("frame_digest"))
+        .orderBy("doc_id", "frame_idx"),
+      // DuckDB can't substring BLOBs; documents are pure ASCII so slicing
+      // the VARCHAR hashes the same bytes.
+      Some("""WITH x AS (
+                SELECT doc_id, UNNEST(range(0, LEAST((length(text) - 1) // 32, 7) + 1)) AS frame_idx, text
+                FROM documents WHERE length(text) >= 64)
+              SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                     sha256(substring(text, CAST(frame_idx * 32 + 1 AS INT), 16)) AS frame_digest
+              FROM x ORDER BY doc_id, frame_idx"""))
+  )
+}

@@ -64,6 +64,24 @@ object SimilarityOps {
                $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
         FROM nv a JOIN nv b ON a.vec_id < $nProbes AND a.vec_id <> b.vec_id"""
 
+  // Random-hyperplane LSH: `NumPlanes` Rademacher (±1) hyperplanes, each a
+  // deterministic function of (plane, dim-index) via xxhash64. sign-bit
+  // concatenation = bucket id. Pure codegen'd column expressions.
+  val NumPlanes = 12
+
+  /** ±1 pseudo-random hyperplane component for (plane k, dimension i). */
+  private def rademacher(k: Int, i: Column): Column =
+    when(pmod(xxhash64(lit(k), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** 12-bit hyperplane-sign bucket of an embedding column. */
+  def lshBucket(v: Column): Column =
+    (0 until NumPlanes).map { k =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x.cast(DoubleType) * rademacher(k, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
   val all: Seq[Q] = Seq(
     // Brute-force cosine top-k per probe (the exact ANN baseline).
     Q("sim01_topk_cosine",
@@ -80,6 +98,33 @@ object SimilarityOps {
                  SELECT qid, vec_id, cos_sim,
                         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
                  FROM (${sqlProbePairs(10)}))
-               WHERE rk <= 5 ORDER BY qid, rk"""))
+               WHERE rk <= 5 ORDER BY qid, rk""")),
+
+    // LSH-bucketed ANN — the scale path: bucket by hyperplane signs, join
+    // probes to corpus ON bucket (shuffle keyed on a 12-bit int, never the
+    // O(n²) pair space), exact cosine only on bucket-mates, top-3 per probe.
+    // At 100 TB: corpus bucketing is one narrow projection; per-bucket
+    // populations concentrate the join; recall tunes via NumPlanes (fewer
+    // planes → bigger buckets → higher recall, more compute).
+    // Engine-hash-based buckets → rows-only driver check; the spec pins
+    // structure + exactness of the cosine against brute force.
+    Q("sim02_ann_lsh",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val corpus = withNorm(s, d).withColumn("bucket", lshBucket(col("embedding")))
+        val probes = corpus.where(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("norm2").as("qnorm2"), col("bucket"))
+        val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("vec_id"))
+        corpus.join(broadcast(probes), Seq("bucket"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("cos_sim",
+            cosine(scaledDot(col("qvec"), col("embedding")), col("qnorm2"), col("norm2")))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select("qid", "vec_id", "cos_sim", "rk")
+          .orderBy("qid", "rk")
+      },
+      None)
   )
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions entry point must make graft functions SQL-visible with no
+  * code-side registration — the deployment path for pure-SQL users
+  * (`--conf spark.sql.extensions=graft.GraftExtensions`).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions=graft.GraftExtensions exposes hex functions in SQL") {
+    // Force a NEW SparkSession (extensions only apply at session build):
+    // clear the JVM-wide default, build with the extension conf (reuses the
+    // existing SparkContext), then restore the shared session for other
+    // suites.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    // in-JVM caveat: with a live SparkContext, session builders read
+    // spark.sql.extensions from the CONTEXT conf (static conf), so set it
+    // there — exactly what --conf does on a real cluster at submit time.
+    val sc = SparkSpec.session.sparkContext // ensure the shared context exists
+    // SparkContext.conf is private[spark] to scalac but public in bytecode
+    sc.getClass.getMethod("conf").invoke(sc)
+      .asInstanceOf[org.apache.spark.SparkConf]
+      .set("spark.sql.extensions", "graft.GraftExtensions")
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val r = s.sql(
+        "SELECT hex_to_long('0x1b4') AS l, CAST(hex_to_decimal('0xde0b6b3a7640000') AS STRING) AS d").head
+      assert(r.getLong(0) === 436L)
+      assert(r.getString(1) === "1000000000000000000")
+      // malformed input is null, not an error, even via SQL
+      assert(s.sql("SELECT hex_to_long('0xzz') AS v").head.isNullAt(0))
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ANN semantics: the LSH path must agree exactly with brute force on the
+  * pairs it emits (precision-exact by construction), and bucketing must be
+  * deterministic.
+  */
+class SimilarityOpsSpec extends SparkSpec {
+
+  private lazy val brute: Map[(Long, Long), Double] =
+    SimilarityOps.probePairs(spark, sfDir, 50)
+      .select("qid", "vec_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("sim02 ANN cosine values are exactly the brute-force values") {
+    val ann = Catalog.byName("sim02_ann_lsh").build(spark, sfDir)
+      .select("qid", "vec_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(ann.nonEmpty)
+    ann.foreach { case (p, c) =>
+      assert(brute.get(p).exists(b => math.abs(b - c) < 1e-12),
+        s"pair $p: ann=$c brute=${brute.get(p)}")
+    }
+  }
+
+  test("lsh bucket is deterministic and stable across runs") {
+    val b1 = SimilarityOps.withNorm(spark, sfDir)
+      .withColumn("b", SimilarityOps.lshBucket(col("embedding")))
+      .select("vec_id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = SimilarityOps.withNorm(spark, sfDir)
+      .withColumn("b", SimilarityOps.lshBucket(col("embedding")))
+      .select("vec_id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 === b2)
+    // buckets spread: not everything in one bucket
+    assert(b1.values.toSet.size > 4, s"only ${b1.values.toSet.size} distinct buckets")
+  }
+
+  test("scaled dot product is exact and order-independent") {
+    import spark.implicits._
+    val v = Seq((Seq(0.5f, -0.25f, 0.125f), Seq(0.25f, 0.5f, -1.0f))).toDF("a", "b")
+    val dot = v.select(SimilarityOps.scaledDot(col("a"), col("b"))).head.getLong(0)
+    val expected = Seq(0.5 * 0.25, -0.25 * 0.5, 0.125 * -1.0)
+      .map(x => math.floor(x * SimilarityOps.SCALE).toLong).sum
+    assert(dot === expected)
+  }
+}
