@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{HexToDecimal, HexToLong}
+import graft.functions.{HexToDecimal, HexToLong, SimHash64, WordShingles}
 
 /** `SparkSessionExtensions` entry point: makes graft's native expressions
   * available to ANY session — including pure-SQL users — via
@@ -24,5 +24,14 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hex_to_decimal"),
       new ExpressionInfo(classOf[HexToDecimal].getName, "hex_to_decimal"),
       (children: Seq[Expression]) => HexToDecimal(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) =>
+        WordShingles(children.head, children(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
   }
 }

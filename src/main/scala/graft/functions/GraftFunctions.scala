@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 
 /** Registration point for graft's custom scalar / aggregate functions.
   *
@@ -17,12 +17,22 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("hex_to_long", exprs => HexToLong(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("hex_to_decimal", exprs => HexToDecimal(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShingles(exprs.head, exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      exprs => MinHashSignature(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int], exprs(2).eval(null).asInstanceOf[Int]), "built-in")
     spark.udf.register("sum_of_squares", SumOfSquaresLong.udaf)
   }
 
   // Column-API wrappers (require register() to have been called on the session).
   def hex_to_long(c: Column): Column = call_function("hex_to_long", c)
   def hex_to_decimal(c: Column): Column = call_function("hex_to_decimal", c)
+  def word_shingles(c: Column, n: Int): Column = call_function("word_shingles", c, lit(n))
+  def simhash64(c: Column): Column = call_function("simhash64", c)
+  def minhash_signature(c: Column, shingleN: Int, numHashes: Int): Column =
+    call_function("minhash_signature", c, lit(shingleN), lit(numHashes))
 }
 
 /** Exemplar typed UDAF (SURVEY §2c: `Aggregator[IN,BUF,OUT]` extension

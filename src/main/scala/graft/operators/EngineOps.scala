@@ -42,6 +42,45 @@ object EngineOps {
               FROM m, LATERAL (SELECT UNNEST(range(0, m.mx + 1, 500)) AS s) t
               ORDER BY chunk_start""")),
 
+    // S3/S5: the DSv2 connector end-to-end as a catalog query — bounded
+    // logs scan (synthetic chain), per-signature counts. Chunked partition
+    // planning + pushdown are exercised under the driver gate (rows-only:
+    // the chain isn't a parquet table DuckDB can see).
+    Q("e01_eth_logs_scan",
+      (s, d) => {
+        val logs = s.read.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", "0").option("endBlock", "2999").load()
+        logs.where(col("blockNumber").between(500, 2499))
+          .withColumn("sig", when(size(col("topics")) > 0, element_at(col("topics"), 1)).otherwise("none"))
+          .groupBy("sig").agg(count(lit(1)).as("n"), countDistinct(col("address")).as("n_addr"))
+          .orderBy(desc("n"), col("sig"))
+      },
+      None),
+
+    // S4: blocks scan through the connector + hex_to_decimal over the
+    // >int64 totalDifficulty column (S18's decimal path, on engine data).
+    Q("e02_eth_blocks_scan",
+      (s, d) => {
+        GraftFunctions.register(s)
+        s.read.format("graft-eth").option("dataset", "blocks")
+          .option("startBlock", "0").option("endBlock", "999").load()
+          .select(col("number"),
+            GraftFunctions.hex_to_decimal(col("totalDifficulty")).as("td"),
+            col("gasUsed"), size(col("transactions")).as("n_tx"))
+          .agg(count(lit(1)).as("n_blocks"), sum(col("n_tx")).as("total_tx"),
+            max(col("td")).as("max_td"))
+      },
+      None),
+
+    // S6: adaptive bisection under a node result cap — same aggregate with
+    // and without the cap must agree; emitted as the capped variant.
+    Q("e03_eth_bisection",
+      (s, d) => s.read.format("graft-eth").option("dataset", "logs")
+        .option("startBlock", "0").option("endBlock", "999")
+        .option("maxResults", "60").load()
+        .agg(count(lit(1)).as("n"), sum(col("blockNumber")).as("sum_bn")),
+      None),
+
     // Multimodal plumbing: opaque binary column + typed metadata extraction.
     // The real decode (image/audio libs) is stubbed (see graft.operators
     // MultimodalOps); the schema/partition/batch plumbing is real.

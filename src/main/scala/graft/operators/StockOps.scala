@@ -298,6 +298,73 @@ object StockOps {
                      CAST(SUM(CAST(l_linenumber AS BIGINT) * l_linenumber) AS BIGINT) AS sumsq
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Full outer join (disjoint-key halves force both null sides).
+    Q("c23_full_outer_join",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val lo = o.where(col("o_totalprice") < 100000)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price_low"))
+        val hi = o.where(col("o_totalprice") > 400000)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price_high"))
+        lo.join(hi, Seq("k"), "full_outer")
+          .select("k", "price_low", "price_high")
+          .orderBy("k")
+      },
+      Some("""SELECT COALESCE(a.k, b.k) AS k, a.price_low, b.price_high
+              FROM (SELECT o_orderkey AS k, o_totalprice AS price_low
+                    FROM orders WHERE o_totalprice < 100000) a
+              FULL OUTER JOIN
+                   (SELECT o_orderkey AS k, o_totalprice AS price_high
+                    FROM orders WHERE o_totalprice > 400000) b
+              ON a.k = b.k ORDER BY k""")),
+
+    // Exact percentiles (continuous interpolation) — Spark percentile ==
+    // DuckDB quantile_cont.
+    Q("c24_percentiles",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.95)").as("p95"),
+          expr("percentile(l_quantity, array(0.25, 0.75))").getItem(0).as("p25"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     quantile_cont(l_quantity, 0.5) AS p50,
+                     quantile_cont(l_quantity, 0.95) AS p95,
+                     quantile_cont(l_quantity, 0.25) AS p25
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // min_by / max_by (argmin/argmax aggregates), deterministic keys.
+    Q("c25_minby_maxby",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("cheapest_key"),
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("dearest_key"))
+        .orderBy("o_orderpriority"),
+      // DuckDB arg_min/arg_max reject struct keys → window formulation.
+      Some("""SELECT o_orderpriority,
+                     MIN(CASE WHEN rn_asc = 1 THEN o_orderkey END) AS cheapest_key,
+                     MIN(CASE WHEN rn_desc = 1 THEN o_orderkey END) AS dearest_key
+              FROM (SELECT o_orderpriority, o_orderkey,
+                      ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS rn_asc,
+                      ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_desc
+                    FROM orders)
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Approximate distinct count (HLL) — the 100 TB path for A9-class
+    // nunique questions. Spark and DuckDB HLLs differ, so the oracle pins
+    // only the exact-distinct bracket in the spec suite; here rows-only.
+    Q("c26_approx_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
     // Exact variance/stddev via order-independent decimal moments.
     Q("c22_moments",
       (s, d) => t(s, d, "lineitem")

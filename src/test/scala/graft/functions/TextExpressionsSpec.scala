@@ -1,0 +1,91 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The codegen'd text kernels must be value-identical to the declarative
+  * Spark formulations they replace (the declarative forms are the
+  * executable spec; the kernels are the fast path).
+  */
+class TextExpressionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def declarativeShingles3(text: org.apache.spark.sql.Column) = {
+    val toks = split(trim(text), "\\s+")
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2), i => concat_ws(" ", slice(toks, i, lit(3)))))
+        .otherwise(array().cast(ArrayType(StringType))))
+  }
+
+  test("word_shingles == declarative transform/slice formulation on real docs") {
+    GraftFunctions.register(spark)
+    val docs = graft.operators.Catalog.t(spark, sfDir, "documents")
+    val both = docs.select(
+      $"doc_id",
+      GraftFunctions.word_shingles($"text", 3).as("fast"),
+      declarativeShingles3($"text").as("slow"))
+    val bad = both.where(!($"fast" <=> $"slow")).count()
+    assert(bad === 0, s"$bad docs disagree between kernel and declarative shingles")
+  }
+
+  test("word_shingles edge cases") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      ("a b c d", 1),          // 2 shingles
+      ("a b", 2),              // < 3 tokens → empty
+      ("", 3),                 // empty → empty
+      ("  x   y   z  ", 4),    // irregular whitespace
+      ("w w w w", 5)           // duplicate shingles collapse
+    ).toDF("text", "id")
+      .select($"id", GraftFunctions.word_shingles($"text", 3).as("sh"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(df(1) === Seq("a b c", "b c d"))
+    assert(df(2) === Seq.empty)
+    assert(df(3) === Seq.empty)
+    assert(df(4) === Seq("x y z"))
+    assert(df(5) === Seq("w w w"))
+  }
+
+  test("minhash_signature == explode + 64×min-aggregate dataflow on real docs") {
+    GraftFunctions.register(spark)
+    val P = graft.operators.DedupOps.MinhashPrime
+    val N = graft.operators.DedupOps.NumHashes
+    val docs = graft.operators.Catalog.t(spark, sfDir, "documents")
+    val kernel = docs.select($"doc_id", GraftFunctions.minhash_signature($"text", 3, N).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val exploded = docs
+      .select($"doc_id", explode(GraftFunctions.word_shingles($"text", 3)).as("shingle"))
+      .withColumn("h", pmod(xxhash64($"shingle"), lit(P)))
+    val aggs = (0 until N).map(k => min(pmod($"h" * (1L + 2L * k) + (1L + 3L * k), lit(P))).as(s"mh_$k"))
+    val dataflow = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to N).map(r.getLong)).toMap
+    // explode drops docs with zero shingles; kernel emits all-P for them
+    dataflow.foreach { case (id, sig) =>
+      assert(kernel(id) === sig, s"doc $id signature mismatch")
+    }
+    (kernel.keySet -- dataflow.keySet).foreach { id =>
+      assert(kernel(id).forall(_ == P), s"empty doc $id should have all-P signature")
+    }
+  }
+
+  test("simhash64 == per-bit aggregate formulation on real docs") {
+    GraftFunctions.register(spark)
+    val toks = split(trim($"text"), "\\s+")
+    val hashes = transform(toks, w => xxhash64(w))
+    val bits = (0 until 64).map { b =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    val docs = graft.operators.Catalog.t(spark, sfDir, "documents")
+      .where(length(trim($"text")) > 0) // declarative form hashes the "" token on empty text
+    val both = docs.select(
+      GraftFunctions.simhash64($"text").as("fast"),
+      bits.reduce(_ bitwiseOR _).as("slow"))
+    val bad = both.where($"fast" =!= $"slow").count()
+    assert(bad === 0, s"$bad docs disagree between kernel and declarative simhash")
+  }
+}
