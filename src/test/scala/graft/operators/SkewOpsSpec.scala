@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Salting must never change results — only partitioning. */
+class SkewOpsSpec extends SparkSpec {
+
+  test("salted join == plain join on skewed data") {
+    import spark.implicits._
+    // heavy-hitter: 90% of rows share key 1
+    val large = spark.range(10000)
+      .select(when(col("id") % 10 === 0, col("id") % 7).otherwise(1L).as("k"), col("id").as("v"))
+    val small = Seq((0L, "a"), (1L, "hot"), (2L, "b"), (3L, "c"), (6L, "d")).toDF("k", "tag")
+    val plain = large.join(small, Seq("k"), "inner")
+      .groupBy("tag").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = SkewOps.saltedJoin(large, small, "k", buckets = 8)
+      .groupBy("tag").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === plain)
+  }
+
+  test("salted left join preserves unmatched rows exactly once") {
+    import spark.implicits._
+    val large = spark.range(1000).select((col("id") % 5).as("k"), col("id").as("v"))
+    val small = Seq((0L, "x"), (1L, "y")).toDF("k", "tag")
+    val plain = large.join(small, Seq("k"), "left").count()
+    // left joins must NOT salt-explode the right side's absent keys into dup nulls
+    val salted = SkewOps.saltedJoin(large, small, "k", buckets = 4, joinType = "left")
+    assert(salted.count() === plain)
+    assert(salted.where(col("tag").isNull).count() ===
+      large.where(col("k") > 1).count())
+  }
+
+  test("salted two-phase aggregation == direct aggregation") {
+    val li = Catalog.t(spark, sfDir, "lineitem")
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_l_quantity"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = SkewOps.saltedCountSum(li, "l_returnflag", "l_quantity", buckets = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted === direct)
+  }
+}
