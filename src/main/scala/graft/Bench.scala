@@ -25,11 +25,16 @@ object Bench {
     val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val qs = Catalog.all.filter(_.bench)
       .filter(q => only.forall(_.contains(q.name)))
-    // Warm the JVM/parquet footers once so timings measure the engine,
-    // not first-touch classloading.
-    qs.headOption.foreach { q =>
-      try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // Warm the JVM once per input table (parquet footers, codegen,
+    // function registry) so timings measure the engine, not first-touch
+    // classloading.
+    val warmups = Seq("a01_range_scan", "a10_stats", "t01_token_count",
+      "a04_array_element", "c07_semi_join", "c09_union_except")
+    warmups.foreach { name =>
+      Catalog.byName.get(name).foreach { q =>
+        try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
+      }
     }
     val results = qs.map { q =>
       val t0 = System.nanoTime()
