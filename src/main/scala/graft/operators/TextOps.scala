@@ -101,6 +101,24 @@ object TextOps {
             ORDER BY doc_id"""
       }),
 
+    // Corpus-level token statistics: vocabulary via explode + two-level
+    // aggregation (partial+final; the natural-skew case — stopwords are
+    // heavy hitters — handled by map-side combine). Top-20 tokens with a
+    // deterministic tie-break.
+    Q("t05_corpus_stats",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("tok"))
+          .where(length(col("tok")) > 0)
+        toks.groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("tok"))
+          .limit(20)
+      },
+      Some("""SELECT tok, COUNT(*) AS n
+              FROM (SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+              WHERE length(tok) > 0
+              GROUP BY tok ORDER BY n DESC, tok LIMIT 20""")),
+
     // Document fingerprint: position-weighted token hash mod a prime
     // (rolling-hash family; deterministic, engine-independent arithmetic).
     Q("t04_fingerprint",

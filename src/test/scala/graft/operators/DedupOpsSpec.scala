@@ -64,6 +64,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(sh(1L).intersect(sh(3L)).isEmpty)
   }
 
+  test("d06 connected components == driver-side union-find over the same pairs") {
+    val pairs = Catalog.byName("d03_minhash_lsh").build(spark, sfDir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x)).toMap
+    val got = Catalog.byName("d06_dedup_clusters").build(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // canonical label is the component minimum
+    got.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min === label)
+    }
+  }
+
   test("exact dedup keeps lowest doc_id per text") {
     val out = Catalog.byName("d01_exact_dedup").build(spark, sfDir)
     val total = Catalog.t(spark, sfDir, "documents").count()
