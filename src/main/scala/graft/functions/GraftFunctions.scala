@@ -23,6 +23,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash_signature",
       exprs => MinHashSignature(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int], exprs(2).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("scaled_dot",
+      exprs => ScaledDot(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_bucket",
+      exprs => HyperplaneBucket(exprs.head, exprs(1).eval(null).asInstanceOf[Int]), "built-in")
     spark.udf.register("sum_of_squares", SumOfSquaresLong.udaf)
   }
 
@@ -33,6 +37,9 @@ object GraftFunctions {
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def minhash_signature(c: Column, shingleN: Int, numHashes: Int): Column =
     call_function("minhash_signature", c, lit(shingleN), lit(numHashes))
+  def scaled_dot(a: Column, b: Column): Column = call_function("scaled_dot", a, b)
+  def hyperplane_bucket(v: Column, numPlanes: Int): Column =
+    call_function("hyperplane_bucket", v, lit(numPlanes))
 }
 
 /** Exemplar typed UDAF (SURVEY §2c: `Aggregator[IN,BUF,OUT]` extension

@@ -134,6 +134,110 @@ object TextKernels extends Serializable {
   }
 }
 
+/** Exact scaled dot product of two float vectors:
+  * Σ floor(a[i]·b[i]·1e15) as Long — identical to the
+  * zip_with/aggregate dataflow formulation (each per-element product is
+  * exactly representable: |x·y|·1e15 ≈ 1e13 < 2^53; the long sum is
+  * associative, so order-independent). The declarative form evaluates
+  * interpreted lambdas per element; this runs one fused loop inside
+  * whole-stage codegen — the inner loop of brute-force similarity search.
+  */
+object VectorKernels extends Serializable {
+  val SCALE = 1e15
+
+  def scaledDot(a: ArrayData, b: ArrayData): Long = {
+    if (a == null || b == null) return 0L
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += math.floor(a.getFloat(i).toDouble * b.getFloat(i).toDouble * SCALE).toLong
+      i += 1
+    }
+    acc
+  }
+
+  // splitmix64 — deterministic Rademacher source for hyperplane components
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Random-hyperplane LSH bucket: bit k of the result is the sign of the
+    * projection of `v` onto hyperplane k, whose components are ±1 from
+    * splitmix64(k, i). Map-only, codegen'd — bucket assignment of a 100 TB
+    * corpus is a pure scan.
+    */
+  def hyperplaneBucket(v: ArrayData, numPlanes: Int): Long = {
+    if (v == null) return 0L
+    val n = v.numElements()
+    var bucket = 0L
+    var k = 0
+    while (k < numPlanes) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val sign = if ((mix64(mix64(k.toLong) ^ i.toLong) & 1L) == 0L) 1.0 else -1.0
+        proj += v.getFloat(i).toDouble * sign
+        i += 1
+      }
+      if (proj >= 0) bucket |= (1L << k)
+      k += 1
+    }
+    bucket
+  }
+}
+
+/** `scaled_dot(a, b)` — exact integer-scaled float-vector dot product. */
+case class ScaledDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"scaled_dot expects ARRAY<FLOAT>, got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "scaled_dot"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.scaledDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.scaledDot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScaledDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `hyperplane_bucket(vec, numPlanes)` — sign-bit LSH bucket, codegen'd. */
+case class HyperplaneBucket(child: Expression, numPlanes: Int) extends UnaryExpression {
+  require(numPlanes >= 1 && numPlanes <= 63)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bucket expects ARRAY<FLOAT>, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "hyperplane_bucket"
+
+  protected override def nullSafeEval(input: Any): Any =
+    VectorKernels.hyperplaneBucket(input.asInstanceOf[ArrayData], numPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.hyperplaneBucket($c, $numPlanes)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
 /** `word_shingles(text, n)` — distinct word n-grams, codegen'd. */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"shingle size must be >= 1, got $n")

@@ -18,17 +18,17 @@ object SimilarityOps {
 
   val SCALE = 1e15
 
-  /** Σ floor(a[i]·b[i]·1e15) as Long — exact scaled dot product. */
+  /** Σ floor(a[i]·b[i]·1e15) as Long — exact scaled dot product, via the
+    * codegen'd `scaled_dot` kernel (the zip_with/aggregate dataflow
+    * formulation — kept as the executable spec in TextExpressionsSpec —
+    * evaluates interpreted lambdas per element; this is the inner loop of
+    * brute-force search, probes × corpus × dim evaluations).
+    */
   def scaledDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => floor(x.cast(DoubleType) * y.cast(DoubleType) * lit(SCALE))),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.scaled_dot(a, b)
 
   /** Σ floor(v[i]²·1e15) as Long — exact scaled squared norm. */
-  def scaledNorm2(v: Column): Column =
-    aggregate(
-      transform(v, x => floor(x.cast(DoubleType) * x.cast(DoubleType) * lit(SCALE))),
-      lit(0L), (acc, x) => acc + x)
+  def scaledNorm2(v: Column): Column = scaledDot(v, v)
 
   /** cosine from exact scaled components (double, deterministic). */
   def cosine(dot: Column, n1: Column, n2: Column): Column =
@@ -64,23 +64,14 @@ object SimilarityOps {
                $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
         FROM nv a JOIN nv b ON a.vec_id < $nProbes AND a.vec_id <> b.vec_id"""
 
-  // Random-hyperplane LSH: `NumPlanes` Rademacher (±1) hyperplanes, each a
-  // deterministic function of (plane, dim-index) via xxhash64. sign-bit
-  // concatenation = bucket id. Pure codegen'd column expressions.
+  // Random-hyperplane LSH: `NumPlanes` Rademacher (±1) hyperplanes from a
+  // deterministic splitmix64 of (plane, dim-index); sign-bit concatenation
+  // = bucket id. Codegen'd kernel — bucket assignment is a map-only scan.
   val NumPlanes = 12
-
-  /** ±1 pseudo-random hyperplane component for (plane k, dimension i). */
-  private def rademacher(k: Int, i: Column): Column =
-    when(pmod(xxhash64(lit(k), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
 
   /** 12-bit hyperplane-sign bucket of an embedding column. */
   def lshBucket(v: Column): Column =
-    (0 until NumPlanes).map { k =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x.cast(DoubleType) * rademacher(k, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+    graft.functions.GraftFunctions.hyperplane_bucket(v, NumPlanes)
 
   val all: Seq[Q] = Seq(
     // Brute-force cosine top-k per probe (the exact ANN baseline).

@@ -84,6 +84,33 @@ object StreamOps {
       }
   }
 
+  /** Streaming deduplication: exactly-once per (blockNumber, logIndex)
+    * even if the upstream re-delivers (e.g. a reorg replay). The watermark
+    * bounds the dedup state: keys older than the horizon are evicted —
+    * unbounded-state dedup is not a thing at 100 TB.
+    */
+  def dedupStream(logs: DataFrame, watermark: String): DataFrame =
+    logs
+      .withColumn("event_time", to_timestamp(from_unixtime(col("blockNumber") * 12 + 1700000000L)))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("blockNumber", "logIndex")
+
+  /** Stream-stream inner join: logs enriched with their block header,
+    * both sides unbounded. Event-time watermarks on both sides + a
+    * bounded join-time condition let Spark evict join state — the
+    * streaming analog of the notebook's logs×blocks merge (A13).
+    */
+  def logsWithBlocks(logs: DataFrame, blocks: DataFrame, watermark: String): DataFrame = {
+    val l = logs
+      .withColumn("l_time", to_timestamp(from_unixtime(col("blockNumber") * 12 + 1700000000L)))
+      .withWatermark("l_time", watermark)
+    val b = blocks
+      .select(col("number"), col("gasUsed"), col("timestamp").as("block_ts"))
+      .withColumn("b_time", to_timestamp(from_unixtime(col("number") * 12 + 1700000000L)))
+      .withWatermark("b_time", watermark)
+    l.join(b, l("blockNumber") === b("number") && l("l_time") === b("b_time"))
+  }
+
   /** Run any of the above to a named in-memory sink until all currently
     * available blocks are processed (Trigger.AvailableNow), returning the
     * sink table. Test/dev helper.

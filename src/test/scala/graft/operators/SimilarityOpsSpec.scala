@@ -39,10 +39,27 @@ class SimilarityOpsSpec extends SparkSpec {
 
   test("scaled dot product is exact and order-independent") {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val v = Seq((Seq(0.5f, -0.25f, 0.125f), Seq(0.25f, 0.5f, -1.0f))).toDF("a", "b")
     val dot = v.select(SimilarityOps.scaledDot(col("a"), col("b"))).head.getLong(0)
     val expected = Seq(0.5 * 0.25, -0.25 * 0.5, 0.125 * -1.0)
       .map(x => math.floor(x * SimilarityOps.SCALE).toLong).sum
     assert(dot === expected)
+  }
+
+  test("scaled_dot kernel == zip_with/aggregate dataflow on real embeddings") {
+    graft.functions.GraftFunctions.register(spark)
+    val declarative = aggregate(
+      zip_with(col("embedding"), col("e2"), (x, y) =>
+        floor(x.cast("double") * y.cast("double") * lit(SimilarityOps.SCALE))),
+      lit(0L), (acc, x) => acc + x)
+    val e = Catalog.t(spark, sfDir, "embeddings")
+    val pairs = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(e.select(col("embedding").as("e2"), col("vec_id").as("v2")).where(col("v2") < 3))
+    val bad = pairs.select(
+      SimilarityOps.scaledDot(col("embedding"), col("e2")).as("fast"),
+      declarative.as("slow"))
+      .where(col("fast") =!= col("slow")).count()
+    assert(bad === 0)
   }
 }

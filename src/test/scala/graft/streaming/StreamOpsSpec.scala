@@ -61,6 +61,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(filtered.count() === expected.size)
   }
 
+  test("streaming dedup passes each (block, logIndex) exactly once") {
+    val deduped = StreamOps.drainToMemory(
+      StreamOps.dedupStream(
+        StreamOps.logsStream(spark, 0, 300, Map("head" -> "900")), "1 hour"),
+      "dedup_stream", OutputMode.Append())
+    val keys = deduped.select("blockNumber", "logIndex").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(keys.length === keys.distinct.length, "duplicates leaked through dedup")
+    val expected = new graft.sources.SyntheticRpc(42, 900).getLogs(0, 900, Seq.empty, Seq.empty)
+    assert(keys.length === expected.size)
+  }
+
+  test("stream-stream join enriches logs with block headers, both unbounded") {
+    val logs = StreamOps.logsStream(spark, 0, 300, Map("head" -> "600"))
+    val blocks = spark.readStream.format("graft-eth")
+      .option("dataset", "blocks").option("startBlock", "0")
+      .option("head", "600").option("maxBlocksPerTrigger", "300").load()
+    val joined = StreamOps.drainToMemory(
+      StreamOps.logsWithBlocks(logs, blocks, "1 hour"),
+      "ss_join_stream", OutputMode.Append())
+    val rpc = new graft.sources.SyntheticRpc(42, 600)
+    val expectedLogs = rpc.getLogs(0, 600, Seq.empty, Seq.empty)
+    assert(joined.count() === expectedLogs.size, "every log must find its block header")
+    val r = joined.where(col("blockNumber") === 50).select("gasUsed").head
+    assert(r.getLong(0) === rpc.getBlock(50).get.gasUsed)
+  }
+
   test("typed mapGroupsWithState address activity matches batch aggregate") {
     val sessions = StreamOps.drainToMemory(
       StreamOps.addressActivity(
