@@ -36,10 +36,19 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
       }
     }
+    // Per-query watchdog mirrors Verify: a wedged query reports its
+    // timeout instead of stalling the whole benchmark run.
+    val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong * 1000
     val results = qs.map { q =>
+      val timer = new java.util.Timer(true)
+      spark.sparkContext.setJobGroup(q.name, q.name, interruptOnCancel = true)
+      timer.schedule(new java.util.TimerTask {
+        def run(): Unit = spark.sparkContext.cancelJobGroup(q.name)
+      }, timeoutMs)
       val t0 = System.nanoTime()
       try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
+      finally { timer.cancel(); spark.sparkContext.clearJobGroup() }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -15,11 +15,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query watchdog: one hung/pathological query must not zero the
+    // whole correctness round — cancel its job group and move on.
+    val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong * 1000
     SparkEntry.queries.foreach { case (name, fn) =>
+      val timer = new java.util.Timer(true)
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+      timer.schedule(new java.util.TimerTask {
+        def run(): Unit = {
+          System.err.println(s"[verify] $name timed out after ${timeoutMs / 1000}s — cancelling")
+          spark.sparkContext.cancelJobGroup(name)
+        }
+      }, timeoutMs)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        timer.cancel()
+        spark.sparkContext.clearJobGroup()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -64,6 +64,10 @@ object SimilarityOps {
                $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
         FROM nv a JOIN nv b ON a.vec_id < $nProbes AND a.vec_id <> b.vec_id"""
 
+  // IVF parameters: 16 coarse cells, 4 probed per query.
+  val IvfCells = 16
+  val IvfProbe = 4
+
   // Random-hyperplane LSH: `NumPlanes` Rademacher (±1) hyperplanes from a
   // deterministic splitmix64 of (plane, dim-index); sign-bit concatenation
   // = bucket id. Codegen'd kernel — bucket assignment is a map-only scan.
@@ -90,6 +94,51 @@ object SimilarityOps {
                         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
                  FROM (${sqlProbePairs(10)}))
                WHERE rk <= 5 ORDER BY qid, rk""")),
+
+    // IVF ANN — the second scale path: coarse-quantize the corpus into
+    // `IvfCells` centroid cells (centroids = deterministic corpus sample,
+    // broadcast as literals — IVF-flat with sampled centroids), search the
+    // `IvfProbe` nearest cells per query, exact cosine only on cell-mates.
+    // Corpus cell assignment is a map-only projection; the candidate join
+    // is an equi-join on the cell id. Recall tunes via IvfProbe.
+    // Engine-internal cell ids → rows-only check; spec pins exactness of
+    // emitted cosines + subset-of-brute-force.
+    Q("sim03_ann_ivf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val corpus = withNorm(s, d)
+        // deterministic centroid sample: the IvfCells lowest vec_ids
+        val cents = corpus.where(col("vec_id") < IvfCells)
+          .select("vec_id", "embedding", "norm2").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1), r.getLong(2)))
+        def cellDots(v: Column) = cents.map { case (k, cvec, cn2) =>
+          scaledDot(v, typedLit(cvec)).cast(DoubleType) / math.sqrt(cn2.toDouble)
+        }
+        def bestCells(df: DataFrame, v: Column, n: Int, idCol: String): DataFrame = {
+          val arr = array(cellDots(v): _*)
+          val w = Window.partitionBy(col(idCol)).orderBy(desc("cell_score"), col("cell"))
+          df.withColumn("__dots", arr)
+            .select(col("*"), posexplode(col("__dots")).as(Seq("cell", "cell_score")))
+            .withColumn("__rk", row_number().over(w))
+            .where(col("__rk") <= n)
+            .drop("__dots", "cell_score", "__rk")
+        }
+        val assigned = bestCells(corpus, col("embedding"), 1, "vec_id")
+        val probes = bestCells(
+          corpus.where(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("norm2").as("qnorm2")),
+          col("qvec"), IvfProbe, "qid")
+        val w2 = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("vec_id"))
+        assigned.join(broadcast(probes), Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("cos_sim",
+            cosine(scaledDot(col("qvec"), col("embedding")), col("qnorm2"), col("norm2")))
+          .withColumn("rk", row_number().over(w2))
+          .where(col("rk") <= 3)
+          .select("qid", "vec_id", "cos_sim", "rk")
+          .orderBy("qid", "rk")
+      },
+      None),
 
     // LSH-bucketed ANN — the scale path: bucket by hyperplane signs, join
     // probes to corpus ON bucket (shuffle keyed on a 12-bit int, never the

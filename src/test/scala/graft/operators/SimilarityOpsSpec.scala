@@ -25,6 +25,20 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("sim03 IVF cosine values are exactly the brute-force values") {
+    val ivf = Catalog.byName("sim03_ann_ivf").build(spark, sfDir)
+      .select("qid", "vec_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (p, c) =>
+      assert(brute.get(p).exists(b => math.abs(b - c) < 1e-12),
+        s"pair $p: ivf=$c brute=${brute.get(p)}")
+    }
+    // every probe returns results (4 of 16 cells probed on a ~uniform
+    // corpus always yields candidates)
+    assert(ivf.map(_._1._1).distinct.length === 10)
+  }
+
   test("lsh bucket is deterministic and stable across runs") {
     val b1 = SimilarityOps.withNorm(spark, sfDir)
       .withColumn("b", SimilarityOps.lshBucket(col("embedding")))
