@@ -374,6 +374,53 @@ object StockOps {
         .orderBy("l_returnflag"),
       None),
 
+    // Unpivot / melt (wide → long).
+    Q("c27_unpivot",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("qty"), dsum(col("l_discount")).as("disc"),
+          dsum(col("l_tax")).as("tax"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("disc"), col("tax")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure"),
+      Some(s"""SELECT l_returnflag, measure, value FROM (
+                 SELECT l_returnflag, ${sqlDsum("l_quantity")} AS qty,
+                        ${sqlDsum("l_discount")} AS disc, ${sqlDsum("l_tax")} AS tax
+                 FROM lineitem GROUP BY l_returnflag)
+               UNPIVOT (value FOR measure IN (qty, disc, tax))
+               ORDER BY l_returnflag, measure""")),
+
+    // Array function suite over the embeddings vectors.
+    Q("c28_array_funcs",
+      (s, d) => t(s, d, "embeddings")
+        .where(col("vec_id") < 100)
+        .select(
+          col("vec_id"),
+          array_max(col("embedding")).as("vmax"),
+          array_min(col("embedding")).as("vmin"),
+          element_at(sort_array(col("embedding")), 1).as("sorted_first"),
+          element_at(reverse(col("embedding")), 1).as("last_elem"),
+          size(array_distinct(col("embedding"))).as("n_distinct"),
+          exists(col("embedding"), _ > 0.0f).as("has_pos"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+                     list_max(embedding) AS vmax,
+                     list_min(embedding) AS vmin,
+                     list_sort(embedding)[1] AS sorted_first,
+                     list_reverse(embedding)[1] AS last_elem,
+                     CAST(len(list_distinct(embedding)) AS INT) AS n_distinct,
+                     len(list_filter(embedding, x -> x > 0)) > 0 AS has_pos
+              FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""")),
+
+    // JSON → typed struct (from_json), the schema-on-read surface.
+    Q("c29_from_json",
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).getField("k").as("k_typed"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
+              FROM events ORDER BY event_id""")),
+
     // Exact variance/stddev via order-independent decimal moments.
     Q("c22_moments",
       (s, d) => t(s, d, "lineitem")
