@@ -33,5 +33,9 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    // topic0 predicates → connector option (SURVEY §4 optional rule):
+    // operator-optimization rules run while the relation is still a
+    // DataSourceV2Relation, before the V2 scan-pushdown batch.
+    ext.injectOptimizerRule(_ => graft.plans.TopicPushdownRule)
   }
 }

@@ -14,6 +14,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // clear the JVM-wide default, build with the extension conf (reuses the
     // existing SparkContext), then restore the shared session for other
     // suites.
+    // Initialize the shared session FIRST: its lazy creation sets the JVM
+    // default session, which must happen before the clears below (else the
+    // lazy init would undo them and getOrCreate would return it, skipping
+    // extensions).
+    val sc = SparkSpec.session.sparkContext
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
     SparkSession.clearDefaultSession()
@@ -21,7 +26,6 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // in-JVM caveat: with a live SparkContext, session builders read
     // spark.sql.extensions from the CONTEXT conf (static conf), so set it
     // there — exactly what --conf does on a real cluster at submit time.
-    val sc = SparkSpec.session.sparkContext // ensure the shared context exists
     // SparkContext.conf is private[spark] to scalac but public in bytecode
     sc.getClass.getMethod("conf").invoke(sc)
       .asInstanceOf[org.apache.spark.SparkConf]
@@ -38,6 +42,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getString(1) === "1000000000000000000")
       // malformed input is null, not an error, even via SQL
       assert(s.sql("SELECT hex_to_long('0xzz') AS v").head.isNullAt(0))
+
+      // --- topic0 pushdown rule (injected by the same extensions) ---
+      import org.apache.spark.sql.functions._
+      val all = s.read.format("graft-eth").option("dataset", "logs")
+        .option("startBlock", "0").option("endBlock", "199").load()
+      val someTopic = all.where(size(col("topics")) > 0)
+        .select(element_at(col("topics"), 1)).head.getString(0)
+      val q = s.read.format("graft-eth").option("dataset", "logs")
+        .option("startBlock", "0").option("endBlock", "199").load()
+        .where(element_at(col("topics"), 1) === someTopic)
+      // plan: the scan must show the pushed topic set
+      assert(q.queryExecution.executedPlan.toString.contains("topics=1"),
+        "topic0 predicate was not pushed into the connector")
+      // correctness: equals the unpushed evaluation of the same predicate
+      val expected = all.collect()
+        .count(r => { val t = r.getSeq[String](2); t.nonEmpty && t.head == someTopic })
+      assert(q.count() === expected)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
