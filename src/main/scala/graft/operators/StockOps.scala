@@ -412,6 +412,26 @@ object StockOps {
                      len(list_filter(embedding, x -> x > 0)) > 0 AS has_pos
               FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""")),
 
+    // Date arithmetic: datediff / date_add / last_day / trunc.
+    Q("c30_date_arith",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+        val o = t(s, d, "orders").select("o_orderkey", "o_orderdate")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            datediff(col("l_shipdate"), col("o_orderdate")).as("ship_lag_days"),
+            date_add(col("o_orderdate").cast(DateType), 30).as("due_date"),
+            last_day(col("o_orderdate")).as("month_end"))
+          .orderBy("l_orderkey", "l_linenumber", "ship_lag_days")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+                     CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INT) AS ship_lag_days,
+                     CAST(o_orderdate AS DATE) + 30 AS due_date,
+                     last_day(CAST(o_orderdate AS DATE)) AS month_end
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              ORDER BY l_orderkey, l_linenumber, ship_lag_days""")),
+
     // JSON → typed struct (from_json), the schema-on-read surface.
     Q("c29_from_json",
       (s, d) => t(s, d, "events")

@@ -119,6 +119,33 @@ object TextOps {
               WHERE length(tok) > 0
               GROUP BY tok ORDER BY n DESC, tok LIMIT 20""")),
 
+    // Quality FILTER — the curation decision built on t02's signals: keep
+    // documents inside the length/stopword/avg-token-length envelope.
+    // The filter composes into any downstream pipeline as a plain
+    // predicate (pushdown-friendly, no shuffle).
+    Q("t06_quality_filter",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        t(s, d, "documents")
+          .withColumn("n_tokens", size(toks))
+          .withColumn("n_stop", countIn(toks, stopwords))
+          .withColumn("avg_token_len",
+            length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / col("n_tokens"))
+          .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
+          .where(col("n_tokens").between(10, 500) &&
+            col("avg_token_len").between(2.0, 12.0) &&
+            col("stop_ratio") <= 0.6)
+          .select("doc_id", "n_tokens", "stop_ratio")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+                      CAST(${sqlCountIn(stopwords)} AS DOUBLE) / len(toks) AS stop_ratio
+               FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+               WHERE len(toks) BETWEEN 10 AND 500
+                 AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
+                 AND CAST(${sqlCountIn(stopwords)} AS DOUBLE) / len(toks) <= 0.6
+               ORDER BY doc_id""")),
+
     // Document fingerprint: position-weighted token hash mod a prime
     // (rolling-hash family; deterministic, engine-independent arithmetic).
     Q("t04_fingerprint",

@@ -88,6 +88,21 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("d07 removes exactly the non-canonical cluster members") {
+    val clusters = Catalog.byName("d06_dedup_clusters").build(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val losers = clusters.count { case (id, label) => id != label }
+    val total = Catalog.t(spark, sfDir, "documents").count()
+    val kept = Catalog.byName("d07_dedup_apply").build(spark, sfDir)
+    assert(kept.count() === total - losers)
+    // no kept doc is a non-canonical member
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    clusters.foreach { case (id, label) =>
+      if (id != label) assert(!keptIds.contains(id), s"non-canonical $id survived dedup")
+      else assert(keptIds.contains(id), s"canonical $id was dropped")
+    }
+  }
+
   test("exact dedup keeps lowest doc_id per text") {
     val out = Catalog.byName("d01_exact_dedup").build(spark, sfDir)
     val total = Catalog.t(spark, sfDir, "documents").count()
