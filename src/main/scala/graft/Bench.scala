@@ -51,10 +51,16 @@ object Bench {
       finally { timer.cancel(); spark.sparkContext.clearJobGroup() }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale-independent number formatting (comma-decimal locales would
+    // otherwise emit invalid JSON), and the JSON line goes out LAST — after
+    // spark.stop() — so nothing Spark prints at shutdown can trail it.
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qjson = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

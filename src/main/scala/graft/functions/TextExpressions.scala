@@ -98,6 +98,56 @@ object TextKernels extends Serializable {
     new GenericArrayData(mins.map(x => x: Any))
   }
 
+  // Exact `split(trim(text), "\s+")` semantics (Spark trim = ASCII spaces
+  // only; Java Pattern.split(s, -1) keeps the lone empty token of an empty
+  // string and any leading empty token after a non-space whitespace prefix)
+  // so kernel outputs are bit-identical to the declarative formulation.
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+  def splitTokens(text: UTF8String): Array[String] = WS.split(text.trim().toString, -1)
+
+  /** Membership counts of whitespace tokens in each of `sets`, one
+    * tokenization pass. result(k) == size(filter(split(trim(text),"\\s+"),
+    * w => array_contains(sets(k), w))) — counts occurrences, not distinct
+    * tokens. The declarative form runs an interpreted lambda per token per
+    * set and re-splits `text` per set; this is one fused loop inside
+    * whole-stage codegen.
+    */
+  def wordSetCounts(text: UTF8String, sets: Array[java.util.HashSet[String]]): ArrayData = {
+    if (text == null) return null
+    val toks = splitTokens(text)
+    val counts = new Array[Int](sets.length)
+    var i = 0
+    while (i < toks.length) {
+      var k = 0
+      while (k < sets.length) {
+        if (sets(k).contains(toks(i))) counts(k) += 1
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts.map(x => x: Any))
+  }
+
+  /** Position-weighted rolling token fingerprint:
+    * pmod(Σ_i (ascii(tok_i)·31 + length(tok_i)) · (i+1), 1e9+7) with i
+    * 0-based — bit-identical to the transform+aggregate dataflow form
+    * (which runs interpreted per element), in one codegen'd pass.
+    */
+  def tokenFingerprint(text: UTF8String): Long = {
+    if (text == null) return 0L
+    val toks = splitTokens(text)
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      val a = if (w.isEmpty) 0 else w.codePointAt(0)
+      acc += (a * 31 + w.length).toLong * (i + 1L)
+      i += 1
+    }
+    val m = 1000000007L
+    ((acc % m) + m) % m
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-token xxhash64(seed=42),
     * per-bit vote (+1 if set, -1 if clear), bit set in the result when the
     * vote is positive. One pass, no per-bit array traffic. Zero tokens →
@@ -279,6 +329,60 @@ case class MinHashSignature(child: Expression, shingleN: Int, numHashes: Int)
       c => s"graft.functions.TextKernels.minhashSignature($c, $shingleN, $numHashes)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** `word_set_counts(text, sets)` — per-set token membership counts,
+  * codegen'd, single tokenization pass (replaces N interpreted
+  * `size(filter(...))` lambdas in the text-curation hot path).
+  */
+case class WordSetCounts(child: Expression, sets: Seq[Seq[String]]) extends UnaryExpression {
+  require(sets.nonEmpty, "word_set_counts needs at least one word set")
+
+  @transient private lazy val table: Array[java.util.HashSet[String]] =
+    sets.map { ws =>
+      val h = new java.util.HashSet[String](math.max(4, ws.size * 2))
+      ws.foreach(h.add)
+      h
+    }.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"word_set_counts expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "word_set_counts"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.wordSetCounts(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordSets", table, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordSetCounts($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordSetCounts =
+    copy(child = newChild)
+}
+
+/** `token_fingerprint(text)` — position-weighted rolling token hash mod
+  * 1e9+7, codegen'd.
+  */
+case class TokenFingerprint(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"token_fingerprint expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "token_fingerprint"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenFingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenFingerprint($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenFingerprint =
     copy(child = newChild)
 }
 

@@ -25,8 +25,13 @@ object TextOps {
     "de" -> Seq("der", "und", "das"),
     "fr" -> Seq("le", "et", "les"))
 
-  private def countIn(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, w => array_contains(lit(words.toArray), w)))
+  /** Token membership count via the codegen'd `word_set_counts` kernel —
+    * one tokenization pass, no interpreted lambda. Bit-identical to
+    * `size(filter(toks, w => array_contains(lit(words), w)))` (pinned in
+    * TextKernelSpec).
+    */
+  private def countIn(text: Column, words: Seq[String]): Column =
+    graft.functions.GraftFunctions.word_set_counts(text, Seq(words)).getItem(0)
 
   private def sqlCountIn(words: Seq[String]): String =
     s"CAST(len(list_filter(toks, w -> list_contains([${words.map(w => s"'$w'").mkString(",")}], w))) AS INT)"
@@ -52,7 +57,7 @@ object TextOps {
         t(s, d, "documents")
           .withColumn("n_tokens", size(toks))
           .withColumn("n_punct", size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0))))
-          .withColumn("n_stop", countIn(toks, stopwords))
+          .withColumn("n_stop", countIn(col("text"), stopwords))
           .withColumn("avg_token_len",
             length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / col("n_tokens"))
           .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
@@ -71,12 +76,17 @@ object TextOps {
 
     // Language-ID heuristic: per-language signature-word hit counts, argmax
     // with a fixed precedence tie-break, 'unknown' when nothing matches.
+    // All four language scores come from ONE `word_set_counts` kernel call
+    // (single tokenization pass, codegen'd) — the separate `sig` projection
+    // keeps CollapseProject from inlining the kernel 4×.
     Q("t03_lang_id",
       (s, d) => {
-        val toks = tokens(col("text"))
-        val scored = langSignatures.foldLeft(t(s, d, "documents")) {
-          case (df, (lang, words)) => df.withColumn(s"s_$lang", countIn(toks, words))
-        }
+        val sig = graft.functions.GraftFunctions
+          .word_set_counts(col("text"), langSignatures.map(_._2))
+        val scored = langSignatures.map(_._1).zipWithIndex
+          .foldLeft(t(s, d, "documents").withColumn("sig", sig)) {
+            case (df, (lang, i)) => df.withColumn(s"s_$lang", col("sig").getItem(i))
+          }
         val best = langSignatures.map(_._1).foldRight(lit("unknown")) {
           case (lang, elseCol) =>
             val isMax = langSignatures.map(_._1).map(o => col(s"s_$lang") >= col(s"s_$o"))
@@ -128,7 +138,7 @@ object TextOps {
         val toks = tokens(col("text"))
         t(s, d, "documents")
           .withColumn("n_tokens", size(toks))
-          .withColumn("n_stop", countIn(toks, stopwords))
+          .withColumn("n_stop", countIn(col("text"), stopwords))
           .withColumn("avg_token_len",
             length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / col("n_tokens"))
           .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
@@ -148,16 +158,14 @@ object TextOps {
 
     // Document fingerprint: position-weighted token hash mod a prime
     // (rolling-hash family; deterministic, engine-independent arithmetic).
+    // One codegen'd pass (`token_fingerprint`) — bit-identical to the
+    // transform+aggregate dataflow form, which runs interpreted per element
+    // (equivalence pinned in TextKernelSpec).
     Q("t04_fingerprint",
-      (s, d) => {
-        val toks = tokens(col("text"))
-        val weighted = transform(toks, (w, i) =>
-          ((ascii(w) * lit(31) + length(w)).cast(LongType)) * (i.cast(LongType) + lit(1L)))
-        t(s, d, "documents")
-          .select(col("doc_id"),
-            pmod(aggregate(weighted, lit(0L), (acc, x) => acc + x), lit(1000000007L)).as("fingerprint"))
-          .orderBy("doc_id")
-      },
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.token_fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
       Some("""SELECT doc_id,
                      CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
                             (w, i) -> (CAST(ascii(w) AS BIGINT) * 31 + length(w)) * i)) % 1000000007 AS BIGINT) AS fingerprint

@@ -185,9 +185,27 @@ final class HttpRpc(
   @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val reqId = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private def call(method: String, params: String): com.fasterxml.jackson.databind.JsonNode = {
+  /** Node-side result-cap detection. Matches every cap phrasing the
+    * reference handles (LogsService.java:592-606): "query returned more than
+    * N results", "response is too big", plus the response-size variants seen
+    * on other providers. Anything matched triggers bisection upstream.
+    */
+  private def isResultCap(msg: String): Boolean = {
+    val m = msg.toLowerCase
+    m.contains("more than") || m.contains("too large") ||
+      m.contains("response size") || m.contains("too big")
+  }
+
+  private def call(method: String, params: com.fasterxml.jackson.databind.JsonNode): com.fasterxml.jackson.databind.JsonNode = {
     if (fetchDelayMs > 0) Thread.sleep(fetchDelayMs)
-    val body = s"""{"jsonrpc":"2.0","id":${reqId.incrementAndGet()},"method":"$method","params":$params}"""
+    // Jackson-serialized body: option-derived strings can never break the
+    // JSON framing (they arrive escaped), unlike string interpolation.
+    val root = mapper.createObjectNode()
+    root.put("jsonrpc", "2.0")
+    root.put("id", reqId.incrementAndGet())
+    root.put("method", method)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("params", params)
+    val body = mapper.writeValueAsString(root)
     var attempt = 0
     var backoff = initialBackoffMs
     while (true) {
@@ -196,15 +214,19 @@ final class HttpRpc(
           .header("Content-Type", "application/json")
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
         val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        val status = resp.statusCode()
+        if (status / 100 != 2) {
+          // 5xx/429 are transient → retried like transport errors; any other
+          // non-2xx is a hard failure (no point parsing an HTML error page).
+          if (status >= 500 || status == 429)
+            throw new java.io.IOException(s"rpc http $status")
+          throw new RuntimeException(s"rpc http $status: ${resp.body().take(200)}")
+        }
         val node = mapper.readTree(resp.body())
         val err = node.get("error")
         if (err != null) {
           val msg = Option(err.get("message")).map(_.asText).getOrElse(err.toString)
-          // node-side result caps → bisection upstream (reference detects the
-          // same strings: LogsService.java:592-606)
-          if (msg.contains("more than") || msg.toLowerCase.contains("too large") ||
-              msg.toLowerCase.contains("response size"))
-            throw new TooManyResultsException(msg)
+          if (isResultCap(msg)) throw new TooManyResultsException(msg)
           throw new RuntimeException(s"rpc error: $msg")
         }
         return node.get("result")
@@ -221,19 +243,25 @@ final class HttpRpc(
 
   private def hexToLong(s: String): Long = java.lang.Long.parseLong(s.stripPrefix("0x"), 16)
 
-  override def blockNumber(): Long = hexToLong(call("eth_blockNumber", "[]").asText())
+  override def blockNumber(): Long =
+    hexToLong(call("eth_blockNumber", mapper.createArrayNode()).asText())
 
   override def getLogs(start: Long, end: Long, addresses: Seq[String], topics: Seq[String]): Seq[EthLog] = {
-    val addrJson =
-      if (addresses.isEmpty) ""
-      else s""","address":[${addresses.map(a => "\"" + a + "\"").mkString(",")}]"""
+    val filter = mapper.createObjectNode()
+    filter.put("fromBlock", "0x" + start.toHexString)
+    filter.put("toBlock", "0x" + end.toHexString)
+    if (addresses.nonEmpty) {
+      val a = filter.putArray("address")
+      addresses.foreach(a.add)
+    }
     // all requested topics go in slot 0 as an OR — reference semantics
     // (LogsService.java:384-386)
-    val topicJson =
-      if (topics.isEmpty) ""
-      else s""","topics":[[${topics.map(t => "\"" + t + "\"").mkString(",")}]]"""
-    val params =
-      s"""[{"fromBlock":"0x${start.toHexString}","toBlock":"0x${end.toHexString}"$addrJson$topicJson}]"""
+    if (topics.nonEmpty) {
+      val t0 = filter.putArray("topics").addArray()
+      topics.foreach(t0.add)
+    }
+    val params = mapper.createArrayNode()
+    params.add(filter)
     val res = call("eth_getLogs", params)
     (0 until res.size()).map { i =>
       val l = res.get(i)
@@ -252,7 +280,10 @@ final class HttpRpc(
   }
 
   override def getBlock(n: Long): Option[EthBlock] = {
-    val res = call("eth_getBlockByNumber", s"""["0x${n.toHexString}",false]""")
+    val params = mapper.createArrayNode()
+    params.add("0x" + n.toHexString)
+    params.add(false)
+    val res = call("eth_getBlockByNumber", params)
     if (res == null || res.isNull) None
     else {
       def str(f: String): String = Option(res.get(f)).map(_.asText).orNull

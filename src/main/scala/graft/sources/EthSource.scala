@@ -81,6 +81,20 @@ final class EthScanBuilder(dataset: String, fullSchema: StructType, options: Cas
   private var addresses: Seq[String] =
     Option(options.get("addresses")).map(_.split(",").toSeq.map(_.trim.toLowerCase).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
+
+  /** AND a pushed address set into the current one. The `addresses` option is
+    * part of the source definition, so a pushed predicate can only NARROW it,
+    * never replace it (replacing would return rows the source excludes). An
+    * empty intersection must yield an empty result — represented by a
+    * sentinel address no log can carry, since an empty seq means "no filter".
+    */
+  private def narrowAddresses(pushedSet: Seq[String]): Unit =
+    addresses =
+      if (addresses.isEmpty) pushedSet
+      else {
+        val inter = pushedSet.filter(addresses.contains)
+        if (inter.isEmpty) Seq(EthScanBuilder.NoMatchAddress) else inter
+      }
   private val topics: Seq[String] =
     Option(options.get("topics")).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
@@ -99,9 +113,9 @@ final class EthScanBuilder(dataset: String, fullSchema: StructType, options: Cas
         startBlock = math.max(startBlock, v)
         endBlock = if (endBlock < 0) v else math.min(endBlock, v); true
       case EqualTo("address", v: String) if dataset == "logs" =>
-        addresses = Seq(v.toLowerCase); true
+        narrowAddresses(Seq(v.toLowerCase)); true
       case In("address", vs) if dataset == "logs" && vs.forall(_.isInstanceOf[String]) =>
-        addresses = vs.map(_.asInstanceOf[String].toLowerCase).toSeq; true
+        narrowAddresses(vs.map(_.asInstanceOf[String].toLowerCase).toSeq); true
       case _ => false
     }
     pushed = accepted
@@ -121,6 +135,13 @@ final class EthScanBuilder(dataset: String, fullSchema: StructType, options: Cas
     options.getLong("maxBlockRange", 500L),
     options.getLong("maxBlocksPerTrigger", 5000L),
     EthRpcSpec.fromOptions(options))
+}
+
+object EthScanBuilder {
+  /** Sentinel for "pushed ∩ option = ∅": a syntactically impossible address
+    * (addresses are 0x-prefixed hex), so the node-side filter matches nothing.
+    */
+  val NoMatchAddress = "0x<no-match>"
 }
 
 final class EthScan(

@@ -71,6 +71,40 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("word_set_counts == size(filter(...)) formulation on real docs + edge cases") {
+    GraftFunctions.register(spark)
+    val sets = graft.operators.TextOps.langSignatures.map(_._2)
+    def declarative(text: org.apache.spark.sql.Column, words: Seq[String]) =
+      size(filter(split(trim(text), "\\s+"), w => array_contains(lit(words.toArray), w)))
+    val docs = graft.operators.Catalog.t(spark, sfDir, "documents")
+      .select($"text")
+      .unionAll(Seq("", " ", "\tthe and", "the  the the", "el de la le et und das der")
+        .toDF("text"))
+    val both = docs.select(
+      GraftFunctions.word_set_counts($"text", sets).as("fast"),
+      array(sets.map(ws => declarative($"text", ws)): _*).as("slow"))
+    val bad = both.where(!($"fast" <=> $"slow")).count()
+    assert(bad === 0, s"$bad rows disagree between kernel and declarative word_set_counts")
+  }
+
+  test("token_fingerprint == transform+aggregate formulation on real docs + edge cases") {
+    GraftFunctions.register(spark)
+    def declarative(text: org.apache.spark.sql.Column) = {
+      val toks = split(trim(text), "\\s+")
+      val weighted = transform(toks, (w, i) =>
+        ((ascii(w) * lit(31) + length(w)).cast(LongType)) * (i.cast(LongType) + lit(1L)))
+      pmod(aggregate(weighted, lit(0L), (acc, x) => acc + x), lit(1000000007L))
+    }
+    val docs = graft.operators.Catalog.t(spark, sfDir, "documents")
+      .select($"text")
+      .unionAll(Seq("", " ", "\ta b", "a  b   c", "zzz").toDF("text"))
+    val both = docs.select(
+      GraftFunctions.token_fingerprint($"text").as("fast"),
+      declarative($"text").as("slow"))
+    val bad = both.where(!($"fast" <=> $"slow")).count()
+    assert(bad === 0, s"$bad rows disagree between kernel and declarative fingerprint")
+  }
+
   test("simhash64 == per-bit aggregate formulation on real docs") {
     GraftFunctions.register(spark)
     val toks = split(trim($"text"), "\\s+")
