@@ -4,6 +4,32 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Fixed location of the synthetic-chain reference dump; the connector
+    * oracle SQL (EngineOps e01-e03) reads these files in DuckDB.
+    */
+  val ChainDumpDir = "/tmp/graft_synthetic_chain"
+
+  /** Materialize the deterministic synthetic chain (seed 42, the connector's
+    * default) as parquet, WITHOUT going through the DSv2 read path: rows come
+    * straight from SyntheticRpc's pure functions on the driver, so the dump
+    * is an independent ground truth for the connector's scan machinery
+    * (chunked partitions, pushdown, bisection). totalDifficulty is decoded
+    * with BigInteger — independent of the HexToDecimal kernel too.
+    */
+  def dumpSyntheticChain(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val rpc = new graft.sources.SyntheticRpc(42L, 10000L)
+    val logs = (0L to 2999L).flatMap(b => (0 until rpc.logsInBlock(b)).map(i => rpc.logAt(b, i)))
+    logs.toDF().coalesce(1).write.mode("overwrite").parquet(s"$ChainDumpDir/logs.parquet")
+    val blocks = (0L to 999L).flatMap(rpc.getBlock).map { b =>
+      (b.number, new java.math.BigInteger(b.totalDifficulty.stripPrefix("0x"), 16).longValueExact(),
+        b.gasUsed, b.transactions.size)
+    }
+    blocks.toDF("number", "td_dec", "gasUsed", "n_tx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$ChainDumpDir/blocks.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,6 +41,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    dumpSyntheticChain(spark)
     // Per-query watchdog: one hung/pathological query must not zero the
     // whole correctness round — cancel its job group and move on.
     val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong * 1000

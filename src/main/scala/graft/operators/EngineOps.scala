@@ -43,9 +43,10 @@ object EngineOps {
               ORDER BY chunk_start""")),
 
     // S3/S5: the DSv2 connector end-to-end as a catalog query — bounded
-    // logs scan (synthetic chain), per-signature counts. Chunked partition
-    // planning + pushdown are exercised under the driver gate (rows-only:
-    // the chain isn't a parquet table DuckDB can see).
+    // logs scan (synthetic chain), per-signature counts. The oracle runs on
+    // graft.Verify's direct SyntheticRpc parquet dump (pure-function rows,
+    // no DSv2 involved), so chunked partition planning + pushdown are in the
+    // hard hash-compare signal.
     Q("e01_eth_logs_scan",
       (s, d) => {
         val logs = s.read.format("graft-eth").option("dataset", "logs")
@@ -55,10 +56,17 @@ object EngineOps {
           .groupBy("sig").agg(count(lit(1)).as("n"), countDistinct(col("address")).as("n_addr"))
           .orderBy(desc("n"), col("sig"))
       },
-      None),
+      Some(s"""SELECT CASE WHEN len(topics) > 0 THEN topics[1] ELSE 'none' END AS sig,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(COUNT(DISTINCT address) AS BIGINT) AS n_addr
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE blockNumber BETWEEN 500 AND 2499
+               GROUP BY 1 ORDER BY n DESC, sig""")),
 
     // S4: blocks scan through the connector + hex_to_decimal over the
-    // >int64 totalDifficulty column (S18's decimal path, on engine data).
+    // totalDifficulty column (S18's decimal path, on engine data). max_td is
+    // compared as a string so the decimal survives both engines' pandas
+    // conversion untouched.
     Q("e02_eth_blocks_scan",
       (s, d) => {
         GraftFunctions.register(s)
@@ -68,18 +76,24 @@ object EngineOps {
             GraftFunctions.hex_to_decimal(col("totalDifficulty")).as("td"),
             col("gasUsed"), size(col("transactions")).as("n_tx"))
           .agg(count(lit(1)).as("n_blocks"), sum(col("n_tx")).as("total_tx"),
-            max(col("td")).as("max_td"))
+            max(col("td")).cast(StringType).as("max_td"))
       },
-      None),
+      Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                      CAST(SUM(n_tx) AS BIGINT) AS total_tx,
+                      CAST(MAX(td_dec) AS VARCHAR) AS max_td
+               FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet'""")),
 
-    // S6: adaptive bisection under a node result cap — same aggregate with
-    // and without the cap must agree; emitted as the capped variant.
+    // S6: adaptive bisection under a node result cap — the capped connector
+    // read must agree exactly with the uncapped ground-truth dump.
     Q("e03_eth_bisection",
       (s, d) => s.read.format("graft-eth").option("dataset", "logs")
         .option("startBlock", "0").option("endBlock", "999")
         .option("maxResults", "60").load()
         .agg(count(lit(1)).as("n"), sum(col("blockNumber")).as("sum_bn")),
-      None),
+      Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(blockNumber) AS BIGINT) AS sum_bn
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE blockNumber <= 999""")),
 
     // Multimodal plumbing: opaque binary column + typed metadata extraction.
     // The real decode (image/audio libs) is stubbed (see graft.operators
