@@ -30,6 +30,42 @@ object DedupOps {
          THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
          ELSE [] END)"""
 
+  /** Shared oracle CTEs: the exact 3-shingle Jaccard pair graph (J ≥ 0.2,
+    * lang-blocked) as `jpairs(da, db, inter, uni, jaccard)` — used by d02
+    * and as the base of the recursive-CTE clustering oracles (d06b/d07b).
+    */
+  val sqlJaccardCtes: String =
+    s"""sh AS (
+          SELECT doc_id, lang, $sqlShingles3 AS sh
+          FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents)),
+        ex AS (SELECT doc_id, lang, len(sh) AS sz, UNNEST(sh) AS shingle FROM sh),
+        prs AS (
+          SELECT a.doc_id AS da, b.doc_id AS db,
+                 CAST(a.sz AS BIGINT) AS sza, CAST(b.sz AS BIGINT) AS szb,
+                 COUNT(*) AS inter
+          FROM ex a JOIN ex b
+            ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        jpairs AS (
+          SELECT da, db, inter, sza + szb - inter AS uni,
+                 CAST(inter AS DOUBLE) / (sza + szb - inter) AS jaccard
+          FROM prs
+          WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.2)"""
+
+  /** Recursive-CTE connected components over `jpairs`: `reach(id, r)` is the
+    * transitive closure of the symmetrized edge list; min reachable id =
+    * cluster label — the SQL mirror of [[connectedComponents]].
+    */
+  val sqlClusterCtes: String =
+    s"""$sqlJaccardCtes,
+        edges AS (SELECT da AS src, db AS dst FROM jpairs
+                  UNION SELECT db, da FROM jpairs),
+        reach(id, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+        clusters AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id)"""
+
   // MinHash parameters: 64 permutations, banded 16×4 for LSH.
   val NumHashes = 64
   val BandSize = 4
@@ -110,22 +146,8 @@ object DedupOps {
           .select("da", "db", "inter", "uni", "jaccard")
           .orderBy("da", "db")
       },
-      Some(s"""WITH sh AS (
-                 SELECT doc_id, lang, $sqlShingles3 AS sh
-                 FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents)),
-               ex AS (SELECT doc_id, lang, len(sh) AS sz, UNNEST(sh) AS shingle FROM sh),
-               pairs AS (
-                 SELECT a.doc_id AS da, b.doc_id AS db,
-                        CAST(a.sz AS BIGINT) AS sza, CAST(b.sz AS BIGINT) AS szb,
-                        COUNT(*) AS inter
-                 FROM ex a JOIN ex b
-                   ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2, 3, 4)
-               SELECT da, db, inter, sza + szb - inter AS uni,
-                      CAST(inter AS DOUBLE) / (sza + szb - inter) AS jaccard
-               FROM pairs
-               WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.2
-               ORDER BY da, db""")),
+      Some(s"""WITH $sqlJaccardCtes
+               SELECT da, db, inter, uni, jaccard FROM jpairs ORDER BY da, db""")),
 
     // MinHash + LSH + verify — the full scalable near-dup pipeline:
     // signatures → 16 bands of 4 → bucket join on (band, band-hash) →
@@ -204,6 +226,41 @@ object DedupOps {
           .orderBy("doc_id")
       },
       None),
+
+    // Clustering with a HARD oracle: same connected-components operator as
+    // d06, but over the exact-Jaccard pair graph (d02, itself hash-green) so
+    // the whole cluster resolution is DuckDB-checkable end-to-end via a
+    // recursive-CTE transitive closure. d06 (LSH-based) remains the 100 TB
+    // scale path; this pins the operator's semantics in the hard signal.
+    Q("d06b_dedup_clusters_exact",
+      (s, d) => {
+        val pairs = byNameLocal("d02_ngram_jaccard").build(s, d).select("da", "db")
+        connectedComponents(pairs, maxIter = 20)
+          .select(col("id").as("doc_id"), col("label").as("cluster"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $sqlClusterCtes
+               SELECT doc_id, cluster FROM clusters ORDER BY doc_id"""),
+      bench = false),
+
+    // Dedup applied on the oracle-able cluster table: corpus minus
+    // non-canonical members — the end-to-end pair-graph → clusters → apply
+    // pipeline fully inside the hash-compare gate.
+    Q("d07b_dedup_apply_exact",
+      (s, d) => {
+        val clusters = byNameLocal("d06b_dedup_clusters_exact").build(s, d)
+        val losers = clusters.where(col("doc_id") =!= col("cluster")).select("doc_id")
+        t(s, d, "documents")
+          .join(losers, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $sqlClusterCtes,
+                 losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster)
+               SELECT doc_id, lang FROM documents
+               WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+               ORDER BY doc_id"""),
+      bench = false),
 
     // Embedding-cosine near-dup: probe block vs corpus, threshold 0.2
     // (synthetic embeddings are near-orthogonal; threshold exercises the

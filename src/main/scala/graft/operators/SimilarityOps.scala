@@ -123,7 +123,17 @@ object SimilarityOps {
             .where(col("__rk") <= n)
             .drop("__dots", "cell_score", "__rk")
         }
-        val assigned = bestCells(corpus, col("embedding"), 1, "vec_id")
+        // Corpus cell assignment is argmax over the 16 centroid scores,
+        // computed INSIDE the projection (first position of the max —
+        // ties to the lowest cell, same as the window's tie-break). A pure
+        // narrow scan: no ×16 posexplode, no corpus-wide window shuffle —
+        // at 100 TB the difference between a map stage and a full exchange.
+        // The probe side keeps the windowed top-`IvfProbe` (10 rows).
+        val assigned = corpus
+          .withColumn("__dots", array(cellDots(col("embedding")): _*))
+          .withColumn("cell",
+            (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast(IntegerType))
+          .drop("__dots")
         val probes = bestCells(
           corpus.where(col("vec_id") < 10)
             .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("norm2").as("qnorm2")),
