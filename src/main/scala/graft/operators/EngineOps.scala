@@ -12,6 +12,42 @@ import graft.functions.GraftFunctions
   */
 object EngineOps {
 
+  /** Two deterministic topic0 values from the synthetic chain's pool (lowest
+    * two by sort order) — shared by the e04 query and its oracle SQL.
+    */
+  private lazy val topicPair: Seq[String] = {
+    val rpc = new graft.sources.SyntheticRpc(42L, 10000L)
+    (0L until 50L)
+      .flatMap(b => (0 until rpc.logsInBlock(b)).map(i => rpc.logAt(b, i).topics.head))
+      .distinct.sorted.take(2)
+  }
+
+  /** Run `f` with a session that has GraftExtensions injected (optimizer
+    * rule + SQL functions) — the deployment shape
+    * `--conf spark.sql.extensions=graft.GraftExtensions`. Extensions only
+    * apply at session build, so a sibling session is built on the same
+    * SparkContext; previous default/active sessions are restored after.
+    * The returned DataFrame stays valid (it carries its own session).
+    */
+  private def withGraftExtensions[T](s: org.apache.spark.sql.SparkSession)(
+      f: org.apache.spark.sql.SparkSession => T): T = {
+    import org.apache.spark.sql.SparkSession
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .config("spark.sql.shuffle.partitions", s.conf.get("spark.sql.shuffle.partitions"))
+        .withExtensions(new graft.GraftExtensions()(_))
+        .getOrCreate()
+      f(s2)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     // S18: hex → int64 decode via the custom codegen'd Catalyst expression.
     // Round-trips engine-generated hex strings; the oracle is the identity.
@@ -94,6 +130,33 @@ object EngineOps {
                       CAST(SUM(blockNumber) AS BIGINT) AS sum_bn
                FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
                WHERE blockNumber <= 999""")),
+
+    // S10/§8.4: topic0 predicate reaching the NODE filter solely via the
+    // TopicPushdownRule optimizer rule (no `topics` option set). The builder
+    // runs under a session with GraftExtensions injected and REQUIRES the
+    // rewritten scan (description shows the pushed topic set) — so a
+    // regression in the rule fails the query, not just a spec. Oracle runs
+    // on the direct SyntheticRpc dump.
+    Q("e04_eth_topic_pushdown",
+      (s, d) => withGraftExtensions(s) { s2 =>
+        val logs = s2.read.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", "0").option("endBlock", "2999").load()
+        val q = logs.where(element_at(col("topics"), 1).isin(topicPair: _*))
+          .groupBy(element_at(col("topics"), 1).as("topic0"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("address")).as("n_addr"))
+          .orderBy("topic0")
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("topics=2"),
+          s"topic0 predicate was not pushed into the connector scan:\n$plan")
+        q
+      },
+      Some(s"""SELECT topics[1] AS topic0,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(COUNT(DISTINCT address) AS BIGINT) AS n_addr
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE topics[1] IN (${topicPair.map(t => s"'$t'").mkString(",")})
+               GROUP BY 1 ORDER BY topic0"""),
+      bench = false),
 
     // Multimodal plumbing: opaque binary column + typed metadata extraction.
     // The real decode (image/audio libs) is stubbed (see graft.operators

@@ -14,6 +14,9 @@ object StreamShape {
 
   private val fmtSec = "yyyy-MM-dd HH:mm:ss"
 
+  // unique memory-sink names so repeated builds in one session never collide
+  private val memId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   val all: Seq[Q] = Seq(
     // Tumbling 1-hour event-time window (streaming: groupBy(window($"ts","1 hour"))).
     Q("x01_tumbling_window",
@@ -37,6 +40,43 @@ object StreamShape {
                       COUNT(*) AS n, ${sqlDsum("value")} AS total
                FROM events CROSS JOIN (VALUES (0), (1)) o(h)
                GROUP BY 1 ORDER BY win_start""")),
+
+    // The SAME tumbling aggregation as x01, but executed through the REAL
+    // Structured Streaming path: readStream(parquet) → window agg →
+    // complete-mode memory sink, Trigger.AvailableNow, drained to a batch
+    // DataFrame — so a streaming-path result sits inside the hash-compare
+    // gate (same oracle as x01), not only in specs.
+    Q("x04_stream_tumbling",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = s"x04_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x04ckpt").toString
+        // the file-stream source lists a DIRECTORY; the driver's table is a
+        // single parquet file → stage it into a temp dir (one tiny copy,
+        // Verify-only — a production stream would already read a directory)
+        val srcDir = java.nio.file.Files.createTempDirectory("x04src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          srcDir.resolve("events.parquet"))
+        val sq = s.readStream.schema(schema).parquet(srcDir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .select(date_format(col("win.start"), fmtSec).as("win_start"),
+            col("event_type"), col("n"), col("total"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        s.table(name).orderBy("win_start", "event_type")
+      },
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+                      event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+               FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""),
+      bench = false),
 
     // Session windows with a 30-minute inactivity gap per user
     // (streaming: session_window($"ts", "30 minutes")).

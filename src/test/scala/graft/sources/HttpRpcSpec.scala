@@ -18,6 +18,8 @@ class HttpRpcSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var server: HttpServer = _
   private var url: String = _
   private val failuresToInject = new AtomicInteger(0)
+  private val serverErrorsToInject = new AtomicInteger(0)
+  @volatile private var badRequestOnce = false
   @volatile private var lastBody: String = ""
 
   override def beforeAll(): Unit = {
@@ -27,11 +29,28 @@ class HttpRpcSpec extends AnyFunSuite with BeforeAndAfterAll {
       lastBody = body
       if (failuresToInject.getAndUpdate(n => math.max(0, n - 1)) > 0) {
         ex.close() // slam the connection → IOException client-side
+      } else if (serverErrorsToInject.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+        val bytes = "boom".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(503, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      } else if (badRequestOnce) {
+        badRequestOnce = false
+        val bytes = "<html>bad request</html>".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(400, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
       } else {
         val resp =
           if (body.contains("eth_blockNumber")) """{"jsonrpc":"2.0","id":1,"result":"0x64"}"""
           else if (body.contains("\"fromBlock\":\"0x10\"")) // range [16..n] → node cap
             """{"jsonrpc":"2.0","id":1,"error":{"code":-32005,"message":"query returned more than 10000 results"}}"""
+          else if (body.contains("\"fromBlock\":\"0x20\"")) // range [32..n] → size cap, reference wording
+            """{"jsonrpc":"2.0","id":1,"error":{"code":-32008,"message":"response is too big"}}"""
+          else if (body.contains("\"0x7b\"")) // block 123 → unknown block
+            """{"jsonrpc":"2.0","id":1,"result":null}"""
+          else if (body.contains("\"0x7c\"")) // block 124 → minimal header, optionals absent
+            """{"jsonrpc":"2.0","id":1,"result":{"number":"0x7c","hash":"0xh"}}"""
           else if (body.contains("eth_getLogs"))
             """{"jsonrpc":"2.0","id":1,"result":[
                  {"address":"0xABCD","data":"0x00","topics":["0x11","0x22"],
@@ -96,5 +115,34 @@ class HttpRpcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b.gasUsed === 21000L)
     assert(b.transactions === Seq("0xt1", "0xt2"))
     assert(rpc.getBlock(42).isDefined)
+  }
+
+  test("getBlock of an unknown block (null result) is None") {
+    assert(rpc.getBlock(123).isEmpty)
+  }
+
+  test("getBlock tolerates absent optional fields (null strings, zero quantities, empty arrays)") {
+    val b = rpc.getBlock(124).get
+    assert(b.number === 124L)
+    assert(b.hash === "0xh")
+    assert(b.author === null && b.miner === null && b.parentHash === null)
+    assert(b.size === 0L && b.gasUsed === 0L && b.timestamp === 0L)
+    assert(b.transactions === Seq.empty && b.uncles === Seq.empty && b.sealFields === Seq.empty)
+  }
+
+  test("'response is too big' (reference wording) maps to TooManyResultsException") {
+    intercept[TooManyResultsException](rpc.getLogs(32, 700, Seq.empty, Seq.empty))
+  }
+
+  test("5xx responses retry like transport failures, then succeed") {
+    serverErrorsToInject.set(2)
+    assert(rpc.blockNumber() === 100L)
+  }
+
+  test("other non-2xx responses fail fast without JSON parsing") {
+    badRequestOnce = true
+    val e = intercept[RuntimeException](rpc.blockNumber())
+    assert(e.getMessage.contains("400"))
+    assert(rpc.blockNumber() === 100L) // flag consumed exactly once → no retry happened
   }
 }
