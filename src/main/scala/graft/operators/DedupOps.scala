@@ -262,6 +262,32 @@ object DedupOps {
                ORDER BY doc_id"""),
       bench = false),
 
+    // SimHash near-dup RETRIEVAL (d04 only computes signatures): band the
+    // 64-bit simhash into 8 bands of 8 bits; by pigeonhole any pair within
+    // hamming ≤ 7 agrees on at least one full band, so the band equi-join
+    // finds ALL such pairs (exact recall at this radius) while never
+    // forming the O(n²) pair space. Exact hamming (bit_count of xor) is
+    // verified only on band collisions — the simhash mirror of the
+    // MinHash→LSH→verify shape. Engine-hash signatures → rows-only check;
+    // DedupOpsSpec pins completeness against brute-force hamming.
+    Q("d08_simhash_neardup",
+      (s, d) => {
+        val sh = t(s, d, "documents").select(col("doc_id"),
+          graft.functions.GraftFunctions.simhash64(col("text")).as("sh"))
+        val bands = sh.select(col("doc_id"), col("sh"),
+          posexplode(array((0 until 8).map(b =>
+            shiftright(col("sh"), b * 8).bitwiseAND(lit(0xFFL))): _*)).as(Seq("band", "key")))
+        val a = bands.select(col("doc_id").as("da"), col("sh").as("sha"), col("band"), col("key"))
+        val b = bands.select(col("doc_id").as("db"), col("sh").as("shb"), col("band"), col("key"))
+        a.join(b, Seq("band", "key")).where(col("da") < col("db"))
+          .select("da", "db", "sha", "shb").distinct()
+          .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))).cast(IntegerType))
+          .where(col("hamming") <= 7)
+          .select("da", "db", "hamming")
+          .orderBy("da", "db")
+      },
+      None),
+
     // Embedding-cosine near-dup: probe block vs corpus, threshold 0.2
     // (synthetic embeddings are near-orthogonal; threshold exercises the
     // scan without emitting the full pair space).

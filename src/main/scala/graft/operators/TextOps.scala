@@ -156,6 +156,67 @@ object TextOps {
                  AND CAST(${sqlCountIn(stopwords)} AS DOUBLE) / len(toks) <= 0.6
                ORDER BY doc_id""")),
 
+    // PII-style redaction — the scrub step of a curation pipeline: regex
+    // removal of email/phone-shaped substrings plus leak counts. The input
+    // text is derived deterministically from events columns (the corpus
+    // itself contains no digit patterns), so both engines scrub the same
+    // strings. Map-only, codegen'd regexes — a pure scan at 100 TB.
+    Q("t07_pii_redact",
+      (s, d) => {
+        val raw = concat(lit("call "), col("user_id").cast(StringType), lit("-"),
+          col("event_id").cast(StringType), lit(" or mail u"),
+          col("user_id").cast(StringType), lit("@ex"), col("event_type"), lit(".com end"))
+        t(s, d, "events").select(col("event_id"), raw.as("raw"))
+          .select(col("event_id"),
+            regexp_replace(
+              regexp_replace(col("raw"), "u\\d+@[a-z]+\\.com", "<EMAIL>"),
+              "\\d+-\\d+", "<PHONE>").as("redacted"),
+            size(regexp_extract_all(col("raw"), lit("u\\d+@[a-z]+\\.com"), lit(0))).as("n_email"),
+            size(regexp_extract_all(col("raw"), lit("\\d+-\\d+"), lit(0))).as("n_phone"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+                     regexp_replace(regexp_replace(raw, 'u\d+@[a-z]+\.com', '<EMAIL>', 'g'),
+                                    '\d+-\d+', '<PHONE>', 'g') AS redacted,
+                     CAST(len(regexp_extract_all(raw, 'u\d+@[a-z]+\.com')) AS INT) AS n_email,
+                     CAST(len(regexp_extract_all(raw, '\d+-\d+')) AS INT) AS n_phone
+              FROM (SELECT event_id,
+                           concat('call ', user_id, '-', event_id, ' or mail u',
+                                  user_id, '@ex', event_type, '.com end') AS raw
+                    FROM events)
+              ORDER BY event_id""")),
+
+    // Deterministic stratified sampling — per-language keep rates with NO
+    // rand(): membership is a pure function of the stable id (doc_id mod
+    // 100 under the stratum's quota), so the sample is reproducible across
+    // retries/partitionings and the predicate is a map-only filter that
+    // pushes into the scan (a shuffling/sorting sampler would be a full
+    // exchange at 100 TB).
+    Q("t08_stratified_sample",
+      (s, d) => t(s, d, "documents")
+        .where(pmod(col("doc_id"), lit(100)) < when(col("lang") === "en", 50).otherwise(20))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source FROM documents
+              WHERE doc_id % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+              ORDER BY doc_id""")),
+
+    // Corpus mixing — per-source mixture weights (even-numbered sources 50%,
+    // odd 10%), the dataset-blending step of a training-data pipeline.
+    // Same deterministic-id sampling; output is the achieved per-source mix.
+    Q("t09_corpus_mix",
+      (s, d) => {
+        val srcNum = substring(col("source"), 4, 10).cast(IntegerType)
+        t(s, d, "documents")
+          .where(pmod(col("doc_id"), lit(100)) < when(srcNum % 2 === 0, 50).otherwise(10))
+          .groupBy("source").agg(count(lit(1)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_kept FROM documents
+              WHERE doc_id % 100 <
+                    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 50 ELSE 10 END
+              GROUP BY source ORDER BY source""")),
+
     // Document fingerprint: position-weighted token hash mod a prime
     // (rolling-hash family; deterministic, engine-independent arithmetic).
     // One codegen'd pass (`token_fingerprint`) — bit-identical to the

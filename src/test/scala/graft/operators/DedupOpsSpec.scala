@@ -109,6 +109,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(out.agg(sum("n_copies")).as[Long].head === total)
   }
 
+  test("d08 banded simhash retrieval is COMPLETE at hamming <= 7 (pigeonhole) and exact on distances") {
+    val sh = Catalog.t(spark, sfDir, "documents")
+      .select($"doc_id", graft.functions.GraftFunctions.simhash64($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // brute-force truth: every pair within hamming 7, driver-side
+    val truth = (for {
+      (da, sa) <- sh; (db, sb) <- sh if da < db
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 7
+    } yield (da, db) -> h).toMap
+    val got = Catalog.byName("d08_simhash_neardup").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got === truth, s"banded retrieval disagrees with brute force (got ${got.size}, truth ${truth.size})")
+  }
+
   test("simhash of identical docs is identical") {
     val out = Catalog.byName("d04_simhash").build(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
