@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import Catalog._
 
 /** Skew-mitigation utilities for cluster-scale joins and aggregations.
   *
@@ -55,4 +57,40 @@ object SkewOps {
       .groupBy(col(key))
       .agg(sum("__n").as("n"), sum("__s").as(s"sum_$sumCol"))
   }
+
+  /** The salting utilities as oracle-checked catalog queries: salted results
+    * must be IDENTICAL to the plain single-shuffle formulations (decimal
+    * sums → exact + order-independent, so the equality is bit-for-bit).
+    */
+  val all: Seq[Q] = Seq(
+    // Two-phase salted aggregation on a heavy-hitter group-by: phase 1
+    // fans each hot key over 32 (key, salt) reducers, phase 2 merges the
+    // partials — vs the oracle's plain GROUP BY.
+    Q("k01_salted_agg",
+      (s, d) => {
+        val df = t(s, d, "events").select(col("event_type"), dec(col("value")).as("value"))
+        saltedCountSum(df, "event_type", "value", 32)
+          .select(col("event_type"), col("n"),
+            col("sum_value").cast(DoubleType).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+               FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Salted large×small join: lineitem's hot part keys fan out over 8
+    // salt buckets while part is replicated 8× — same rows as the plain
+    // equi-join (the oracle).
+    Q("k02_salted_join",
+      (s, d) => {
+        val large = t(s, d, "lineitem")
+          .select(col("l_partkey").as("pk"), dec(col("l_quantity")).as("qty"))
+        val small = t(s, d, "part").select(col("p_partkey").as("pk"), col("p_brand"))
+        saltedJoin(large, small, "pk", 8)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), sum(col("qty")).cast(DoubleType).as("sum_qty"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               GROUP BY p_brand ORDER BY p_brand""")))
 }
