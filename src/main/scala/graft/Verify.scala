@@ -5,10 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
 
-  /** Fixed location of the synthetic-chain reference dump; the connector
-    * oracle SQL (EngineOps e01-e03) reads these files in DuckDB.
+  /** Location of the synthetic-chain reference dump; the connector oracle
+    * SQL (EngineOps e01-e04) reads these files in DuckDB. The oracle
+    * strings and the dump are produced by the same JVM, so the env override
+    * stays consistent between them.
     */
-  val ChainDumpDir = "/tmp/graft_synthetic_chain"
+  val ChainDumpDir: String =
+    sys.env.getOrElse("GRAFT_CHAIN_DUMP_DIR", "/tmp/graft_synthetic_chain")
 
   /** Materialize the deterministic synthetic chain (seed 42, the connector's
     * default) as parquet, WITHOUT going through the DSv2 read path: rows come

@@ -270,6 +270,10 @@ object DedupOps {
     // verified only on band collisions — the simhash mirror of the
     // MinHash→LSH→verify shape. Engine-hash signatures → rows-only check;
     // DedupOpsSpec pins completeness against brute-force hamming.
+    // Scale note: per-band candidate volume is ~n²/2^W for W-bit bands, so
+    // W must grow with corpus size (at 10⁹ docs use 4×16-bit bands →
+    // radius 3, the standard web-dedup setting; radius and W trade off via
+    // bands > radius). W=8 fits the test corpus; the shape is unchanged.
     Q("d08_simhash_neardup",
       (s, d) => {
         val sh = t(s, d, "documents").select(col("doc_id"),
