@@ -15,6 +15,9 @@ object EngineOps {
   /** Two deterministic topic0 values from the synthetic chain's pool (lowest
     * two by sort order) — shared by the e04 query and its oracle SQL.
     */
+  // unique memory-sink names so repeated builds in one session never collide
+  private val streamId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private lazy val topicPair: Seq[String] = {
     val rpc = new graft.sources.SyntheticRpc(42L, 10000L)
     (0L until 50L)
@@ -156,6 +159,33 @@ object EngineOps {
                FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
                WHERE topics[1] IN (${topicPair.map(t => s"'$t'").mkString(",")})
                GROUP BY 1 ORDER BY topic0"""),
+      bench = false),
+
+    // S8/S9 in the HARD gate: the connector's MICRO-BATCH streaming path —
+    // readStream(graft-eth) drains blocks 0..2999 under Trigger.AvailableNow
+    // (3 bounded batches of maxBlocksPerTrigger=1000, offset-contiguous) into
+    // a complete-mode memory sink; per-address counts must equal the batch
+    // oracle over the direct chain dump.
+    Q("e05_eth_stream_scan",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = s"e05_mem_${streamId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("e05ckpt").toString
+        val sq = s.readStream.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", "0").option("head", "2999")
+          .option("maxBlocksPerTrigger", "1000")
+          .load()
+          .groupBy(col("address")).agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(name).outputMode("complete")
+          .trigger(Trigger.AvailableNow()).option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        s.table(name).orderBy("address")
+      },
+      Some(s"""SELECT address, CAST(COUNT(*) AS BIGINT) AS n
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE blockNumber <= 2999
+               GROUP BY address ORDER BY address"""),
       bench = false),
 
     // Multimodal plumbing: opaque binary column + typed metadata extraction.

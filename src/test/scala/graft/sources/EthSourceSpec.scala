@@ -83,6 +83,20 @@ class EthSourceSpec extends SparkSpec {
     assert(pushedExact.count() === all.where(col("address") === someAddr).count())
   }
 
+  test("pushed address predicate INTERSECTS the addresses option (never widens the source)") {
+    val all = readLogs("startBlock" -> "0", "endBlock" -> "499")
+    val addrs = all.select("address").distinct().take(2).map(_.getString(0))
+    val Array(a, b) = addrs
+    // option=a, predicate=b: the source definition excludes b — the scan
+    // must return NOTHING, not b's rows (pre-fix it widened to b)
+    assert(readLogs("startBlock" -> "0", "endBlock" -> "499", "addresses" -> a)
+      .where(col("address") === b).count() === 0)
+    // option={a,b}, predicate=b: narrows within the option set
+    assert(readLogs("startBlock" -> "0", "endBlock" -> "499", "addresses" -> s"$a,$b")
+      .where(col("address") === b).count() ===
+      all.where(col("address") === b).count())
+  }
+
   test("case-insensitive address query (reference §8.5 semantics) via lower()") {
     val all = readLogs("startBlock" -> "0", "endBlock" -> "499")
     val someAddr = all.select("address").head.getString(0)
