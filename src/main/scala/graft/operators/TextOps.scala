@@ -217,6 +217,38 @@ object TextOps {
                     CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 50 ELSE 10 END
               GROUP BY source ORDER BY source""")),
 
+    // End-to-end curation PIPELINE: near-dup removal (exact-Jaccard cluster
+    // apply) ∘ quality filter ∘ language distribution — the composition a
+    // real training-data job runs, verified as ONE query in the hash gate
+    // (its stages are also independently oracle-checked: d07b, t06).
+    Q("p01_curation_pipeline",
+      (s, d) => {
+        val kept = Catalog.byName("d07b_dedup_apply_exact").build(s, d).select("doc_id")
+        val toks = tokens(col("text"))
+        t(s, d, "documents")
+          .join(kept, "doc_id")
+          .withColumn("n_tokens", size(toks))
+          .withColumn("n_stop", countIn(col("text"), stopwords))
+          .withColumn("avg_token_len",
+            length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / col("n_tokens"))
+          .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
+          .where(col("n_tokens").between(10, 500) &&
+            col("avg_token_len").between(2.0, 12.0) &&
+            col("stop_ratio") <= 0.6)
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE ${DedupOps.sqlClusterCtes},
+                 losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster),
+                 tt AS (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+               SELECT lang, COUNT(*) AS n_docs FROM tt
+               WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+                 AND len(toks) BETWEEN 10 AND 500
+                 AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
+                 AND CAST(${sqlCountIn(stopwords)} AS DOUBLE) / len(toks) <= 0.6
+               GROUP BY lang ORDER BY lang"""),
+      bench = false),
+
     // Document fingerprint: position-weighted token hash mod a prime
     // (rolling-hash family; deterministic, engine-independent arithmetic).
     // One codegen'd pass (`token_fingerprint`) — bit-identical to the

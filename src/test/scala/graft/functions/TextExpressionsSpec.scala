@@ -105,6 +105,34 @@ class TextExpressionsSpec extends SparkSpec {
     assert(bad === 0, s"$bad rows disagree between kernel and declarative fingerprint")
   }
 
+  test("word_set_counts / token_fingerprint == declarative forms on RANDOM strings (property)") {
+    GraftFunctions.register(spark)
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val piece = Gen.oneOf("the", "and", "el", "de", "x", "zz9", "", " ", "  ", "\t", "\n", ".", "a-b")
+    val strGen = Gen.listOf(piece).map(_.mkString(" "))
+    val sets = graft.operators.TextOps.langSignatures.map(_._2)
+    def declCounts(text: org.apache.spark.sql.Column) =
+      array(sets.map(ws =>
+        size(filter(split(trim(text), "\\s+"), w => array_contains(lit(ws.toArray), w)))): _*)
+    def declFp(text: org.apache.spark.sql.Column) = {
+      val toks = split(trim(text), "\\s+")
+      val weighted = transform(toks, (w, i) =>
+        ((ascii(w) * lit(31) + length(w)).cast(LongType)) * (i.cast(LongType) + lit(1L)))
+      pmod(aggregate(weighted, lit(0L), (acc, x) => acc + x), lit(1000000007L))
+    }
+    val prop = Prop.forAll(Gen.listOfN(50, strGen)) { texts =>
+      val df = texts.toDF("text").select(
+        GraftFunctions.word_set_counts($"text", sets).as("fc"),
+        declCounts($"text").as("sc"),
+        GraftFunctions.token_fingerprint($"text").as("ff"),
+        declFp($"text").as("sf"))
+      df.where(!($"fc" <=> $"sc") || !($"ff" <=> $"sf")).count() == 0L
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("simhash64 == per-bit aggregate formulation on real docs") {
     GraftFunctions.register(spark)
     val toks = split(trim($"text"), "\\s+")
