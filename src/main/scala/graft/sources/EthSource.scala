@@ -112,6 +112,13 @@ final class EthScanBuilder(dataset: String, fullSchema: StructType, options: Cas
       case EqualTo(c, v: Long) if c == blockCol =>
         startBlock = math.max(startBlock, v)
         endBlock = if (endBlock < 0) v else math.min(endBlock, v); true
+      case In(c, vs) if c == blockCol && vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+        // an IN set narrows the scan to its [min, max] envelope (the
+        // residual re-filter drops the gaps) — without this, IN over an
+        // unbounded source scans to the chain head
+        val longs = vs.map(_.asInstanceOf[Long])
+        startBlock = math.max(startBlock, longs.min)
+        endBlock = if (endBlock < 0) longs.max else math.min(endBlock, longs.max); true
       case EqualTo("address", v: String) if dataset == "logs" =>
         narrowAddresses(Seq(v.toLowerCase)); true
       case In("address", vs) if dataset == "logs" && vs.forall(_.isInstanceOf[String]) =>

@@ -83,6 +83,18 @@ class EthSourceSpec extends SparkSpec {
     assert(pushedExact.count() === all.where(col("address") === someAddr).count())
   }
 
+  test("IN over the block column narrows the scan to its [min,max] envelope") {
+    val q = readLogs("startBlock" -> "0", "endBlock" -> "9999")
+      .where(col("blockNumber").isin(100L, 105L, 120L))
+    // scan description shows the narrowed range, not [0..9999]
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("[100..120]"), s"IN envelope not pushed:\n$scan")
+    // residual filter preserves exact IN semantics (gap blocks dropped)
+    val expected = readLogs("startBlock" -> "100", "endBlock" -> "120")
+      .where(col("blockNumber").isin(100L, 105L, 120L)).count()
+    assert(q.count() === expected && q.count() > 0)
+  }
+
   test("pushed address predicate INTERSECTS the addresses option (never widens the source)") {
     val all = readLogs("startBlock" -> "0", "endBlock" -> "499")
     val addrs = all.select("address").distinct().take(2).map(_.getString(0))
