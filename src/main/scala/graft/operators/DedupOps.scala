@@ -87,9 +87,12 @@ object DedupOps {
     * plan doesn't replay iterations 1..N.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int): DataFrame = {
-    val sym = edges.select(col("da").as("src"), col("db").as("dst"))
-      .union(edges.select(col("db").as("src"), col("da").as("dst")))
-      .localCheckpoint()
+    // materialize the edge list ONCE before symmetrizing: the union reads
+    // its input twice, which would re-execute the (expensive) candidate
+    // pipeline feeding this operator
+    val e = edges.localCheckpoint()
+    val sym = e.select(col("da").as("src"), col("db").as("dst"))
+      .union(e.select(col("db").as("src"), col("da").as("dst")))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
