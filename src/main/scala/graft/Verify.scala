@@ -13,6 +13,13 @@ object Verify {
   val ChainDumpDir: String =
     sys.env.getOrElse("GRAFT_CHAIN_DUMP_DIR", "/tmp/graft_synthetic_chain")
 
+  /** Location of the driver-computed signature dump (PureSig): ground truth
+    * for the engine-hash dedup/ANN family (d03/d04/d06/d07/d08, sim02). The
+    * oracle SQL for those queries reads these files in DuckDB.
+    */
+  val SigDumpDir: String =
+    sys.env.getOrElse("GRAFT_SIG_DUMP_DIR", "/tmp/graft_sig_dump")
+
   /** Materialize the deterministic synthetic chain (seed 42, the connector's
     * default) as parquet, WITHOUT going through the DSv2 read path: rows come
     * straight from SyntheticRpc's pure functions on the driver, so the dump
@@ -33,6 +40,30 @@ object Verify {
       .coalesce(1).write.mode("overwrite").parquet(s"$ChainDumpDir/blocks.parquet")
   }
 
+  /** MinHash/SimHash signatures and hyperplane buckets for the CURRENT
+    * sfDir's corpus, computed on the driver by graft.verify.PureSig — a
+    * from-scratch reimplementation (public xxHash spec, no Catalyst, no
+    * Spark hash classes) — so the LSH/SimHash/ANN pipelines are oracled
+    * against math computed entirely outside the engine under test.
+    */
+  def dumpSignatures(spark: SparkSession, sfDir: String): Unit = {
+    import graft.verify.PureSig
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.toSeq.map { case (id, txt) =>
+      (id, PureSig.simhash64(txt), PureSig.minhashSignature(txt, 3, 64).toSeq)
+    }.toDF("doc_id", "simhash", "sig")
+      .coalesce(1).write.mode("overwrite").parquet(s"$SigDumpDir/doc_sigs.parquet")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    embs.toSeq.map { case (id, v) => (id, PureSig.hyperplaneBucket(v, 60)) }
+      .toDF("vec_id", "bucket")
+      .coalesce(1).write.mode("overwrite").parquet(s"$SigDumpDir/emb_buckets.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,10 +76,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     dumpSyntheticChain(spark)
+    dumpSignatures(spark, sfDir)
     // Per-query watchdog: one hung/pathological query must not zero the
     // whole correctness round — cancel its job group and move on.
     val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong * 1000
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev aid (mirrors Bench): GRAFT_VERIFY_ONLY=q1,q2 restricts the dump
+    val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val timer = new java.util.Timer(true)
       spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
       timer.schedule(new java.util.TimerTask {

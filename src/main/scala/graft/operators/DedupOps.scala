@@ -71,6 +71,52 @@ object DedupOps {
   val BandSize = 4
   val MinhashPrime = 2147483647L // 2^31 - 1, Mersenne
 
+  /** Oracle CTEs for the LSH pipeline over the DRIVER-COMPUTED signature
+    * dump (`Verify.dumpSignatures` → `graft.verify.PureSig`, a from-scratch
+    * reimplementation with no Spark internals): band the dumped signatures
+    * in SQL (joining on the raw 4-value band tuples — no need to mirror the
+    * engine's xxhash64 band keys, which are only an equality proxy), then
+    * exact-Jaccard-verify candidates at J ≥ 0.5 → `lshpairs(da, db,
+    * jaccard)`. This puts the whole MinHash→LSH→verify pipeline in the hard
+    * hash-compare gate (d03), and transitively the cluster/apply stages
+    * built on it (d06/d07).
+    */
+  lazy val sqlLshCtes: String = {
+    val dump = s"'${graft.Verify.SigDumpDir}/doc_sigs.parquet/*.parquet'"
+    s"""sg AS (SELECT doc_id, sig FROM $dump),
+        sgb AS (
+          SELECT doc_id, b,
+                 sig[CAST(b*$BandSize+1 AS INT):CAST(b*$BandSize+$BandSize AS INT)] AS bk
+          FROM sg, LATERAL (SELECT UNNEST(range(0, ${NumHashes / BandSize})) AS b)),
+        scand AS (
+          SELECT DISTINCT a.doc_id AS da, c.doc_id AS db
+          FROM sgb a JOIN sgb c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id),
+        csh AS (SELECT doc_id, $sqlShingles3 AS sh
+                FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents)),
+        lshj AS (
+          SELECT scand.da, scand.db,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+                 CAST(len(sa.sh) AS BIGINT) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni
+          FROM scand JOIN csh sa ON sa.doc_id = scand.da JOIN csh sb ON sb.doc_id = scand.db),
+        lshpairs AS (
+          SELECT da, db, CAST(inter AS DOUBLE) / uni AS jaccard
+          FROM lshj WHERE CAST(inter AS DOUBLE) / uni >= 0.5)"""
+  }
+
+  /** `sqlLshCtes` + recursive-CTE connected components over the verified
+    * LSH pair graph → `lclusters(doc_id, cluster)` — the SQL mirror of
+    * d06's `connectedComponents` over d03's pairs.
+    */
+  lazy val sqlLshClusterCtes: String =
+    s"""$sqlLshCtes,
+        ledges AS (SELECT da AS src, db AS dst FROM lshpairs
+                   UNION SELECT db, da FROM lshpairs),
+        lreach(id, r) AS (
+          SELECT src, src FROM ledges
+          UNION
+          SELECT e.src, rr.r FROM ledges e JOIN lreach rr ON e.dst = rr.id),
+        lclusters AS (SELECT id AS doc_id, MIN(r) AS cluster FROM lreach GROUP BY id)"""
+
   /** 64 minhash values per doc as one array column, computed by the
     * codegen'd `minhash_signature` kernel: a SHUFFLE-FREE narrow projection
     * (the equivalent explode → 64×min-aggregate dataflow — kept as the
@@ -157,9 +203,10 @@ object DedupOps {
     // candidate pairs → exact Jaccard computed ONLY on candidates → J≥0.5.
     // The candidate stage bounds the pair space (O(collisions), never
     // O(n²)); the verify stage makes the output exact, so spurious band
-    // collisions cost one array_intersect each and never escape. Band
-    // hashing is engine-internal (xxhash64) → rows-only driver check; the
-    // spec suite pins recall/precision against the exact-Jaccard oracle.
+    // collisions cost one array_intersect each and never escape. Oracled
+    // against the driver-side PureSig signature dump (band tuples compared
+    // directly in SQL — the engine's xxhash64 band key is only an equality
+    // proxy); the spec suite additionally pins recall/precision.
     Q("d03_minhash_lsh",
       (s, d) => {
         val sigs = minhashSignatures(s, d)
@@ -186,26 +233,31 @@ object DedupOps {
           .select("da", "db", "jaccard")
           .orderBy("da", "db")
       },
-      None),
+      Some(s"""WITH $sqlLshCtes
+               SELECT da, db, jaccard FROM lshpairs ORDER BY da, db""")),
 
     // SimHash: 64-bit signature from token hashes (xxhash64 seed 42);
     // per-bit ±1 votes, bit set when positive; near-dups = small Hamming
     // distance. One-pass codegen'd kernel (the per-bit aggregate()
-    // formulation walks the token array 64× interpreted). Engine-hash-based
-    // → rows-only check.
+    // formulation walks the token array 64× interpreted). Oracled against
+    // the driver-side PureSig dump (independent xxHash64 from the public
+    // spec).
     Q("d04_simhash",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), graft.functions.GraftFunctions.simhash64(col("text")).as("simhash"))
         .orderBy("doc_id"),
-      None),
+      Some(s"""SELECT doc_id, simhash
+               FROM '${graft.Verify.SigDumpDir}/doc_sigs.parquet/*.parquet'
+               ORDER BY doc_id""")),
 
     // Cluster resolution — the step that turns near-dup PAIRS into a
     // dedup DECISION: connected components over the LSH+verify pair graph,
     // canonical doc = min doc_id per component. Iterative min-label
     // propagation (one shuffle per iteration, O(log component-diameter)
     // iterations, lineage truncated per step) — the 100 TB-shaped
-    // formulation of union-find. Rows-only check (iterative, not
-    // SQL-expressible); DedupOpsSpec pins it against driver-side union-find.
+    // formulation of union-find. Oracled end-to-end via a recursive-CTE
+    // transitive closure over the PureSig-dump LSH pair graph; DedupOpsSpec
+    // additionally pins it against driver-side union-find.
     Q("d06_dedup_clusters",
       (s, d) => {
         val pairs = byNameLocal("d03_minhash_lsh").build(s, d).select("da", "db")
@@ -213,7 +265,8 @@ object DedupOps {
           .select(col("id").as("doc_id"), col("label").as("cluster"))
           .orderBy("doc_id")
       },
-      None),
+      Some(s"""WITH RECURSIVE $sqlLshClusterCtes
+               SELECT doc_id, cluster FROM lclusters ORDER BY doc_id""")),
 
     // Dedup APPLIED — the end of the pipeline: the corpus with every
     // near-dup cluster collapsed to its canonical (min-id) document.
@@ -228,7 +281,11 @@ object DedupOps {
           .select("doc_id", "lang")
           .orderBy("doc_id")
       },
-      None),
+      Some(s"""WITH RECURSIVE $sqlLshClusterCtes,
+                 llosers AS (SELECT doc_id FROM lclusters WHERE doc_id <> cluster)
+               SELECT doc_id, lang FROM documents
+               WHERE doc_id NOT IN (SELECT doc_id FROM llosers)
+               ORDER BY doc_id""")),
 
     // Clustering with a HARD oracle: same connected-components operator as
     // d06, but over the exact-Jaccard pair graph (d02, itself hash-green) so
@@ -271,7 +328,8 @@ object DedupOps {
     // finds ALL such pairs (exact recall at this radius) while never
     // forming the O(n²) pair space. Exact hamming (bit_count of xor) is
     // verified only on band collisions — the simhash mirror of the
-    // MinHash→LSH→verify shape. Engine-hash signatures → rows-only check;
+    // MinHash→LSH→verify shape. Oracled against the PureSig dump (banding
+    // and hamming mirrored in SQL over the driver-computed signatures);
     // DedupOpsSpec pins completeness against brute-force hamming.
     // Scale note: per-band candidate volume is ~n²/2^W for W-bit bands, so
     // W must grow with corpus size (at 10⁹ docs use 4×16-bit bands →
@@ -293,7 +351,17 @@ object DedupOps {
           .select("da", "db", "hamming")
           .orderBy("da", "db")
       },
-      None),
+      Some(s"""WITH s AS (SELECT doc_id, simhash
+                          FROM '${graft.Verify.SigDumpDir}/doc_sigs.parquet/*.parquet'),
+                 hbands AS (SELECT doc_id, simhash, b, (simhash >> CAST(b*8 AS INT)) & 255 AS key
+                            FROM s, LATERAL (SELECT UNNEST(range(0, 8)) AS b)),
+                 hcand AS (SELECT DISTINCT a.doc_id AS da, a.simhash AS sha,
+                                           c.doc_id AS db, c.simhash AS shb
+                           FROM hbands a JOIN hbands c
+                             ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id)
+               SELECT da, db, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+               FROM hcand WHERE bit_count(xor(sha, shb)) <= 7
+               ORDER BY da, db""")),
 
     // Embedding-cosine near-dup: probe block vs corpus, threshold 0.2
     // (synthetic embeddings are near-orthogonal; threshold exercises the

@@ -175,8 +175,9 @@ object SimilarityOps {
     // candidates, top-3 per probe. At 100 TB: corpus keying is a narrow
     // projection ×15; candidate dedup + vector re-join shuffle only the
     // (qid, vec_id) pair list; recall/candidate-volume tunes via
-    // LshBits/LshTables. Engine-hash-based buckets → rows-only driver
-    // check; the spec pins cosine exactness vs brute force, sim04 the
+    // LshBits/LshTables. Oracled against the driver-side PureSig bucket
+    // dump (independent splitmix64 hyperplanes, table keys re-derived in
+    // SQL); the spec pins cosine exactness vs brute force, sim04 the
     // recall.
     Q("sim02_ann_lsh",
       (s, d) => {
@@ -202,7 +203,26 @@ object SimilarityOps {
           .select("qid", "vec_id", "cos_sim", "rk")
           .orderBy("qid", "rk")
       },
-      None),
+      Some {
+        val dump = s"'${graft.Verify.SigDumpDir}/emb_buckets.parquet/*.parquet'"
+        s"""WITH nv AS (SELECT vec_id, embedding, $sqlNorm2 AS norm2 FROM embeddings),
+              bkt AS (SELECT vec_id, bucket FROM $dump),
+              tkeys AS (SELECT vec_id, t,
+                               (bucket >> CAST(t*$LshBits AS INT)) & ${(1 << LshBits) - 1} AS key
+                        FROM bkt, LATERAL (SELECT UNNEST(range(0, $LshTables)) AS t)),
+              lcand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+                        FROM tkeys q JOIN tkeys c ON q.t = c.t AND q.key = c.key
+                        WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id),
+              scored AS (SELECT lcand.qid, lcand.cid AS vec_id,
+                                $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                         FROM lcand JOIN nv a ON a.vec_id = lcand.qid
+                                    JOIN nv b ON b.vec_id = lcand.cid)
+            SELECT qid, vec_id, cos_sim, rk FROM (
+              SELECT qid, vec_id, cos_sim,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+              FROM scored)
+            WHERE rk <= 3 ORDER BY qid, rk"""
+      }),
 
     // ANN quality as a NUMBER: recall@3 of the LSH and IVF paths against the
     // exact brute-force top-3 over each method's probe set. Depends on
