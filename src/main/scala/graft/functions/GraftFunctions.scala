@@ -81,6 +81,12 @@ object GraftFunctions {
     call_function("hyperplane_bucket", v, lit(numPlanes))
   def word_set_counts(c: Column, sets: Seq[Seq[String]]): Column =
     call_function("word_set_counts", c, typedlit(sets))
+  /** Centroids ride as expression parameters (codegen reference objects),
+    * not literals — no function-registry path, the Column is built directly.
+    */
+  def centroid_scores(v: Column, cents: Array[Array[Float]], norms: Array[Long]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      CentroidScores(org.apache.spark.sql.GraftSqlBridge.expression(v), cents, norms))
   def token_fingerprint(c: Column): Column = call_function("token_fingerprint", c)
 }
 

@@ -215,6 +215,32 @@ object VectorKernels extends Serializable {
     x ^ (x >>> 31)
   }
 
+  /** All centroid scores of one vector in one pass:
+    * result(k) = (Σ_i floor(v[i]·c_k[i]·1e15)).toDouble / sqrt(norms(k)) —
+    * bit-identical to `scaled_dot(v, c_k).cast(double) / sqrt(norm2_k)` per
+    * centroid, but the centroid matrix rides along as a JVM object (codegen
+    * reference), NOT as plan literals: at production dims (768–4096),
+    * 16×dim float literals would bloat plan compile/codegen.
+    */
+  def centroidScores(v: ArrayData, cents: Array[Array[Float]], norms: Array[Long]): ArrayData = {
+    if (v == null) return null
+    val out = new Array[Any](cents.length)
+    var k = 0
+    while (k < cents.length) {
+      val c = cents(k)
+      val n = math.min(v.numElements(), c.length)
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += math.floor(v.getFloat(i).toDouble * c(i).toDouble * SCALE).toLong
+        i += 1
+      }
+      out(k) = acc.toDouble / math.sqrt(norms(k).toDouble)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Random-hyperplane LSH bucket: bit k of the result is the sign of the
     * projection of `v` onto hyperplane k, whose components are ±1 from
     * splitmix64(k, i). Map-only, codegen'd — bucket assignment of a 100 TB
@@ -285,6 +311,36 @@ case class HyperplaneBucket(child: Expression, numPlanes: Int) extends UnaryExpr
     defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.hyperplaneBucket($c, $numPlanes)")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+/** `centroid_scores(vec)` — per-centroid normalized scaled-dot scores; the
+  * centroid matrix and norms are expression PARAMETERS (shipped to codegen
+  * via `addReferenceObj`), so plan size is independent of dim × cells.
+  */
+case class CentroidScores(child: Expression, centroids: Array[Array[Float]], norms: Array[Long])
+    extends UnaryExpression {
+  require(centroids.nonEmpty && centroids.length == norms.length,
+    "centroid_scores needs a non-empty centroid set with matching norms")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"centroid_scores expects ARRAY<FLOAT>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "centroid_scores"
+
+  protected override def nullSafeEval(input: Any): Any =
+    VectorKernels.centroidScores(input.asInstanceOf[ArrayData], centroids, norms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val nRef = ctx.addReferenceObj("centroidNorms", norms, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.centroidScores($c, $cRef, $nRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidScores =
     copy(child = newChild)
 }
 

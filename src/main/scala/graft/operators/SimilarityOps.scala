@@ -115,27 +115,29 @@ object SimilarityOps {
 
     // IVF ANN — the second scale path: coarse-quantize the corpus into
     // `IvfCells` centroid cells (centroids = deterministic corpus sample,
-    // broadcast as literals — IVF-flat with sampled centroids), search the
-    // `IvfProbe` nearest cells per query, exact cosine only on cell-mates.
-    // Corpus cell assignment is a map-only projection; the candidate join
-    // is an equi-join on the cell id. Recall tunes via IvfProbe.
-    // Engine-internal cell ids → rows-only check; spec pins exactness of
-    // emitted cosines + subset-of-brute-force.
+    // the IvfCells lowest vec_ids, shipped as a codegen REFERENCE OBJECT
+    // via the centroid_scores kernel — not plan literals, so plan size is
+    // independent of dim), search the `IvfProbe` nearest cells per query,
+    // exact cosine only on cell-mates. Corpus cell assignment is a map-only
+    // projection; the candidate join is an equi-join on the cell id. Recall
+    // tunes via IvfProbe. Fully deterministic integer-scaled math → direct
+    // DuckDB oracle (cell identity mirrored as the centroid's vec_id).
     Q("sim03_ann_ivf",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val corpus = withNorm(s, d)
-        // deterministic centroid sample: the IvfCells lowest vec_ids
+        // deterministic centroid sample: the IvfCells lowest vec_ids, in
+        // vec_id order so cell index k == rank of centroid vec_id (the
+        // identity the SQL oracle mirrors)
         val cents = corpus.where(col("vec_id") < IvfCells)
           .select("vec_id", "embedding", "norm2").collect()
-          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1), r.getLong(2)))
-        def cellDots(v: Column) = cents.map { case (k, cvec, cn2) =>
-          scaledDot(v, typedLit(cvec)).cast(DoubleType) / math.sqrt(cn2.toDouble)
-        }
+          .sortBy(_.getLong(0))
+          .map(r => (r.getSeq[Float](1).toArray, r.getLong(2)))
+        def cellScores(v: Column): Column =
+          graft.functions.GraftFunctions.centroid_scores(v, cents.map(_._1), cents.map(_._2))
         def bestCells(df: DataFrame, v: Column, n: Int, idCol: String): DataFrame = {
-          val arr = array(cellDots(v): _*)
           val w = Window.partitionBy(col(idCol)).orderBy(desc("cell_score"), col("cell"))
-          df.withColumn("__dots", arr)
+          df.withColumn("__dots", cellScores(v))
             .select(col("*"), posexplode(col("__dots")).as(Seq("cell", "cell_score")))
             .withColumn("__rk", row_number().over(w))
             .where(col("__rk") <= n)
@@ -148,7 +150,7 @@ object SimilarityOps {
         // at 100 TB the difference between a map stage and a full exchange.
         // The probe side keeps the windowed top-`IvfProbe` (10 rows).
         val assigned = corpus
-          .withColumn("__dots", array(cellDots(col("embedding")): _*))
+          .withColumn("__dots", cellScores(col("embedding")))
           .withColumn("cell",
             (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast(IntegerType))
           .drop("__dots")
@@ -166,7 +168,38 @@ object SimilarityOps {
           .select("qid", "vec_id", "cos_sim", "rk")
           .orderBy("qid", "rk")
       },
-      None),
+      // The whole IVF pipeline is exact integer-scaled math + deterministic
+      // argmax (ties to the lowest cell — mirrored by ORDER BY score DESC,
+      // cell with cell = centroid vec_id), so DuckDB reproduces it directly
+      // from the embeddings table: no engine-internal state involved.
+      Some(s"""WITH nv AS (SELECT vec_id, embedding, $sqlNorm2 AS norm2 FROM embeddings),
+                 cscores AS (
+                   SELECT a.vec_id, b.cell, $sqlDot / SQRT(CAST(b.norm2 AS DOUBLE)) AS score
+                   FROM nv a CROSS JOIN
+                     (SELECT vec_id AS cell, embedding, norm2 FROM nv WHERE vec_id < $IvfCells) b),
+                 assigned AS (
+                   SELECT vec_id, cell FROM (
+                     SELECT vec_id, cell,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+                     FROM cscores) WHERE rn = 1),
+                 pcells AS (
+                   SELECT vec_id AS qid, cell FROM (
+                     SELECT vec_id, cell,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+                     FROM cscores WHERE vec_id < 10) WHERE rn <= $IvfProbe),
+                 icand AS (
+                   SELECT p.qid, s.vec_id FROM pcells p JOIN assigned s ON s.cell = p.cell
+                   WHERE s.vec_id <> p.qid),
+                 iscored AS (
+                   SELECT icand.qid, icand.vec_id,
+                          $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                   FROM icand JOIN nv a ON a.vec_id = icand.qid
+                              JOIN nv b ON b.vec_id = icand.vec_id)
+               SELECT qid, vec_id, cos_sim, rk FROM (
+                 SELECT qid, vec_id, cos_sim,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+                 FROM iscored)
+               WHERE rk <= 3 ORDER BY qid, rk""")),
 
     // LSH-bucketed ANN — the scale path: one codegen'd 60-bit sign word per
     // vector (map-only), 15 OR'd tables of 4-bit keys; candidates = probe ×
