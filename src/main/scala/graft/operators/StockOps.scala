@@ -12,6 +12,72 @@ import Catalog._
   */
 object StockOps {
 
+  /** Distribution ranks (ntile / percent_rank / cume_dist) over a TOTAL
+    * ordering WITHOUT the single-task global window (`Window.orderBy` with
+    * no partitionBy funnels the whole table through ONE task — fine at
+    * sf0.1, a straggler at 100×, a scale-killer at 100 TB). Two phases:
+    *
+    *  1. `repartitionByRange` on the order key — a range shuffle; EQUAL
+    *     keys land in one partition, so tie-aware rank/peer counts stay
+    *     exact. `localCheckpoint` pins the sampled boundaries so the counts
+    *     action and the final query see identical partitioning (one bounded
+    *     materialization — the price of consistency, paid instead of a
+    *     global sort through one task).
+    *  2. Per-partition window (hash exchange on the 32-value `__pid` — no
+    *     global funnel) for local row_number / rank / peer count, then the
+    *     per-partition counts (collected ONCE, `parts` rows) become
+    *     broadcast prefix-sum offsets: global rank = offset + local rank.
+    *
+    * Output = input columns + `ntile`, `percent_rank`, `cume_dist`,
+    * bit-identical to the single-window formulation (exact integer rank
+    * composition; the ntile fill rule — first n%k buckets one row larger —
+    * is reproduced from the global row number in closed form).
+    */
+  def globalDistributionRanks(
+      df: org.apache.spark.sql.DataFrame,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      nTiles: Int,
+      parts: Int = 32): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = df.repartitionByRange(parts, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy("__pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    var acc = 0L
+    val offs = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    val offDf = offs.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    // default frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW → the count is
+    // tie-aware (includes peers), exactly cume_dist's numerator
+    val grn = col("__off") + col("__lrn")
+    val grank = col("__off") + col("__lrk")
+    val gle = col("__off") + col("__lle")
+    // ntile fill rule: bucketSize = n/k, first n%k buckets get one extra row
+    val bucketSize = n / nTiles
+    val rem = n % nTiles
+    val threshold = rem * (bucketSize + 1)
+    // long-ratio floors below are exact: operands < 2^53, and a correctly
+    // rounded quotient of exactly representable longs floors correctly
+    val ntileCol =
+      if (bucketSize == 0) grn // n < k: one row per bucket
+      else when(grn <= threshold, floor((grn - 1) / lit(bucketSize + 1)) + 1)
+        .otherwise(lit(rem) + floor((grn - lit(threshold) - 1) / lit(bucketSize)) + 1)
+    val pctCol =
+      if (n <= 1) lit(0.0) else (grank - 1).cast(DoubleType) / lit((n - 1).toDouble)
+    ranged
+      .withColumn("__lrn", row_number().over(w))
+      .withColumn("__lrk", rank().over(w))
+      .withColumn("__lle", count(lit(1)).over(w))
+      .join(broadcast(offDf), "__pid")
+      .withColumn("ntile", ntileCol.cast(IntegerType))
+      .withColumn("percent_rank", pctCol)
+      .withColumn("cume_dist", gle.cast(DoubleType) / lit(n.toDouble))
+      .drop("__pid", "__lrn", "__lrk", "__lle", "__off")
+  }
+
   val all: Seq[Q] = Seq(
     // Ranking window functions (row_number / rank / dense_rank).
     Q("c01_window_rank",
@@ -269,14 +335,18 @@ object StockOps {
               FROM embeddings, LATERAL (SELECT UNNEST(range(len(embedding))) AS i)
               WHERE vec_id < 5 ORDER BY vec_id, pos""")),
 
-    // ntile / percent_rank / cume_dist distribution windows.
+    // ntile / percent_rank / cume_dist distribution windows — via the
+    // two-phase globalDistributionRanks (range partition + broadcast prefix
+    // offsets), NOT Window.orderBy with no partitionBy: the naive global
+    // window funnels the whole table through one task. Output is
+    // bit-identical to the naive form (pinned in StockOpsSpec).
     Q("c19_window_distribution",
       (s, d) => {
-        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-        t(s, d, "orders")
-          .withColumn("quartile", ntile(4).over(w))
-          .withColumn("pct_rank", percent_rank().over(w))
-          .withColumn("cume", cume_dist().over(w))
+        globalDistributionRanks(
+          t(s, d, "orders"), Seq(col("o_totalprice"), col("o_orderkey")), 4)
+          .withColumnRenamed("ntile", "quartile")
+          .withColumnRenamed("percent_rank", "pct_rank")
+          .withColumnRenamed("cume_dist", "cume")
           .select("o_orderkey", "o_totalprice", "quartile", "pct_rank", "cume")
           .orderBy("o_orderkey")
       },
