@@ -30,20 +30,38 @@ object DedupOps {
          THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
          ELSE [] END)"""
 
+  /** Document-frequency cap on join shingles: a shingle shared by k docs
+    * contributes O(k²) candidate rows to the pair join, so one ubiquitous
+    * shingle ("of the and") makes the exact-Jaccard join quadratic in its
+    * df. Shingles with per-lang df above this cap are excluded from the
+    * JOIN side (set sizes stay full), bounding per-shingle fan-out to cap²
+    * while keeping prune-only semantics: a capped pair's evidence must come
+    * from non-ubiquitous shingles. 50 exceeds the max observed df at every
+    * test SF (25 at sf0.1), so test-scale output is bit-identical to the
+    * uncapped form (pinned in DedupOpsSpec); at larger corpora, scale the
+    * cap with corpus size (df > cap ⇒ stopword-grade shingle) — d03 (LSH)
+    * remains the intended 100 TB path either way.
+    */
+  val HotShingleDfCap = 50
+
   /** Shared oracle CTEs: the exact 3-shingle Jaccard pair graph (J ≥ 0.2,
-    * lang-blocked) as `jpairs(da, db, inter, uni, jaccard)` — used by d02
-    * and as the base of the recursive-CTE clustering oracles (d06b/d07b).
+    * lang-blocked, hot shingles df-capped out of the join) as
+    * `jpairs(da, db, inter, uni, jaccard)` — used by d02 and as the base of
+    * the recursive-CTE clustering oracles (d06b/d07b).
     */
   val sqlJaccardCtes: String =
     s"""sh AS (
           SELECT doc_id, lang, $sqlShingles3 AS sh
           FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents)),
         ex AS (SELECT doc_id, lang, len(sh) AS sz, UNNEST(sh) AS shingle FROM sh),
+        hot AS (SELECT lang, shingle FROM ex GROUP BY lang, shingle
+                HAVING COUNT(*) > $HotShingleDfCap),
+        exf AS (SELECT ex.* FROM ex ANTI JOIN hot USING (lang, shingle)),
         prs AS (
           SELECT a.doc_id AS da, b.doc_id AS db,
                  CAST(a.sz AS BIGINT) AS sza, CAST(b.sz AS BIGINT) AS szb,
                  COUNT(*) AS inter
-          FROM ex a JOIN ex b
+          FROM exf a JOIN exf b
             ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
           GROUP BY 1, 2, 3, 4),
         jpairs AS (
@@ -158,6 +176,36 @@ object DedupOps {
     labels
   }
 
+  /** Exact lang-blocked 3-shingle Jaccard pairs at J ≥ 0.2 (the d02
+    * dataflow): shingle-join candidate generation with shingles above
+    * `dfCap` per-lang document frequency excluded from the join (full set
+    * sizes retained — dropping a hot shingle can only LOWER a pair's
+    * reported J, never create a pair). `dfCap < 0` disables the cap (spec
+    * baseline).
+    */
+  def jaccardPairs(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val ex = docs.select(col("doc_id"), col("lang"), col("sz"), explode(col("sh")).as("shingle"))
+    val exf =
+      if (dfCap < 0) ex
+      else {
+        val hot = ex.groupBy("lang", "shingle")
+          .agg(count(lit(1)).as("__df")).where(col("__df") > dfCap)
+          .select("lang", "shingle")
+        ex.join(hot, Seq("lang", "shingle"), "left_anti")
+      }
+    val a = exf.select(col("doc_id").as("da"), col("lang").as("la"), col("sz").as("sza"), col("shingle"))
+    val b = exf.select(col("doc_id").as("db"), col("lang").as("lb"), col("sz").as("szb"), col("shingle"))
+    a.join(b, a("shingle") === b("shingle") && col("la") === col("lb") && col("da") < col("db"))
+      .groupBy("da", "db", "sza", "szb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
+      .where(col("jaccard") >= 0.2)
+  }
+
   /** Local alias to avoid a Catalog init cycle (Catalog.byName forces
     * Catalog.all which includes this module).
     */
@@ -177,24 +225,15 @@ object DedupOps {
 
     // n-gram (3-shingle) Jaccard near-dup, blocked by lang: the pair space
     // is generated by joining on shared shingles (only docs that share at
-    // least one shingle ever meet), not by a cartesian product.
+    // least one shingle ever meet), not by a cartesian product, and hot
+    // shingles (per-lang df > HotShingleDfCap) are excluded from the join
+    // so no single ubiquitous shingle can make the candidate space
+    // quadratic. Set sizes stay full → prune-only semantics; a no-op at
+    // test SFs (max df 25 < 50), exactness pinned in DedupOpsSpec.
     Q("d02_ngram_jaccard",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sh"))
-          .withColumn("sz", size(col("sh")))
-        val ex = docs.select(col("doc_id"), col("lang"), col("sz"), explode(col("sh")).as("shingle"))
-        val a = ex.select(col("doc_id").as("da"), col("lang").as("la"), col("sz").as("sza"), col("shingle"))
-        val b = ex.select(col("doc_id").as("db"), col("lang").as("lb"), col("sz").as("szb"), col("shingle"))
-        a.join(b, a("shingle") === b("shingle") && col("la") === col("lb") && col("da") < col("db"))
-          .groupBy("da", "db", "sza", "szb")
-          .agg(count(lit(1)).as("inter"))
-          .withColumn("uni", col("sza") + col("szb") - col("inter"))
-          .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
-          .where(col("jaccard") >= 0.2)
-          .select("da", "db", "inter", "uni", "jaccard")
-          .orderBy("da", "db")
-      },
+      (s, d) => jaccardPairs(s, d, HotShingleDfCap)
+        .select("da", "db", "inter", "uni", "jaccard")
+        .orderBy("da", "db"),
       Some(s"""WITH $sqlJaccardCtes
                SELECT da, db, inter, uni, jaccard FROM jpairs ORDER BY da, db""")),
 

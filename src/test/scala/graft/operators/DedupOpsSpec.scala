@@ -123,6 +123,43 @@ class DedupOpsSpec extends SparkSpec {
     assert(got === truth, s"banded retrieval disagrees with brute force (got ${got.size}, truth ${truth.size})")
   }
 
+  test("hot-shingle df cap is a NO-OP at the pinned cap on the real corpus") {
+    // HotShingleDfCap (50) exceeds the max per-lang shingle df at every
+    // test SF (25 at sf0.1), so the capped join must be bit-identical to
+    // the uncapped one — no qualifying pair (J >= 0.2) lost or changed.
+    val capped = DedupOps.jaccardPairs(spark, sfDir, DedupOps.HotShingleDfCap)
+    val uncapped = DedupOps.jaccardPairs(spark, sfDir, -1)
+    assert(capped.exceptAll(uncapped).isEmpty && uncapped.exceptAll(capped).isEmpty,
+      "df cap changed the exact-Jaccard pair set at test scale")
+  }
+
+  test("active hot-shingle cap is prune-only: drops only hot-evidence pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotshingle").toString
+    // docs 1/2: near-dups via COLD shingles; docs 10-19: share ONLY the hot
+    // shingle "x y z" (df 12 > cap 3), each padded with unique junk;
+    // docs 20/21: 3-token docs whose single shingle is the hot one — the
+    // documented loss mode (all evidence ubiquitous).
+    val docs = (Seq(
+      (1L, "en", "a b c d e f"),
+      (2L, "en", "a b c d e f g"),
+      (20L, "en", "x y z"),
+      (21L, "en", "x y z")) ++
+      (10L to 19L).map(i => (i, "en", s"x y z u$i v$i w$i"))
+    ).toDF("doc_id", "lang", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairs(cap: Int) = DedupOps.jaccardPairs(spark, dir, cap)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val un = pairs(-1)
+    val cp = pairs(3)
+    assert(cp.subsetOf(un), "capping created a pair out of nothing")
+    assert(cp.contains((1L, 2L)), "cold-evidence pair lost by the cap")
+    assert(un.contains((20L, 21L)) && !cp.contains((20L, 21L)),
+      "hot-only pair should be the one pruned")
+    // nothing else differs: the pruned set is exactly the hot-only pairs
+    assert((un -- cp).forall { case (a, b) => a >= 10L && b >= 10L },
+      s"cap pruned a pair with cold evidence: ${un -- cp}")
+  }
+
   test("simhash of identical docs is identical") {
     val out = Catalog.byName("d04_simhash").build(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
