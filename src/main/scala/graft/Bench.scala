@@ -7,6 +7,13 @@ import graft.operators.Catalog
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Each query is forced
   * end-to-end with a noop write (not count(): count lets Catalyst prune
   * the whole projection and under-reports the real work).
+  *
+  * The same JSON line is also written to the `BENCH_OUT` file (default
+  * `bench_out.json` in the working dir) so downstream tooling doesn't have
+  * to scrape it out of sbt's log prefixes. `GRAFT_BENCH_UNORDERED=1` strips
+  * each query's top-level global Sort (present only for oracle determinism)
+  * before timing, so that variant measures the operators, not the final
+  * sorts; the flag is recorded in the JSON as "ordered".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,6 +30,17 @@ object Bench {
 
     // dev aid: GRAFT_BENCH_ONLY=q1,q2 restricts the run for iteration
     val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val ordered = !sys.env.get("GRAFT_BENCH_UNORDERED").exists(v => v == "1" || v == "true")
+    // strip the oracle-determinism ORDER BY (top-level global Sort) when
+    // running the unordered variant; inner sorts (windows, sorted joins)
+    // are real operator work and stay
+    def shape(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (ordered) df
+      else df.queryExecution.analyzed match {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global =>
+          org.apache.spark.sql.GraftSqlBridge.ofRows(spark, s.child)
+        case _ => df
+      }
     val qs = Catalog.all.filter(_.bench)
       .filter(q => only.forall(_.contains(q.name)))
     // Warm the JVM once per input table (parquet footers, codegen,
@@ -46,7 +64,7 @@ object Bench {
         def run(): Unit = spark.sparkContext.cancelJobGroup(q.name)
       }, timeoutMs)
       val t0 = System.nanoTime()
-      try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try shape(q.build(spark, sfDir)).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
       finally { timer.cancel(); spark.sparkContext.clearJobGroup() }
       q.name -> (System.nanoTime() - t0) / 1e9
@@ -58,8 +76,14 @@ object Bench {
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+    val line =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","ordered":$ordered,"queries":$qjson,"sf":"$sfDir"}"""
     spark.stop()
+    // file artifact FIRST (env-overridable path), then the stdout line —
+    // downstream tooling can json.load the file without de-prefixing logs
+    val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_OUT write failed: $e") }
     println(line)
     System.out.flush()
   }
