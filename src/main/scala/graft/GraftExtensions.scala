@@ -14,6 +14,16 @@ import graft.functions.{HexToDecimal, HexToLong, SimHash64, WordShingles}
   * expressions are full Catalyst citizens (codegen, constant-folding,
   * null propagation) unlike Scala UDFs.
   */
+object GraftExtensions {
+  /** Serializes in-JVM sibling-session builds: creating an extensions
+    * session mid-process requires swapping the JVM-GLOBAL default/active
+    * sessions around `getOrCreate` (extensions only apply at session
+    * build). Anyone doing that swap must hold this lock, or two concurrent
+    * builders can restore each other's cleared state.
+    */
+  val sessionSwapLock = new Object
+}
+
 final class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -28,7 +38,8 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (children: Seq[Expression]) =>
-        WordShingles(children.head, children(1).eval(null).asInstanceOf[Int])))
+        WordShingles(children.head,
+          graft.functions.GraftFunctions.intArg("word_shingles", 2, children(1)))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

@@ -22,7 +22,7 @@ object GraftFunctions {
   /** Strict integral-literal argument decode: a non-foldable or non-integral
     * argument gets a clean analysis error instead of an NPE/CCE at plan time.
     */
-  private def intArg(fn: String, pos: Int, e: Expression): Int = e match {
+  private[graft] def intArg(fn: String, pos: Int, e: Expression): Int = e match {
     case Literal(i: Int, IntegerType) => i
     case Literal(l: Long, LongType) if l.isValidInt => l.toInt
     case Literal(s: Short, ShortType) => s.toInt

@@ -30,26 +30,30 @@ object EngineOps {
     * `--conf spark.sql.extensions=graft.GraftExtensions`. Extensions only
     * apply at session build, so a sibling session is built on the same
     * SparkContext; previous default/active sessions are restored after.
-    * The returned DataFrame stays valid (it carries its own session).
+    * The swap mutates JVM-GLOBAL state, so it is serialized under
+    * `GraftExtensions.sessionSwapLock` — concurrent catalog builds are
+    * safe (pinned by GraftExtensionsSpec's concurrent test). The returned
+    * DataFrame stays valid (it carries its own session).
     */
   private def withGraftExtensions[T](s: org.apache.spark.sql.SparkSession)(
-      f: org.apache.spark.sql.SparkSession => T): T = {
-    import org.apache.spark.sql.SparkSession
-    val prevDefault = SparkSession.getDefaultSession
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.clearDefaultSession()
-    SparkSession.clearActiveSession()
-    try {
-      val s2 = SparkSession.builder()
-        .config("spark.sql.shuffle.partitions", s.conf.get("spark.sql.shuffle.partitions"))
-        .withExtensions(new graft.GraftExtensions()(_))
-        .getOrCreate()
-      f(s2)
-    } finally {
-      prevDefault.foreach(SparkSession.setDefaultSession)
-      prevActive.foreach(SparkSession.setActiveSession)
+      f: org.apache.spark.sql.SparkSession => T): T =
+    graft.GraftExtensions.sessionSwapLock.synchronized {
+      import org.apache.spark.sql.SparkSession
+      val prevDefault = SparkSession.getDefaultSession
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      try {
+        val s2 = SparkSession.builder()
+          .config("spark.sql.shuffle.partitions", s.conf.get("spark.sql.shuffle.partitions"))
+          .withExtensions(new graft.GraftExtensions()(_))
+          .getOrCreate()
+        f(s2)
+      } finally {
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
     }
-  }
 
   val all: Seq[Q] = Seq(
     // S18: hex → int64 decode via the custom codegen'd Catalyst expression.

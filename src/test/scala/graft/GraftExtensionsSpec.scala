@@ -19,6 +19,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // lazy init would undo them and getOrCreate would return it, skipping
     // extensions).
     val sc = SparkSpec.session.sparkContext
+    GraftExtensions.sessionSwapLock.synchronized {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
     SparkSession.clearDefaultSession()
@@ -63,5 +64,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
     }
+    }
+  }
+
+  test("concurrent extensions-session builds are serialized and restore the shared session") {
+    // e04's builder swaps the JVM-global default/active sessions under
+    // GraftExtensions.sessionSwapLock; two threads building it at once must
+    // both succeed with identical results and leave the shared session as
+    // the default afterwards.
+    val before = { SparkSpec.session; SparkSession.getDefaultSession }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futs = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] =
+            graft.operators.Catalog.byName("e04_eth_topic_pushdown")
+              .build(SparkSpec.session, "/root/testdata/sf0.001")
+              .collect().map(_.toString).toSeq
+        })
+      }
+      val results = futs.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      assert(results.head.nonEmpty)
+      assert(results.toSet.size === 1, "concurrent builds disagreed")
+    } finally pool.shutdown()
+    assert(SparkSession.getDefaultSession === before,
+      "shared default session not restored after concurrent extension builds")
   }
 }
