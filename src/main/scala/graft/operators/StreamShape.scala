@@ -102,6 +102,78 @@ object StreamShape {
                       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                       COUNT(*) AS n, ${sqlDsum("value")} AS total
                FROM sess GROUP BY user_id, sid
-               ORDER BY user_id, session_start"""))
+               ORDER BY user_id, session_start""")),
+
+    // Streaming DEDUPLICATION in the hash gate: the events table staged
+    // TWICE into the stream source dir (double delivery — the reorg-replay
+    // scenario), drained through dropDuplicatesWithinWatermark under
+    // Trigger.AvailableNow. Exactly-once output: the oracle is the
+    // single-delivery table. The watermark horizon bounds dedup state in a
+    // live stream (keys older than the horizon evict — unbounded-state
+    // dedup is not a thing at 100 TB); the run-long horizon here keeps the
+    // bounded drain exact.
+    Q("x05_stream_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = s"x05_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x05ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x05src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          srcDir.resolve("delivery1.parquet"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          srcDir.resolve("delivery2.parquet"))
+        val sq = s.readStream.schema(schema).parquet(srcDir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .withWatermark("ts", "3650 days")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select("event_id", "user_id", "event_type", "value", "props")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        s.table(name).orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, value, props
+              FROM events ORDER BY event_id"""),
+      bench = false),
+
+    // Stream-stream INNER JOIN in the hash gate: logs and blocks as two
+    // independent graft-eth micro-batch streams (2 batches each — the join
+    // crosses batch boundaries through state), equi-joined on block number
+    // + derived event time under watermarks, drained append-mode. Inner
+    // join results emit eagerly; the watermark horizon only bounds state —
+    // run-long here so the bounded drain is exact (production trades state
+    // size against allowed inter-stream skew; a horizon below the streams'
+    // batch skew would drop rows). Oracle: the batch join over the direct
+    // SyntheticRpc chain dump.
+    Q("x06_stream_stream_join",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = s"x06_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x06ckpt").toString
+        def src(dataset: String) = s.readStream.format("graft-eth")
+          .option("dataset", dataset).option("startBlock", "0")
+          .option("head", "999").option("maxBlocksPerTrigger", "500").load()
+        val joined = graft.streaming.StreamOps
+          .logsWithBlocks(src("logs"), src("blocks"), "1000 hours")
+          .select(col("blockNumber"), col("logIndex"), col("address"), col("gasUsed"))
+        val sq = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        s.table(name).orderBy("blockNumber", "logIndex")
+      },
+      Some(s"""SELECT l.blockNumber, l.logIndex, l.address, b.gasUsed
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet' l
+               JOIN '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet' b
+                 ON l.blockNumber = b.number
+               ORDER BY blockNumber, logIndex"""),
+      bench = false)
   )
 }
