@@ -176,6 +176,63 @@ object DedupOps {
     labels
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR — the
+    * two-phase algorithm from the public MapReduce-CC literature. Each
+    * round rewires every node toward its neighborhood minimum:
+    * large-star hangs strictly-larger neighbors v > u onto
+    * m = min(N(u) ∪ u); small-star (on the big→small directed result)
+    * collapses each node's smaller neighbors onto their minimum. Converges
+    * in O(log n) rounds REGARDLESS of component diameter — min-label
+    * propagation ([[connectedComponents]]) needs O(diameter) rounds, so on
+    * adversarial graphs (long chains of pairwise near-dups — common when a
+    * document family drifts gradually) the star variant wins; both are one
+    * shuffle per phase. Output matches [[connectedComponents]] exactly
+    * (spec-pinned on path/random/corpus graphs): (id, label = component
+    * min).
+    */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int): DataFrame = {
+    val e0 = edges.localCheckpoint()
+    val sym0 = e0.select(col("da").as("u"), col("db").as("v"))
+      .union(e0.select(col("db").as("u"), col("da").as("v")))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    val nodes = sym0.select(col("u").as("id")).distinct().localCheckpoint()
+
+    // large-star over a SYMMETRIC edge set → big→small directed edges
+    def largeStar(sym: DataFrame): DataFrame = {
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+      sym.join(mins, "u")
+        .withColumn("m", least(col("u"), col("mv")))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    // small-star over big→small directed edges (every v < u)
+    def smallStar(dir: DataFrame): DataFrame = {
+      val mins = dir.groupBy("u").agg(min("v").as("mv"))
+      val moved = dir.join(mins, "u")
+        .where(col("v") =!= col("mv"))
+        .select(col("v").as("u"), col("mv").as("v"))
+      val self = mins.select(col("u"), col("mv").as("v"))
+      moved.union(self).where(col("u") =!= col("v")).distinct()
+    }
+
+    var dir = smallStar(largeStar(sym0)).localCheckpoint()
+    var converged = false
+    var i = 1
+    while (!converged && i < maxIter) {
+      val sym = dir.union(dir.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val next = smallStar(largeStar(sym)).localCheckpoint()
+      converged = next.exceptAll(dir).isEmpty && dir.exceptAll(next).isEmpty
+      dir = next
+      i += 1
+    }
+    // at the fixpoint edges form stars on component minima: label(u) =
+    // min(u, its star center); centers appear only as targets → self label
+    val centers = dir.groupBy("u").agg(min("v").as("mv"))
+    nodes.join(centers.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("mv"), col("id"))).as("label"))
+  }
+
   /** Exact lang-blocked 3-shingle Jaccard pairs at J ≥ 0.2 (the d02
     * dataflow): shingle-join candidate generation with shingles above
     * `dfCap` per-lang document frequency excluded from the join (full set
@@ -359,6 +416,23 @@ object DedupOps {
                SELECT doc_id, lang FROM documents
                WHERE doc_id NOT IN (SELECT doc_id FROM losers)
                ORDER BY doc_id"""),
+      bench = false),
+
+    // The SAME cluster resolution as d06b but via alternating large-star /
+    // small-star — the O(log n)-rounds-regardless-of-diameter formulation
+    // (min-label propagation needs O(diameter) rounds; document families
+    // that drift gradually produce exactly those long chains). Same
+    // recursive-CTE oracle as d06b: both algorithms must land on identical
+    // clusters.
+    Q("d06c_dedup_clusters_star",
+      (s, d) => {
+        val pairs = byNameLocal("d02_ngram_jaccard").build(s, d).select("da", "db")
+        connectedComponentsStar(pairs, maxIter = 20)
+          .select(col("id").as("doc_id"), col("label").as("cluster"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $sqlClusterCtes
+               SELECT doc_id, cluster FROM clusters ORDER BY doc_id"""),
       bench = false),
 
     // SimHash near-dup RETRIEVAL (d04 only computes signatures): band the

@@ -160,6 +160,32 @@ class DedupOpsSpec extends SparkSpec {
       s"cap pruned a pair with cold evidence: ${un -- cp}")
   }
 
+  test("large-star/small-star CC == min-label propagation on path, random, and corpus graphs") {
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def both(edges: org.apache.spark.sql.DataFrame): Unit = {
+      // propagation needs O(diameter) rounds (63 on the path below — with
+      // only 50 it demonstrably returns unconverged labels); star needs
+      // O(log n) and gets a tighter budget on purpose
+      val prop = labels(DedupOps.connectedComponents(edges, 100).select("id", "label"))
+      val star = labels(DedupOps.connectedComponentsStar(edges, 20).select("id", "label"))
+      assert(star === prop, "star CC disagrees with propagation CC")
+    }
+    // long path 0-1-...-63: diameter 63 — the propagation worst case and
+    // the shape star methods exist for
+    both((0L until 63L).map(i => (i, i + 1)).toDF("da", "db"))
+    // deterministic pseudo-random graph (fixed seed)
+    val rnd = new scala.util.Random(42)
+    both((1 to 200).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).toDF("da", "db"))
+    // two disjoint cliques + an isolated pair
+    both((for { a <- 0L to 4L; b <- 0L to 4L if a < b } yield (a, b))
+      .++(for { a <- 10L to 13L; b <- 10L to 13L if a < b } yield (a, b))
+      .:+((100L, 101L)).toDF("da", "db"))
+    // the real pair graph
+    both(Catalog.byName("d02_ngram_jaccard").build(spark, sfDir).select("da", "db"))
+  }
+
   test("simhash of identical docs is identical") {
     val out = Catalog.byName("d04_simhash").build(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
