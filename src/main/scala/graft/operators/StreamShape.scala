@@ -174,6 +174,40 @@ object StreamShape {
                JOIN '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet' b
                  ON l.blockNumber = b.number
                ORDER BY blockNumber, logIndex"""),
+      bench = false),
+
+    // CUSTOM TYPED STATE in the hash gate: per-address activity sessions
+    // via KeyValueGroupedDataset.mapGroupsWithState (StreamOps
+    // .addressActivity) over the graft-eth stream. State is per-key and
+    // partition-distributed (no global state — the 100 TB shape). Update
+    // mode emits one row per touched key per batch; the drain is sized to
+    // ONE batch (maxBlocksPerTrigger covers [0..head]) so the sink holds
+    // exactly the final state per address, oracled as the grouped
+    // min/max/count over the direct chain dump.
+    Q("x07_stateful_sessions",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = s"x07_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x07ckpt").toString
+        val logs = s.readStream.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", "0").option("head", "999")
+          .option("maxBlocksPerTrigger", "1000").load()
+        val sq = graft.streaming.StreamOps.addressActivity(logs)
+          .toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        s.table(name).orderBy("address")
+      },
+      Some(s"""SELECT address,
+                      MIN(blockNumber) AS firstBlock,
+                      MAX(blockNumber) AS lastBlock,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE blockNumber <= 999
+               GROUP BY address ORDER BY address"""),
       bench = false)
   )
 }
