@@ -51,4 +51,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"scale-hostile plan shapes found:\n${offenders.mkString("\n")}")
   }
+
+  test("filters and column pruning reach the parquet scan") {
+    // a01: a range predicate on event_id must be PUSHED (not a post-scan
+    // filter over a full read), and the scan must read ONLY the projected
+    // columns — at 100 TB the difference between reading 3 columns of the
+    // matching row groups and reading everything.
+    val a01 = Catalog.byName("a01_range_scan").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(a01.contains("PushedFilters: [IsNotNull(event_id), GreaterThanOrEqual(event_id,100), LessThanOrEqual(event_id,499)]"),
+      s"a01 range predicate not pushed to parquet:\n$a01")
+    assert(a01.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string>"),
+      s"a01 scan reads more columns than the projection needs:\n$a01")
+    // t01 projects doc_id + text out of a 5-column table: pruning must
+    // drop lang/source/n_chars at the scan
+    val t01 = Catalog.byName("t01_token_count").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(t01.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"t01 scan not pruned to (doc_id, text):\n$t01")
+  }
 }
