@@ -192,10 +192,14 @@ object DedupOps {
     */
   def connectedComponentsStar(edges: DataFrame, maxIter: Int): DataFrame = {
     val e0 = edges.localCheckpoint()
+    // node set BEFORE dropping self-loops, so a node appearing only in a
+    // self-loop edge still gets its (self) label — matching
+    // connectedComponents, whose symmetrized edge list keeps such nodes
+    val nodes = e0.select(col("da").as("id"))
+      .union(e0.select(col("db").as("id"))).distinct().localCheckpoint()
     val sym0 = e0.select(col("da").as("u"), col("db").as("v"))
       .union(e0.select(col("db").as("u"), col("da").as("v")))
       .where(col("u") =!= col("v")).distinct().localCheckpoint()
-    val nodes = sym0.select(col("u").as("id")).distinct().localCheckpoint()
 
     // large-star over a SYMMETRIC edge set → big→small directed edges
     def largeStar(sym: DataFrame): DataFrame = {

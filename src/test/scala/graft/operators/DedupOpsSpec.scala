@@ -178,10 +178,10 @@ class DedupOpsSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     both((1 to 200).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
       .filter(p => p._1 != p._2).toDF("da", "db"))
-    // two disjoint cliques + an isolated pair
+    // two disjoint cliques + an isolated pair + a self-loop-only node
     both((for { a <- 0L to 4L; b <- 0L to 4L if a < b } yield (a, b))
       .++(for { a <- 10L to 13L; b <- 10L to 13L if a < b } yield (a, b))
-      .:+((100L, 101L)).toDF("da", "db"))
+      .:+((100L, 101L)).:+((200L, 200L)).toDF("da", "db"))
     // the real pair graph
     both(Catalog.byName("d02_ngram_jaccard").build(spark, sfDir).select("da", "db"))
   }
