@@ -480,6 +480,47 @@ object DedupOps {
                FROM hcand WHERE bit_count(xor(sha, shb)) <= 7
                ORDER BY da, db""")),
 
+    // Benchmark DECONTAMINATION — the training-pipeline step the dedup
+    // family exists to serve: remove from the training split every document
+    // that shares an 8-word-gram with the held-out benchmark split (src0
+    // stands in for the eval set). 8-grams (vs the dedup family's 3-grams)
+    // follow the published LM-decontamination practice: long enough that a
+    // collision means real text overlap, not phrase coincidence. Scale
+    // shape: the benchmark side is tiny relative to the corpus (eval sets
+    // are thousands of docs vs billions), so its distinct-shingle set is
+    // BROADCAST and contamination detection is a map-side semi-join — the
+    // 100 TB pass reads the corpus exactly once with no corpus-wide
+    // shuffle; the final anti-join keys on doc_id against the (small)
+    // contaminated-id set.
+    Q("d09_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh = docs.select(col("doc_id"), col("source"),
+          graft.functions.GraftFunctions.word_shingles(col("text"), 8).as("sh"))
+        val benchShingles = sh.where(col("source") === "src0")
+          .select(explode(col("sh")).as("shingle")).distinct()
+        val contaminated = sh.where(col("source") =!= "src0")
+          .select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .join(broadcast(benchShingles), "shingle")
+          .select("doc_id").distinct()
+        docs.where(col("source") =!= "src0")
+          .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tt AS (SELECT *, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                 sh8 AS (SELECT doc_id, source,
+                                list_distinct(CASE WHEN len(toks) >= 8
+                                  THEN list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))
+                                  ELSE [] END) AS sh
+                         FROM tt),
+                 bsh AS (SELECT DISTINCT UNNEST(sh) AS shingle FROM sh8 WHERE source = 'src0'),
+                 tex AS (SELECT doc_id, UNNEST(sh) AS shingle FROM sh8 WHERE source <> 'src0'),
+                 cont AS (SELECT DISTINCT doc_id FROM tex JOIN bsh USING (shingle))
+               SELECT doc_id, lang, source FROM documents
+               WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM cont)
+               ORDER BY doc_id""")),
+
     // Embedding-cosine near-dup: probe block vs corpus, threshold 0.2
     // (synthetic embeddings are near-orthogonal; threshold exercises the
     // scan without emitting the full pair space).

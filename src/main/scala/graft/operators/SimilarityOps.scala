@@ -88,6 +88,51 @@ object SimilarityOps {
   def lshBucket(v: Column): Column =
     graft.functions.GraftFunctions.hyperplane_bucket(v, NumPlanes)
 
+  /** The deterministic IVF centroid sample (the `IvfCells` lowest vec_ids,
+    * in vec_id order so cell index k == rank of centroid vec_id) as
+    * (embedding, norm2) pairs — a bounded 16-row collect, shipped to
+    * executors as codegen reference objects via `centroid_scores`.
+    */
+  def ivfCentroids(corpus: DataFrame): Array[(Array[Float], Long)] =
+    corpus.where(col("vec_id") < IvfCells)
+      .select("vec_id", "embedding", "norm2").collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getSeq[Float](1).toArray, r.getLong(2)))
+
+  /** Corpus with its IVF cell assignment: argmax over the 16 centroid
+    * scores, computed INSIDE the projection (first position of the max —
+    * ties to the lowest cell). A pure narrow scan: no ×16 posexplode, no
+    * corpus-wide window shuffle — shared by sim03 (search) and sim05 (the
+    * Lloyd training step).
+    */
+  def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+    val corpus = withNorm(s, d)
+    val cents = ivfCentroids(corpus)
+    corpus
+      .withColumn("__dots",
+        graft.functions.GraftFunctions.centroid_scores(col("embedding"), cents.map(_._1), cents.map(_._2)))
+      .withColumn("cell",
+        (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast(IntegerType))
+      .drop("__dots")
+  }
+
+  /** Oracle CTEs shared by sim03/sim05: exact scaled scores of every vector
+    * against the 16 centroid vectors and the resulting argmax cell
+    * assignment (`assigned(vec_id, cell)`, cell = centroid vec_id — equal
+    * to the cell INDEX because centroid vec_ids are the contiguous 0..15).
+    */
+  lazy val sqlIvfAssignCtes: String =
+    s"""nv AS (SELECT vec_id, embedding, $sqlNorm2 AS norm2 FROM embeddings),
+          cscores AS (
+            SELECT a.vec_id, b.cell, $sqlDot / SQRT(CAST(b.norm2 AS DOUBLE)) AS score
+            FROM nv a CROSS JOIN
+              (SELECT vec_id AS cell, embedding, norm2 FROM nv WHERE vec_id < $IvfCells) b),
+          assigned AS (
+            SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+              FROM cscores) WHERE rn = 1)"""
+
   /** The 15 per-table 4-bit keys of a sign word, as (tbl, key) structs. */
   def lshTableKeys(b: Column): Column =
     array((0 until LshTables).map { t =>
@@ -143,17 +188,11 @@ object SimilarityOps {
             .where(col("__rk") <= n)
             .drop("__dots", "cell_score", "__rk")
         }
-        // Corpus cell assignment is argmax over the 16 centroid scores,
-        // computed INSIDE the projection (first position of the max —
-        // ties to the lowest cell, same as the window's tie-break). A pure
-        // narrow scan: no ×16 posexplode, no corpus-wide window shuffle —
-        // at 100 TB the difference between a map stage and a full exchange.
-        // The probe side keeps the windowed top-`IvfProbe` (10 rows).
-        val assigned = corpus
-          .withColumn("__dots", cellScores(col("embedding")))
-          .withColumn("cell",
-            (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast(IntegerType))
-          .drop("__dots")
+        // Corpus cell assignment via [[ivfAssigned]] (argmax inside the
+        // projection — ties to the lowest cell, same as the window's
+        // tie-break; a map stage, not a full exchange, at 100 TB). The
+        // probe side keeps the windowed top-`IvfProbe` (10 rows).
+        val assigned = ivfAssigned(s, d)
         val probes = bestCells(
           corpus.where(col("vec_id") < 10)
             .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("norm2").as("qnorm2")),
@@ -172,16 +211,7 @@ object SimilarityOps {
       // argmax (ties to the lowest cell — mirrored by ORDER BY score DESC,
       // cell with cell = centroid vec_id), so DuckDB reproduces it directly
       // from the embeddings table: no engine-internal state involved.
-      Some(s"""WITH nv AS (SELECT vec_id, embedding, $sqlNorm2 AS norm2 FROM embeddings),
-                 cscores AS (
-                   SELECT a.vec_id, b.cell, $sqlDot / SQRT(CAST(b.norm2 AS DOUBLE)) AS score
-                   FROM nv a CROSS JOIN
-                     (SELECT vec_id AS cell, embedding, norm2 FROM nv WHERE vec_id < $IvfCells) b),
-                 assigned AS (
-                   SELECT vec_id, cell FROM (
-                     SELECT vec_id, cell,
-                            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
-                     FROM cscores) WHERE rn = 1),
+      Some(s"""WITH $sqlIvfAssignCtes,
                  pcells AS (
                    SELECT vec_id AS qid, cell FROM (
                      SELECT vec_id, cell,
@@ -200,6 +230,45 @@ object SimilarityOps {
                         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
                  FROM iscored)
                WHERE rk <= 3 ORDER BY qid, rk""")),
+
+    // One LLOYD (k-means) TRAINING step for the IVF coarse quantizer — the
+    // piece that turns sim03's deterministic seed centroids into trained
+    // ones: assign every vector to its nearest centroid (the shared
+    // map-only argmax of [[ivfAssigned]]), then recompute each centroid as
+    // the per-cell per-dimension mean of its members. Numeric design for
+    // the hash gate: per-element values are floor-scaled to exact integers
+    // (the SimilarityOps convention) and summed as DECIMAL(38,0) —
+    // DuckDB's SUM(BIGINT) is HUGEINT, so BOTH sides reduce exactly and
+    // order-independently, and the final long→double division is
+    // deterministic. Scale shape: posexplode to (cell, dim) then a
+    // two-level aggregate with map-side combine — the canonical
+    // distributed-kmeans shuffle, 16×64 result rows regardless of corpus
+    // size; further iterations repeat the same step with the output
+    // broadcast back (centroids are always cells×dim ≪ corpus).
+    Q("sim05_kmeans_step",
+      (s, d) => {
+        val assigned = ivfAssigned(s, d)
+        assigned
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy("cell", "dim")
+          .agg(count(lit(1)).as("n_members"),
+            sum(floor(col("x").cast(DoubleType) * SCALE).cast(DecimalType(38, 0))).as("ssum"))
+          .select(col("cell"), col("dim"), col("n_members"),
+            (col("ssum").cast(DoubleType) / (col("n_members") * lit(SCALE))).as("centroid"))
+          .orderBy("cell", "dim")
+      },
+      Some(s"""WITH $sqlIvfAssignCtes,
+                 em AS (
+                   SELECT a.cell, i.dim, e.embedding[CAST(i.dim + 1 AS INT)] AS x
+                   FROM assigned a JOIN nv e USING (vec_id),
+                        LATERAL (SELECT UNNEST(range(0, len(e.embedding))) AS dim) i),
+                 sums AS (
+                   SELECT cell, dim, COUNT(*) AS n_members,
+                          SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1e15) AS BIGINT)) AS ssum
+                   FROM em GROUP BY 1, 2)
+               SELECT CAST(cell AS INT) AS cell, CAST(dim AS INT) AS dim, n_members,
+                      CAST(ssum AS DOUBLE) / (n_members * 1e15) AS centroid
+               FROM sums ORDER BY cell, dim""")),
 
     // LSH-bucketed ANN — the scale path: one codegen'd 60-bit sign word per
     // vector (map-only), 15 OR'd tables of 4-bit keys; candidates = probe ×

@@ -249,6 +249,78 @@ object TextOps {
                GROUP BY lang ORDER BY lang"""),
       bench = false),
 
+    // TF-IDF keyword extraction — top-3 characteristic terms per document.
+    // Scoring uses the LOG-FREE rational idf tf/df: ranking is identical to
+    // tf·(N/df) (N is constant per corpus) and the score is one IEEE
+    // division of two exact integers, so Spark and DuckDB agree
+    // bit-for-bit (ln() differs across engines in the last ulp, which
+    // would make near-tied ranks engine-dependent). Scale shape: explode →
+    // two-level (doc,tok) count with map-side combine; the df table is
+    // vocabulary-sized (≪ corpus, hash-joined on tok); the rank window is
+    // partitioned BY doc_id — no global window, no single-task sort.
+    Q("t10_tfidf_keywords",
+      (s, d) => {
+        val toksEx = t(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .where(length(col("tok")) > 0)
+        val tf = toksEx.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val scored = tf.join(dfreq, "tok")
+          .withColumn("score", col("tf").cast(DoubleType) / col("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("score"), col("tok"))
+        scored.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select("doc_id", "rk", "tok", "tf", "df", "score")
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH tt AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+                 tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tt WHERE length(tok) > 0 GROUP BY 1, 2),
+                 df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+                 scored AS (SELECT doc_id, tok, tf.tf, df.df,
+                                   CAST(tf.tf AS DOUBLE) / df.df AS score,
+                                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tok) AS rk
+                            FROM tf JOIN df USING (tok))
+               SELECT doc_id, CAST(rk AS INT) AS rk, tok, tf, df, score
+               FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // Within-document REPETITION signal — the published LM quality filter
+    // that catches boilerplate/spam: fraction of duplicated tokens and of
+    // duplicated word-3-grams inside each document (1 − distinct/total).
+    // Map-only codegen'd pass (word_shingles dedupes, so distinct 3-gram
+    // count is its size; total is len(toks)−2); scores are single IEEE
+    // divisions of exact integers — engine-exact. At 100 TB this is a pure
+    // scan with full column pruning, like t01/t02.
+    Q("t11_repetition",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        t(s, d, "documents")
+          .withColumn("n_toks", size(toks))
+          .withColumn("n_dtoks", size(array_distinct(toks)))
+          .withColumn("n_3g", greatest(col("n_toks") - 2, lit(0)))
+          .withColumn("n_d3g", size(DedupOps.shingles3(col("text"))))
+          .select(col("doc_id"), col("n_toks"), col("n_dtoks"), col("n_3g"), col("n_d3g"),
+            (lit(1.0) - col("n_dtoks").cast(DoubleType) / col("n_toks")).as("dup_tok_frac"),
+            when(col("n_3g") > 0, lit(1.0) - col("n_d3g").cast(DoubleType) / col("n_3g"))
+              .otherwise(lit(0.0)).as("dup_3g_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+                      CAST(len(toks) AS INT) AS n_toks,
+                      CAST(len(list_distinct(toks)) AS INT) AS n_dtoks,
+                      CAST(greatest(len(toks) - 2, 0) AS INT) AS n_3g,
+                      CAST(len(g3) AS INT) AS n_d3g,
+                      1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_tok_frac,
+                      CASE WHEN len(toks) - 2 > 0
+                           THEN 1.0 - CAST(len(g3) AS DOUBLE) / (len(toks) - 2)
+                           ELSE 0.0 END AS dup_3g_frac
+               FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS toks,
+                            ${DedupOps.sqlShingles3} AS g3
+                     FROM documents)
+               ORDER BY doc_id"""),
+      bench = true),
+
     // Document fingerprint: position-weighted token hash mod a prime
     // (rolling-hash family; deterministic, engine-independent arithmetic).
     // One codegen'd pass (`token_fingerprint`) — bit-identical to the

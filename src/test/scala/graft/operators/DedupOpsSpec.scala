@@ -186,6 +186,26 @@ class DedupOpsSpec extends SparkSpec {
     both(Catalog.byName("d02_ngram_jaccard").build(spark, sfDir).select("da", "db"))
   }
 
+  test("d09 keeps exactly the training docs sharing NO 8-gram with the benchmark split") {
+    // driver-side ground truth with plain-Scala shingling (independent of
+    // the word_shingles kernel)
+    val rows = Catalog.t(spark, sfDir, "documents")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def sh8(t: String): Set[String] =
+      t.trim.split("\\s+").filter(_.nonEmpty).sliding(8)
+        .filter(_.length == 8).map(_.mkString(" ")).toSet
+    val bench = rows.filter(_._2 == "src0").flatMap(r => sh8(r._3)).toSet
+    val expectKept = rows.collect {
+      case (id, src, t) if src != "src0" && sh8(t).intersect(bench).isEmpty => id
+    }.toSet
+    val got = Catalog.byName("d09_decontaminate").build(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expectKept)
+    assert(expectKept.size < rows.count(_._2 != "src0"),
+      "fixture has no contamination — the spec would not exercise the filter")
+  }
+
   test("simhash of identical docs is identical") {
     val out = Catalog.byName("d04_simhash").build(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
