@@ -267,6 +267,21 @@ object DedupOps {
       .where(col("jaccard") >= 0.2)
   }
 
+  /** Oracle CTEs for 8-gram benchmark decontamination → `cont(doc_id)`,
+    * the contaminated training doc ids (shared by d09 and the p02
+    * pipeline; CTE names are 8-suffixed to compose with sqlClusterCtes).
+    */
+  val sqlDecontCtes: String =
+    s"""tt8 AS (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        sh8 AS (SELECT doc_id, source,
+                       list_distinct(CASE WHEN len(toks) >= 8
+                         THEN list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))
+                         ELSE [] END) AS sh
+                FROM tt8),
+        bsh AS (SELECT DISTINCT UNNEST(sh) AS shingle FROM sh8 WHERE source = 'src0'),
+        tex AS (SELECT doc_id, UNNEST(sh) AS shingle FROM sh8 WHERE source <> 'src0'),
+        cont AS (SELECT DISTINCT doc_id FROM tex JOIN bsh USING (shingle))"""
+
   /** Local alias to avoid a Catalog init cycle (Catalog.byName forces
     * Catalog.all which includes this module).
     */
@@ -508,18 +523,39 @@ object DedupOps {
           .select("doc_id", "lang", "source")
           .orderBy("doc_id")
       },
-      Some("""WITH tt AS (SELECT *, string_split_regex(trim(text), '\s+') AS toks FROM documents),
-                 sh8 AS (SELECT doc_id, source,
-                                list_distinct(CASE WHEN len(toks) >= 8
-                                  THEN list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))
-                                  ELSE [] END) AS sh
-                         FROM tt),
-                 bsh AS (SELECT DISTINCT UNNEST(sh) AS shingle FROM sh8 WHERE source = 'src0'),
-                 tex AS (SELECT doc_id, UNNEST(sh) AS shingle FROM sh8 WHERE source <> 'src0'),
-                 cont AS (SELECT DISTINCT doc_id FROM tex JOIN bsh USING (shingle))
+      Some(s"""WITH $sqlDecontCtes
                SELECT doc_id, lang, source FROM documents
                WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM cont)
                ORDER BY doc_id""")),
+
+    // Edit-distance (Levenshtein) verification over the BLOCKED candidate
+    // pairs — the exact character-level string metric of the near-dup
+    // family (Jaccard is token-set, SimHash is bit-sketch; Levenshtein
+    // catches small in-place edits both can miss). O(len²) per pair, so at
+    // scale it only ever runs on candidates from blocking (here the d02
+    // pair graph; at 100 TB, the LSH candidates), NEVER the raw pair
+    // space. Both engines implement unit-cost Levenshtein identically;
+    // the normalized similarity is one IEEE division of exact ints.
+    Q("d10_edit_distance",
+      (s, d) => {
+        val pairs = byNameLocal("d02_ngram_jaccard").build(s, d).select("da", "db")
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val ta = docs.select(col("doc_id").as("da"), col("text").as("ta"))
+        val tb = docs.select(col("doc_id").as("db"), col("text").as("tb"))
+        pairs.join(ta, "da").join(tb, "db")
+          .withColumn("lev", levenshtein(col("ta"), col("tb")))
+          .withColumn("sim",
+            lit(1.0) - col("lev").cast(DoubleType) / greatest(length(col("ta")), length(col("tb"))))
+          .select("da", "db", "lev", "sim")
+          .orderBy("da", "db")
+      },
+      Some(s"""WITH $sqlJaccardCtes
+               SELECT da, db, CAST(levenshtein(ta.text, tb.text) AS INT) AS lev,
+                      1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+                            / greatest(length(ta.text), length(tb.text)) AS sim
+               FROM jpairs JOIN documents ta ON ta.doc_id = jpairs.da
+                           JOIN documents tb ON tb.doc_id = jpairs.db
+               ORDER BY da, db""")),
 
     // Embedding-cosine near-dup: probe block vs corpus, threshold 0.2
     // (synthetic embeddings are near-orthogonal; threshold exercises the

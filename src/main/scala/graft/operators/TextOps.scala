@@ -285,6 +285,46 @@ object TextOps {
                SELECT doc_id, CAST(rk AS INT) AS rk, tok, tf, df, score
                FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""")),
 
+    // Full curation pipeline v2 — the COMPLETE pre-training data flow:
+    // benchmark decontamination (d09) ∘ near-dup cluster apply (d07b) ∘
+    // quality filter (t06) → per-(lang, source) corpus composition. Each
+    // stage is independently hash-green; this entry pins their COMPOSITION
+    // (join ordering, filter interaction, the final mix report) in the
+    // gate. Every join is against a doc-id set far smaller than the
+    // corpus — broadcast-able at scale; the quality predicate stays
+    // map-only.
+    Q("p02_full_curation",
+      (s, d) => {
+        val decon = Catalog.byName("d09_decontaminate").build(s, d).select("doc_id")
+        val undup = Catalog.byName("d07b_dedup_apply_exact").build(s, d).select("doc_id")
+        val toks = tokens(col("text"))
+        t(s, d, "documents")
+          .join(decon, "doc_id").join(undup, "doc_id")
+          .withColumn("n_tokens", size(toks))
+          .withColumn("n_stop", countIn(col("text"), stopwords))
+          .withColumn("avg_token_len",
+            length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / col("n_tokens"))
+          .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
+          .where(col("n_tokens").between(10, 500) &&
+            col("avg_token_len").between(2.0, 12.0) &&
+            col("stop_ratio") <= 0.6)
+          .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "source")
+      },
+      Some(s"""WITH RECURSIVE ${DedupOps.sqlClusterCtes},
+                 losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster),
+                 ${DedupOps.sqlDecontCtes},
+                 qt AS (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+               SELECT lang, source, COUNT(*) AS n_docs FROM qt
+               WHERE source <> 'src0'
+                 AND doc_id NOT IN (SELECT doc_id FROM cont)
+                 AND doc_id NOT IN (SELECT doc_id FROM losers)
+                 AND len(toks) BETWEEN 10 AND 500
+                 AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
+                 AND CAST(${sqlCountIn(stopwords)} AS DOUBLE) / len(toks) <= 0.6
+               GROUP BY lang, source ORDER BY lang, source"""),
+      bench = false),
+
     // Within-document REPETITION signal — the published LM quality filter
     // that catches boilerplate/spam: fraction of duplicated tokens and of
     // duplicated word-3-grams inside each document (1 − distinct/total).

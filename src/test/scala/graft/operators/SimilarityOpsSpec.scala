@@ -76,4 +76,32 @@ class SimilarityOpsSpec extends SparkSpec {
       .where(col("fast") =!= col("slow")).count()
     assert(bad === 0)
   }
+
+  test("sim05 Lloyd step == driver-side recomputation from raw embeddings") {
+    import spark.implicits._
+    val SCALE = SimilarityOps.SCALE
+    val rows = Catalog.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def sdot(a: Array[Float], b: Array[Float]): Long =
+      a.indices.map(i => math.floor(a(i).toDouble * b(i).toDouble * SCALE).toLong).sum
+    val cents = rows.filter(_._1 < SimilarityOps.IvfCells).sortBy(_._1).map(_._2)
+    val cnorm = cents.map(c => sdot(c, c))
+    def cellOf(v: Array[Float]): Int = {
+      val scores = cents.indices.map(k => sdot(v, cents(k)).toDouble / math.sqrt(cnorm(k).toDouble))
+      scores.indexOf(scores.max) // first occurrence of max = lowest cell
+    }
+    val dims = rows.head._2.length
+    val expected = (for {
+      (c, members) <- rows.groupBy { case (_, v) => cellOf(v) }.toSeq
+      dim <- 0 until dims
+    } yield {
+      val n = members.length.toLong
+      val ssum = members.map { case (_, v) => BigInt(math.floor(v(dim).toDouble * SCALE).toLong) }.sum
+      (c, dim, n, ssum.toDouble / (n * SCALE))
+    }).toSet
+    val got = Catalog.byName("sim05_kmeans_step").build(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected)
+  }
 }
