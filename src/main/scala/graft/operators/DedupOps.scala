@@ -160,6 +160,15 @@ object DedupOps {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // Convergence via the exact label sum: propagation is MONOTONE (each
+    // node's label can only decrease — label' = least(label, nbr-min)), so
+    // the sum is strictly decreasing until the fixpoint and "sum
+    // unchanged" ⟺ "no label changed". One partial+final aggregate per
+    // iteration instead of a join+filter action; DECIMAL(38,0) keeps the
+    // sum exact (no Long overflow at billions of nodes × 64-bit ids).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -168,8 +177,9 @@ object DedupOps {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .where(col("label") =!= col("prev")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       i += 1
     }
