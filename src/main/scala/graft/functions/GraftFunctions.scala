@@ -53,6 +53,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("hex_to_decimal", exprs => HexToDecimal(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       exprs => WordShingles(exprs.head, intArg("word_shingles", 2, exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      exprs => WordNgrams(exprs.head, intArg("word_ngrams", 2, exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("simhash64", exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_signature",
       exprs => MinHashSignature(exprs.head,
@@ -73,6 +75,7 @@ object GraftFunctions {
   def hex_to_long(c: Column): Column = call_function("hex_to_long", c)
   def hex_to_decimal(c: Column): Column = call_function("hex_to_decimal", c)
   def word_shingles(c: Column, n: Int): Column = call_function("word_shingles", c, lit(n))
+  def word_ngrams(c: Column, n: Int): Column = call_function("word_ngrams", c, lit(n))
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def minhash_signature(c: Column, shingleN: Int, numHashes: Int): Column =
     call_function("minhash_signature", c, lit(shingleN), lit(numHashes))

@@ -64,6 +64,45 @@ object TextKernels extends Serializable {
     new GenericArrayData(out)
   }
 
+  /** Word n-grams WITH multiplicity, in document order (the non-deduping
+    * sibling of [[wordShingles]]) — what frequency-counting consumers (BPE
+    * pair statistics) need, where [[wordShingles]]'s set semantics would
+    * undercount repeated pairs. Same tokenization; fewer than n tokens →
+    * empty array.
+    */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return null
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+        toks.add(s.substring(start, i))
+      }
+    }
+    val m = toks.size
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j <= m - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.get(j + k))
+        k += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature in one pass: distinct word-`shingleN`-gram shingles,
     * base hash h = xxhash64(shingle, seed 42) mod p (p = 2^31-1), signature
     * element k = min over shingles of (h·a_k + b_k) mod p with
@@ -361,6 +400,28 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordShingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** `word_ngrams(text, n)` — word n-grams with multiplicity in document
+  * order (non-deduping sibling of `word_shingles`), codegen'd.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"ngram size must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"word_ngrams expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "word_ngrams"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextKernels.wordNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.wordNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
 }
 

@@ -326,6 +326,33 @@ object SimilarityOps {
             WHERE rk <= 3 ORDER BY qid, rk"""
       }),
 
+    // HARD-NEGATIVE mining for contrastive training — per probe, the top-5
+    // most-similar corpus vectors inside a mid-similarity band
+    // [0.05, 0.25]: above the band are positives/near-dups (leakage into
+    // the negative set poisons the loss), below are easy negatives that
+    // contribute no gradient. Same exact-integer cosine as sim01, so the
+    // band boundaries are engine-exact; at scale the band filter runs
+    // before the per-probe top-k window, and the candidate generation
+    // rides either brute-force (bounded probe block, this baseline) or
+    // the sim02 LSH path.
+    Q("sim06_hard_negatives",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("vec_id"))
+        probePairs(s, d, 10)
+          .where(col("cos_sim").between(0.05, 0.25))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 5)
+          .select("qid", "vec_id", "cos_sim", "rk")
+          .orderBy("qid", "rk")
+      },
+      Some(s"""SELECT qid, vec_id, cos_sim, rk FROM (
+                 SELECT qid, vec_id, cos_sim,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+                 FROM (${sqlProbePairs(10)}) WHERE cos_sim BETWEEN 0.05 AND 0.25)
+               WHERE rk <= 5 ORDER BY qid, rk"""),
+      bench = false),
+
     // ANN quality as a NUMBER: recall@3 of the LSH and IVF paths against the
     // exact brute-force top-3 over each method's probe set. Depends on
     // engine-internal buckets → rows-only driver check, but the dumped rows

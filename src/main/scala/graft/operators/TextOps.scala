@@ -361,6 +361,26 @@ object TextOps {
                ORDER BY doc_id"""),
       bench = true),
 
+    // One BPE-style TOKENIZER-TRAINING step: corpus-wide adjacent-pair
+    // (word-bigram) frequencies with MULTIPLICITY, top-20 merge candidates
+    // by count with a deterministic tie-break — the statistic each BPE
+    // merge iteration ranks (at the word level here; byte-level is the
+    // same dataflow over a different alphabet). Bigrams come from the
+    // codegen'd non-deduping `word_ngrams` kernel (word_shingles' set
+    // semantics would undercount repeated pairs; the transform/sequence
+    // HOF form runs interpreted) — a map-only projection, then the same
+    // skew-tolerant two-level count as t05.
+    Q("t12_bpe_merge_step",
+      (s, d) => t(s, d, "documents")
+        .select(explode(graft.functions.GraftFunctions.word_ngrams(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("bigram"))
+        .limit(20),
+      Some("""SELECT bigram, COUNT(*) AS n
+              FROM (SELECT UNNEST(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                    FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents))
+              GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")),
+
     // Document fingerprint: position-weighted token hash mod a prime
     // (rolling-hash family; deterministic, engine-independent arithmetic).
     // One codegen'd pass (`token_fingerprint`) — bit-identical to the

@@ -49,6 +49,29 @@ class TextExpressionsSpec extends SparkSpec {
     assert(df(5) === Seq("w w w"))
   }
 
+  test("word_ngrams == declarative transform/slice formulation, keeps multiplicity and order") {
+    GraftFunctions.register(spark)
+    def declarativeNgrams2(text: org.apache.spark.sql.Column) = {
+      val toks = split(trim(text), "\\s+")
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1), i => concat_ws(" ", slice(toks, i, lit(2)))))
+        .otherwise(array().cast(ArrayType(StringType)))
+    }
+    val docs = graft.operators.Catalog.t(spark, sfDir, "documents")
+    val bad = docs.select(
+      GraftFunctions.word_ngrams($"text", 2).as("fast"),
+      declarativeNgrams2($"text").as("slow"))
+      .where(!($"fast" <=> $"slow")).count()
+    assert(bad === 0, s"$bad docs disagree between kernel and declarative bigrams")
+    // multiplicity: repeated pairs are NOT collapsed (unlike word_shingles)
+    val rep = Seq(("w w w w", 1)).toDF("text", "id")
+      .select(GraftFunctions.word_ngrams($"text", 2).as("ng"),
+        GraftFunctions.word_shingles($"text", 2).as("sh"))
+      .head
+    assert(rep.getSeq[String](0) === Seq("w w", "w w", "w w"))
+    assert(rep.getSeq[String](1) === Seq("w w"))
+  }
+
   test("minhash_signature == explode + 64×min-aggregate dataflow on real docs") {
     GraftFunctions.register(spark)
     val P = graft.operators.DedupOps.MinhashPrime
