@@ -6,13 +6,16 @@ import org.apache.spark.sql.types._
 import Catalog._
 
 /** Deduplication operators for training-data curation (SURVEY M6):
-  * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine,
+  * edit-distance near-dup, cluster resolution (propagation + star CC),
+  * dedup apply, and benchmark decontamination.
   *
   * Scale design: every variant is expressed as hash-partitioned dataflow —
   * exact dedup is one hash aggregation; Jaccard/MinHash go through an
   * (id, shingle)-exploded shuffle keyed on the shingle/band so candidate
   * generation never materializes the O(n²) pair space; only candidate pairs
-  * (bucket collisions) are verified.
+  * (bucket collisions) are verified, and expensive exact metrics
+  * (Levenshtein) run exclusively on blocked candidates.
   */
 object DedupOps {
 

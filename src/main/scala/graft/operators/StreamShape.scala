@@ -208,6 +208,50 @@ object StreamShape {
                FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
                WHERE blockNumber <= 999
                GROUP BY address ORDER BY address"""),
+      bench = false),
+
+    // CURATION AS A STREAM: the t06 quality filter (codegen'd kernels
+    // included — word_set_counts runs inside the streaming micro-batch)
+    // applied to a document stream, with a complete-mode per-lang count —
+    // the shape of a continuously-ingesting training-data pipeline (the
+    // filter is stateless/map-only, so the streaming plan is the batch
+    // plan per micro-batch; only the final count carries state). Oracle:
+    // the identical filter+count over the batch table.
+    Q("x08_stream_curation",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        graft.functions.GraftFunctions.register(s)
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val name = s"x08_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x08ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x08src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/documents.parquet"),
+          srcDir.resolve("documents.parquet"))
+        val toks = split(trim(col("text")), "\\s+")
+        val sq = s.readStream.schema(schema).parquet(srcDir.toString)
+          .withColumn("n_tokens", size(toks))
+          .withColumn("n_stop", TextOps.countIn(col("text"), TextOps.stopwords))
+          .withColumn("avg_token_len",
+            length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / col("n_tokens"))
+          .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
+          .where(col("n_tokens").between(10, 500) &&
+            col("avg_token_len").between(2.0, 12.0) &&
+            col("stop_ratio") <= 0.6)
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        s.table(name).orderBy("lang")
+      },
+      Some(s"""SELECT lang, COUNT(*) AS n_docs
+               FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+               WHERE len(toks) BETWEEN 10 AND 500
+                 AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
+                 AND CAST(${TextOps.sqlCountIn(TextOps.stopwords)} AS DOUBLE) / len(toks) <= 0.6
+               GROUP BY lang ORDER BY lang"""),
       bench = false)
   )
 }

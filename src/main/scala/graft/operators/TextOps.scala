@@ -7,16 +7,20 @@ import Catalog._
 
 /** Text-analysis pipeline operators for training-data curation at scale:
   * token counting, quality scoring, n-gram language-ID heuristic, document
-  * fingerprinting. All are per-row, codegen'd column expressions (no UDFs):
-  * on a 1000-executor cluster each is an embarrassingly-parallel map with
-  * full column pruning (only `text` is read from parquet).
+  * fingerprinting, TF-IDF keyword extraction, repetition scoring, BPE
+  * merge statistics, PII redaction, deterministic sampling/mixing, and the
+  * composed curation pipelines (p01/p02). The per-document signals are
+  * codegen'd column expressions (no UDFs): on a 1000-executor cluster each
+  * is an embarrassingly-parallel map with full column pruning (only `text`
+  * is read from parquet); the corpus-level statistics are two-level
+  * aggregates with map-side combine.
   */
 object TextOps {
 
   /** Whitespace tokens of the `text` column. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
-  private val stopwords = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+  private[operators] val stopwords = Seq("the", "and", "of", "to", "a", "in", "is", "it")
 
   // lang → signature-word set for the n-gram/stopword language-ID heuristic.
   val langSignatures: Seq[(String, Seq[String])] = Seq(
@@ -30,10 +34,10 @@ object TextOps {
     * `size(filter(toks, w => array_contains(lit(words), w)))` (pinned in
     * TextKernelSpec).
     */
-  private def countIn(text: Column, words: Seq[String]): Column =
+  private[operators] def countIn(text: Column, words: Seq[String]): Column =
     graft.functions.GraftFunctions.word_set_counts(text, Seq(words)).getItem(0)
 
-  private def sqlCountIn(words: Seq[String]): String =
+  private[operators] def sqlCountIn(words: Seq[String]): String =
     s"CAST(len(list_filter(toks, w -> list_contains([${words.map(w => s"'$w'").mkString(",")}], w))) AS INT)"
 
   val all: Seq[Q] = Seq(
