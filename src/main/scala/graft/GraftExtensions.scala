@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{HexToDecimal, HexToLong, SimHash64, WordShingles}
+import graft.functions.{HexToDecimal, HexToLong, SimHash64, WordNgrams, WordShingles}
 
 /** `SparkSessionExtensions` entry point: makes graft's native expressions
   * available to ANY session — including pure-SQL users — via
@@ -40,6 +40,12 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         WordShingles(children.head,
           graft.functions.GraftFunctions.intArg("word_shingles", 2, children(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) =>
+        WordNgrams(children.head,
+          graft.functions.GraftFunctions.intArg("word_ngrams", 2, children(1)))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

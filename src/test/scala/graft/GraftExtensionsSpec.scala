@@ -43,6 +43,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getString(1) === "1000000000000000000")
       // malformed input is null, not an error, even via SQL
       assert(s.sql("SELECT hex_to_long('0xzz') AS v").head.isNullAt(0))
+      // kernels injected by the extensions are SQL-visible too
+      assert(s.sql("SELECT word_ngrams('a b a b', 2) AS ng").head.getSeq[String](0)
+        === Seq("a b", "b a", "a b"))
 
       // --- topic0 pushdown rule (injected by the same extensions) ---
       import org.apache.spark.sql.functions._
