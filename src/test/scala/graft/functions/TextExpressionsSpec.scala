@@ -149,8 +149,12 @@ class TextExpressionsSpec extends SparkSpec {
         GraftFunctions.word_set_counts($"text", sets).as("fc"),
         declCounts($"text").as("sc"),
         GraftFunctions.token_fingerprint($"text").as("ff"),
-        declFp($"text").as("sf"))
-      df.where(!($"fc" <=> $"sc") || !($"ff" <=> $"sf")).count() == 0L
+        declFp($"text").as("sf"),
+        // cross-kernel invariant: shingles are the first-occurrence dedup
+        // of the multiplicity-keeping ngrams, at any n
+        GraftFunctions.word_shingles($"text", 2).as("ws"),
+        array_distinct(GraftFunctions.word_ngrams($"text", 2)).as("wn"))
+      df.where(!($"fc" <=> $"sc") || !($"ff" <=> $"sf") || !($"ws" <=> $"wn")).count() == 0L
     }
     val res = check(Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
