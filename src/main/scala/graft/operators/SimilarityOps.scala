@@ -353,10 +353,12 @@ object SimilarityOps {
                WHERE rk <= 5 ORDER BY qid, rk"""),
       bench = false),
 
-    // ANN quality as a NUMBER: recall@3 of the LSH and IVF paths against the
-    // exact brute-force top-3 over each method's probe set. Depends on
-    // engine-internal buckets → rows-only driver check, but the dumped rows
-    // make ANN quality a visible metric, not only a spec assertion.
+    // ANN quality as a NUMBER: recall@3 of the LSH and IVF paths against
+    // the exact brute-force top-3 over each method's probe set — and in
+    // the HARD oracle: the IVF side is exact integer math (sim03's direct
+    // SQL), the LSH side re-derives candidates from the PureSig bucket
+    // dump (sim02's oracle), brute-force truth from raw embeddings, so
+    // DuckDB reproduces the recall NUMBERS themselves.
     Q("sim04_ann_recall",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -376,7 +378,62 @@ object SimilarityOps {
         import s.implicits._
         rows.toDF("method", "n_truth", "n_hit", "recall").orderBy("method")
       },
-      None,
+      Some {
+        val dump = s"'${graft.Verify.SigDumpDir}/emb_buckets.parquet/*.parquet'"
+        s"""WITH $sqlIvfAssignCtes,
+              pcells AS (
+                SELECT vec_id AS qid, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+                  FROM cscores WHERE vec_id < 10) WHERE rn <= $IvfProbe),
+              icand AS (
+                SELECT p.qid, s.vec_id FROM pcells p JOIN assigned s ON s.cell = p.cell
+                WHERE s.vec_id <> p.qid),
+              iscored AS (
+                SELECT icand.qid, icand.vec_id,
+                       $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                FROM icand JOIN nv a ON a.vec_id = icand.qid
+                           JOIN nv b ON b.vec_id = icand.vec_id),
+              ivf_top AS (
+                SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                  FROM iscored) WHERE rk <= 3),
+              bkt AS (SELECT vec_id, bucket FROM $dump),
+              tkeys AS (SELECT vec_id, t,
+                               (bucket >> CAST(t*$LshBits AS INT)) & ${(1 << LshBits) - 1} AS key
+                        FROM bkt, LATERAL (SELECT UNNEST(range(0, $LshTables)) AS t)),
+              lcand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+                        FROM tkeys q JOIN tkeys c ON q.t = c.t AND q.key = c.key
+                        WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id),
+              lscored AS (SELECT lcand.qid, lcand.cid AS vec_id,
+                                 $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                          FROM lcand JOIN nv a ON a.vec_id = lcand.qid
+                                     JOIN nv b ON b.vec_id = lcand.cid),
+              lsh_top AS (
+                SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                  FROM lscored) WHERE rk <= 3),
+              bpairs AS (
+                SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                       $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                FROM nv a JOIN nv b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
+              brute_top AS (
+                SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                  FROM bpairs) WHERE rk <= 3)
+            SELECT method, n_truth, n_hit, CAST(n_hit AS DOUBLE) / n_truth AS recall FROM (
+              SELECT 'ivf' AS method,
+                     (SELECT COUNT(*) FROM brute_top WHERE qid < 10) AS n_truth,
+                     (SELECT COUNT(*) FROM ivf_top i JOIN brute_top b USING (qid, vec_id)) AS n_hit
+              UNION ALL
+              SELECT 'lsh',
+                     (SELECT COUNT(*) FROM brute_top),
+                     (SELECT COUNT(*) FROM lsh_top l JOIN brute_top b USING (qid, vec_id))
+            ) ORDER BY method"""
+      },
       bench = false)
   )
 
