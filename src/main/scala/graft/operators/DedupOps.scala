@@ -312,6 +312,24 @@ object DedupOps {
       Some("""SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
               FROM documents GROUP BY text ORDER BY keeper_id""")),
 
+    // NORMALIZED exact dedup — the standard "near-exact" pass that runs
+    // before any hashing in a real pipeline: lowercase, collapse every
+    // non-alphanumeric run to one space, trim, then exact-group. Catches
+    // the dominant duplicate class (same text modulo punctuation /
+    // whitespace / case) at exact-dedup cost: one map-only normalization
+    // + one hash aggregation, no pair space at all.
+    Q("d11_normalized_dedup",
+      (s, d) => t(s, d, "documents")
+        .withColumn("norm", trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+        .groupBy("norm")
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select("keeper_id", "n_copies")
+        .orderBy("keeper_id"),
+      Some("""SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+              FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+                    FROM documents)
+              GROUP BY norm ORDER BY keeper_id""")),
+
     // n-gram (3-shingle) Jaccard near-dup, blocked by lang: the pair space
     // is generated by joining on shared shingles (only docs that share at
     // least one shingle ever meet), not by a cartesian product, and hot

@@ -385,6 +385,40 @@ object TextOps {
                     FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents))
               GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")),
 
+    // Vocabulary-COVERAGE quality signal: fraction of a document's tokens
+    // outside the corpus top-1000 vocabulary (out-of-vocabulary ratio) —
+    // the classic filter for gibberish / wrong-domain text against a
+    // reference vocab. Two stages, both scale-shaped: the vocab is a
+    // bounded top-k (broadcast-able everywhere), membership is a semi-join
+    // of the exploded tokens against it, and the ratio is one IEEE
+    // division of exact counts.
+    Q("t13_oov_ratio",
+      (s, d) => {
+        val toksEx = t(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .where(length(col("tok")) > 0)
+        val vocab = toksEx.groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("tok")).limit(1000).select("tok")
+        val perDoc = toksEx.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+        val inVocab = toksEx.join(broadcast(vocab), "tok")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_in"))
+        perDoc.join(inVocab, Seq("doc_id"), "left")
+          .withColumn("n_in", coalesce(col("n_in"), lit(0L)))
+          .withColumn("oov_ratio", lit(1.0) - col("n_in").cast(DoubleType) / col("n_toks"))
+          .select("doc_id", "n_toks", "n_in", "oov_ratio")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tt AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+                 tf AS (SELECT doc_id, tok FROM tt WHERE length(tok) > 0),
+                 vocab AS (SELECT tok FROM (SELECT tok, COUNT(*) AS n FROM tf GROUP BY tok
+                                            ORDER BY n DESC, tok LIMIT 1000)),
+                 perdoc AS (SELECT doc_id, COUNT(*) AS n_toks FROM tf GROUP BY doc_id),
+                 iv AS (SELECT doc_id, COUNT(*) AS n_in FROM tf SEMI JOIN vocab USING (tok) GROUP BY doc_id)
+               SELECT p.doc_id AS doc_id, p.n_toks, COALESCE(iv.n_in, 0) AS n_in,
+                      1.0 - CAST(COALESCE(iv.n_in, 0) AS DOUBLE) / p.n_toks AS oov_ratio
+               FROM perdoc p LEFT JOIN iv ON iv.doc_id = p.doc_id
+               ORDER BY p.doc_id""")),
+
     // Document fingerprint: position-weighted token hash mod a prime
     // (rolling-hash family; deterministic, engine-independent arithmetic).
     // One codegen'd pass (`token_fingerprint`) — bit-identical to the
