@@ -549,8 +549,12 @@ object DedupOps {
           .select(col("doc_id"), explode(col("sh")).as("shingle"))
           .join(broadcast(benchShingles), "shingle")
           .select("doc_id").distinct()
+        // no broadcast hint on the contaminated set: it is USUALLY tiny,
+        // but unlike the benchmark shingles it is not bounded by the eval
+        // set's size (an adversarially-overlapping corpus contaminates
+        // everything) — let AQE pick broadcast when it measures small
         docs.where(col("source") =!= "src0")
-          .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+          .join(contaminated, Seq("doc_id"), "left_anti")
           .select("doc_id", "lang", "source")
           .orderBy("doc_id")
       },
