@@ -169,8 +169,12 @@ object DedupOps {
     // unchanged" ⟺ "no label changed". One partial+final aggregate per
     // iteration instead of a join+filter action; DECIMAL(38,0) keeps the
     // sum exact (no Long overflow at billions of nodes × 64-bit ids).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    // SUM over zero rows is SQL NULL — an empty edge list (no candidate
+    // pairs anywhere in the corpus) must converge immediately, not NPE.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
@@ -233,13 +237,24 @@ object DedupOps {
       moved.union(self).where(col("u") =!= col("v")).distinct()
     }
 
+    // Fixpoint test in ONE action: both edge frames are distinct sets, so
+    // set equality ⟺ the signed symmetric difference is empty — tag each
+    // side ±1, group by edge, and any nonzero per-edge sum means the sets
+    // differ. One two-level aggregate per iteration instead of the two
+    // exceptAll actions (each a full shuffle of both frames) it replaces.
+    def edgeSetsDiffer(a: DataFrame, b: DataFrame): Boolean = {
+      val signed = a.withColumn("__s", lit(1)).union(b.withColumn("__s", lit(-1)))
+      val r = signed.groupBy("u", "v").agg(sum(col("__s")).as("__d"))
+        .agg(count_if(col("__d") =!= 0).as("__n")).head.getLong(0)
+      r != 0L
+    }
     var dir = smallStar(largeStar(sym0)).localCheckpoint()
     var converged = false
     var i = 1
     while (!converged && i < maxIter) {
       val sym = dir.union(dir.select(col("v").as("u"), col("u").as("v"))).distinct()
       val next = smallStar(largeStar(sym)).localCheckpoint()
-      converged = next.exceptAll(dir).isEmpty && dir.exceptAll(next).isEmpty
+      converged = !edgeSetsDiffer(next, dir)
       dir = next
       i += 1
     }

@@ -186,6 +186,15 @@ class DedupOpsSpec extends SparkSpec {
     both(Catalog.byName("d02_ngram_jaccard").build(spark, sfDir).select("da", "db"))
   }
 
+  test("both CC variants return empty labels on an empty edge list (no NPE)") {
+    // a corpus with zero near-dup candidate pairs must converge
+    // immediately: SUM over zero rows is SQL NULL, which the sum-based
+    // fixpoint tests must treat as zero rather than NPE on compareTo
+    val empty = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(DedupOps.connectedComponents(empty, 10).count() === 0L)
+    assert(DedupOps.connectedComponentsStar(empty, 10).count() === 0L)
+  }
+
   test("d09 keeps exactly the training docs sharing NO 8-gram with the benchmark split") {
     // driver-side ground truth with plain-Scala shingling (independent of
     // the word_shingles kernel)
