@@ -192,6 +192,65 @@ object EngineOps {
                GROUP BY address ORDER BY address"""),
       bench = false),
 
+    // S16/S17/S21/S29 in the HARD gate: the row→columnar Arrow edge — the
+    // reference's core product surface (Converter.java:126-293, client loop
+    // FlightRpcClient.java:33-55) — as a full write→read roundtrip. A
+    // connector logs scan (all 7 supported Arrow types: string, long, int,
+    // boolean, double, binary, array<string>) is written as multi-batch IPC
+    // stream files (real batch_size — README.md:26, §8.1) across 4
+    // partitions, read back, and compared against the direct chain dump.
+    // NULL string / NULL int / NULL list / EMPTY list rows are all in the
+    // path (the ConverterTest.java:91-116,177-197 semantics): the final
+    // projection joins each list to a scalar so null-vs-empty survives the
+    // driver compare as NULL vs ''.
+    Q("e06_arrow_roundtrip",
+      (s, d) => {
+        import graft.arrow.ArrowEdge
+        val src = s.read.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", "0").option("endBlock", "499").load()
+          .select(
+            col("blockNumber"), col("logIndex"), col("address"), col("removed"),
+            (col("blockNumber") * lit(0.5)).as("bn_half"),
+            encode(col("address"), "UTF-8").as("payload"),
+            when(size(col("topics")) >= 2, element_at(col("topics"), 2)).as("second_topic"),
+            when(size(col("topics")) === 1, lit(null).cast(IntegerType))
+              .otherwise(col("transactionIndex")).as("ti_or_null"),
+            col("topics"),
+            slice(col("topics"), lit(2), size(col("topics")) - 1).as("tail_topics"),
+            when(size(col("topics")) === 1, lit(null).cast(ArrayType(StringType)))
+              .otherwise(col("topics")).as("topics_or_null"))
+          .repartition(4)
+        val dir = java.nio.file.Files.createTempDirectory("e06arrow").toString
+        ArrowEdge.writeIpc(src, dir, batchSize = 256)
+        val rows = ArrowEdge.readIpc(dir)
+          .map(vs => org.apache.spark.sql.Row.fromSeq(vs))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, src.schema)
+          .select(
+            col("blockNumber"), col("logIndex"), col("address"), col("removed"),
+            col("bn_half"),
+            hex(col("payload")).as("payload_hex"),
+            col("second_topic"), col("ti_or_null"),
+            array_join(col("topics"), "|").as("topics_join"),
+            array_join(col("tail_topics"), "|").as("tail_join"),
+            array_join(col("topics_or_null"), "|").as("null_list_join"))
+          .orderBy("blockNumber", "logIndex")
+      },
+      Some(s"""SELECT blockNumber, logIndex, address, removed,
+                      blockNumber * CAST(0.5 AS DOUBLE) AS bn_half,
+                      hex(encode(address)) AS payload_hex,
+                      topics[2] AS second_topic,
+                      CASE WHEN len(topics) = 1 THEN NULL ELSE transactionIndex END AS ti_or_null,
+                      array_to_string(topics, '|') AS topics_join,
+                      CASE WHEN len(topics) >= 2 THEN array_to_string(topics[2:], '|')
+                           ELSE '' END AS tail_join,
+                      CASE WHEN len(topics) = 1 THEN NULL
+                           ELSE array_to_string(topics, '|') END AS null_list_join
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE blockNumber <= 499
+               ORDER BY blockNumber, logIndex"""),
+      bench = false),
+
     // Multimodal plumbing: opaque binary column + typed metadata extraction.
     // The real decode (image/audio libs) is stubbed (see graft.operators
     // MultimodalOps); the schema/partition/batch plumbing is real.

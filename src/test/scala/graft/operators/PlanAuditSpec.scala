@@ -15,7 +15,11 @@ class PlanAuditSpec extends SparkSpec {
   // their own specs/gate entries instead
   private val executesOnBuild = Set(
     "e05_eth_stream_scan", "x04_stream_tumbling", "x05_stream_dedup",
-    "x06_stream_stream_join", "x07_stateful_sessions", "x08_stream_curation")
+    "x06_stream_stream_join", "x07_stateful_sessions", "x08_stream_curation",
+    // Arrow IPC roundtrip: the build writes+reads IPC files eagerly; the
+    // returned frame is a bounded local relation (scan itself is audited
+    // via e01's plan — same connector path)
+    "e06_arrow_roundtrip")
 
   // Deliberate, BOUNDED instances of the flagged shapes — each with the
   // reason it is scale-safe. Anything not listed here fails the audit.
