@@ -434,15 +434,27 @@ object StockOps {
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // Approximate distinct count (HLL) — the 100 TB path for A9-class
-    // nunique questions. Spark and DuckDB HLLs differ, so the oracle pins
-    // only the exact-distinct bracket in the spec suite; here rows-only.
+    // nunique questions. HLL sketches are engine-relative (Spark's and
+    // DuckDB's estimates differ), so the gate row is restructured to
+    // deterministic columns: the exact count plus a boolean asserting the
+    // HLL estimate landed within its documented relative-error bound (rsd
+    // 0.05 → |approx-exact|/exact well under 5% at every test SF). The
+    // estimate still runs — a broken sketch flips the boolean — while the
+    // compare stays engine-independent. Exact estimate bracket pinned in
+    // StockOpsSpec.
     Q("c26_approx_distinct",
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.05)).as("within_rel_error"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+                     CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+                     TRUE AS within_rel_error
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // Unpivot / melt (wide → long).
     Q("c27_unpivot",
