@@ -544,6 +544,56 @@ object StockOps {
                             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2,
                             COUNT(*) AS n
                      FROM lineitem GROUP BY l_returnflag)
-               ORDER BY l_returnflag"""))
+               ORDER BY l_returnflag""")),
+
+    // Bucketed co-located join — THE repeated-join shape at 100 TB: both
+    // fact tables pre-bucketed on the join key join with NO shuffle
+    // exchange on either side (BucketedJoinSpec proves the mechanics; this
+    // puts it in the hard gate with an in-query plan assertion, the e04
+    // pattern — a regression that reintroduces the exchange fails the
+    // QUERY, not just a spec). The merge hint keeps the join SMJ even
+    // where the dimension side would broadcast, since the shape under
+    // test is the co-located shuffle-free sort-merge.
+    Q("c31_bucketed_join",
+      (s, d) => {
+        val db = ensureBucketed(s, d)
+        val q = s.table(s"$db.li_bucketed").hint("merge")
+          .join(s.table(s"$db.ord_bucketed"), "l_orderkey")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderstatus")
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin"),
+          s"bucketed join did not plan as sort-merge:\n${plan.take(2000)}")
+        require(!plan.linesIterator.exists(_.contains("Exchange hashpartitioning(l_orderkey")),
+          s"bucketed join still shuffles on the join key:\n${plan.take(2000)}")
+        q
+      },
+      Some(s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+                      ${sqlDsum("l_quantity")} AS sum_qty
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      bench = false)
   )
+
+  /** Per-JVM, per-sfDir bucketed warehouse for c31: lineitem and orders
+    * written `bucketBy(8, l_orderkey)` + in-bucket sorted into a temp-dir
+    * database — the one-time organization cost that buys every subsequent
+    * join on the key a shuffle-free plan. Memoized so repeated builds
+    * (Verify, PlanAudit, specs) write once per JVM.
+    */
+  private val bucketedDbs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureBucketed(s: org.apache.spark.sql.SparkSession, d: String): String =
+    bucketedDbs.computeIfAbsent(d, _ => {
+      val db = s"graft_bkt_${math.abs(d.hashCode)}"
+      val loc = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      t(s, d, "lineitem")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$loc/li_bucketed").saveAsTable(s"$db.li_bucketed")
+      t(s, d, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$loc/ord_bucketed").saveAsTable(s"$db.ord_bucketed")
+      db
+    })
 }
