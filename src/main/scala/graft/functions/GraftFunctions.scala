@@ -87,7 +87,7 @@ object GraftFunctions {
   /** Centroids ride as expression parameters (codegen reference objects),
     * not literals — no function-registry path, the Column is built directly.
     */
-  def centroid_scores(v: Column, cents: Array[Array[Float]], norms: Array[Long]): Column =
+  def centroid_scores(v: Column, cents: Array[Array[Double]], norms: Array[Long]): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       CentroidScores(org.apache.spark.sql.GraftSqlBridge.expression(v), cents, norms))
   def token_fingerprint(c: Column): Column = call_function("token_fingerprint", c)

@@ -261,7 +261,7 @@ object VectorKernels extends Serializable {
     * reference), NOT as plan literals: at production dims (768–4096),
     * 16×dim float literals would bloat plan compile/codegen.
     */
-  def centroidScores(v: ArrayData, cents: Array[Array[Float]], norms: Array[Long]): ArrayData = {
+  def centroidScores(v: ArrayData, cents: Array[Array[Double]], norms: Array[Long]): ArrayData = {
     if (v == null) return null
     val out = new Array[Any](cents.length)
     var k = 0
@@ -271,7 +271,7 @@ object VectorKernels extends Serializable {
       var acc = 0L
       var i = 0
       while (i < n) {
-        acc += math.floor(v.getFloat(i).toDouble * c(i).toDouble * SCALE).toLong
+        acc += math.floor(v.getFloat(i).toDouble * c(i) * SCALE).toLong
         i += 1
       }
       out(k) = acc.toDouble / math.sqrt(norms(k).toDouble)
@@ -356,8 +356,15 @@ case class HyperplaneBucket(child: Expression, numPlanes: Int) extends UnaryExpr
 /** `centroid_scores(vec)` — per-centroid normalized scaled-dot scores; the
   * centroid matrix and norms are expression PARAMETERS (shipped to codegen
   * via `addReferenceObj`), so plan size is independent of dim × cells.
+  * Centroids are doubles so both seed centroids (exact float widening) and
+  * trained centroids (per-cell means, inherently double) share one kernel.
+  *
+  * equals/hashCode are overridden content-wise: case-class equality on
+  * Array parameters is reference identity, which would silently defeat
+  * Catalyst canonicalization / common-subexpression elimination for two
+  * structurally identical centroid_scores calls.
   */
-case class CentroidScores(child: Expression, centroids: Array[Array[Float]], norms: Array[Long])
+case class CentroidScores(child: Expression, centroids: Array[Array[Double]], norms: Array[Long])
     extends UnaryExpression {
   require(centroids.nonEmpty && centroids.length == norms.length,
     "centroid_scores needs a non-empty centroid set with matching norms")
@@ -370,11 +377,24 @@ case class CentroidScores(child: Expression, centroids: Array[Array[Float]], nor
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "centroid_scores"
 
+  override def equals(other: Any): Boolean = other match {
+    case that: CentroidScores =>
+      child == that.child &&
+        java.util.Arrays.deepEquals(
+          centroids.asInstanceOf[Array[AnyRef]], that.centroids.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(norms, that.norms)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Int.box(java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])),
+      Int.box(java.util.Arrays.hashCode(norms)))
+
   protected override def nullSafeEval(input: Any): Any =
     VectorKernels.centroidScores(input.asInstanceOf[ArrayData], centroids, norms)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
     val nRef = ctx.addReferenceObj("centroidNorms", norms, "long[]")
     defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.centroidScores($c, $cRef, $nRef)")
   }

@@ -91,29 +91,76 @@ object SimilarityOps {
   /** The deterministic IVF centroid sample (the `IvfCells` lowest vec_ids,
     * in vec_id order so cell index k == rank of centroid vec_id) as
     * (embedding, norm2) pairs — a bounded 16-row collect, shipped to
-    * executors as codegen reference objects via `centroid_scores`.
+    * executors as codegen reference objects via `centroid_scores`. Doubles
+    * (exact float widening) so seed and trained centroids share one kernel.
     */
-  def ivfCentroids(corpus: DataFrame): Array[(Array[Float], Long)] =
+  def ivfCentroids(corpus: DataFrame): Array[(Array[Double], Long)] =
     corpus.where(col("vec_id") < IvfCells)
       .select("vec_id", "embedding", "norm2").collect()
       .sortBy(_.getLong(0))
-      .map(r => (r.getSeq[Float](1).toArray, r.getLong(2)))
+      .map(r => (r.getSeq[Float](1).toArray.map(_.toDouble), r.getLong(2)))
 
-  /** Corpus with its IVF cell assignment: argmax over the 16 centroid
-    * scores, computed INSIDE the projection (first position of the max —
-    * ties to the lowest cell). A pure narrow scan: no ×16 posexplode, no
-    * corpus-wide window shuffle — shared by sim03 (search) and sim05 (the
-    * Lloyd training step).
+  /** Corpus rows + their cell assignment under the GIVEN centroids: argmax
+    * over the centroid scores, computed INSIDE the projection (first
+    * position of the max — ties to the lowest cell). A pure narrow scan: no
+    * ×16 posexplode, no corpus-wide window shuffle.
     */
-  def ivfAssigned(s: SparkSession, d: String): DataFrame = {
-    val corpus = withNorm(s, d)
-    val cents = ivfCentroids(corpus)
+  def assignCells(corpus: DataFrame, cents: Array[(Array[Double], Long)]): DataFrame =
     corpus
       .withColumn("__dots",
         graft.functions.GraftFunctions.centroid_scores(col("embedding"), cents.map(_._1), cents.map(_._2)))
       .withColumn("cell",
         (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast(IntegerType))
       .drop("__dots")
+
+  /** Corpus with its SEED-centroid IVF cell assignment — shared by sim03
+    * (search) and sim05 (the Lloyd training step).
+    */
+  def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+    val corpus = withNorm(s, d)
+    assignCells(corpus, ivfCentroids(corpus))
+  }
+
+  /** One distributed Lloyd refinement: per-(cell, dim) exact scaled-integer
+    * sums + member counts of the assignment under `cents` — the canonical
+    * two-level k-means aggregate, `IvfCells`×dim output rows regardless of
+    * corpus size.
+    */
+  def lloydSums(corpus: DataFrame, cents: Array[(Array[Double], Long)]): DataFrame =
+    assignCells(corpus, cents)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        sum(floor(col("x").cast(DoubleType) * SCALE).cast(DecimalType(38, 0))).as("ssum"))
+
+  /** `iters` Lloyd refinements of the seed centroids. Each iteration is ONE
+    * distributed aggregate whose `IvfCells`×dim result (1024 rows here) is
+    * collected and re-broadcast as the next kernel's reference object — the
+    * standard distributed-kmeans driver loop; the corpus is only ever
+    * scanned, never shuffled by vector. All arithmetic is the engine-exact
+    * convention: member sums as floor-scaled integers in DECIMAL(38,0)
+    * (order-independent), centroid = sum/(n·1e15) in IEEE double, centroid
+    * norm2 = Σ floor(c²·1e15) — every step reproducible bit-for-bit in the
+    * SQL oracle. Cells are seeded from data so none is empty at catalog
+    * scale; production would re-seed an emptied cell (require()d here so a
+    * silent cell collapse can never ship a wrong-but-plausible result).
+    */
+  def trainedCentroids(s: SparkSession, d: String, iters: Int): Array[(Array[Double], Long)] = {
+    val corpus = withNorm(s, d)
+    var cents = ivfCentroids(corpus)
+    val dim = cents(0)._1.length
+    for (_ <- 1 to iters) {
+      val rows = lloydSums(corpus, cents).collect()
+      require(rows.iterator.map(_.getInt(0)).toSet.size == IvfCells,
+        s"k-means cell emptied during training (have ${rows.length} (cell,dim) rows); re-seed required")
+      val next = Array.fill(IvfCells)(new Array[Double](dim))
+      rows.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getDecimal(3).doubleValue() / (r.getLong(2) * SCALE)
+      }
+      cents = next.map(c => (c, c.map(x => math.floor(x * x * SCALE).toLong).sum))
+    }
+    cents
   }
 
   /** Oracle CTEs shared by sim03/sim05: exact scaled scores of every vector
@@ -139,6 +186,95 @@ object SimilarityOps {
       struct(lit(t).as("tbl"),
         shiftright(b, t * LshBits).bitwiseAND(lit((1 << LshBits) - 1)).as("key"))
     }: _*)
+
+  /** IVF search under the GIVEN centroids: probes (vec_id < nProbes) search
+    * their `IvfProbe` best cells, exact cosine only on cell-mates, top-`k`
+    * per probe. Corpus cell assignment is the map-only argmax; the probe
+    * side is a bounded broadcast — the one join is an equi-join on the cell
+    * id, so the shape is identical for seed (sim03) and trained (sim08)
+    * centroids and survives a 100 TB corpus unchanged.
+    */
+  def ivfSearch(s: SparkSession, d: String, cents: Array[(Array[Double], Long)],
+      nProbes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = withNorm(s, d)
+    val wc = Window.partitionBy(col("qid")).orderBy(desc("cell_score"), col("cell"))
+    val probes = corpus.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("norm2").as("qnorm2"))
+      .withColumn("__dots",
+        graft.functions.GraftFunctions.centroid_scores(col("qvec"), cents.map(_._1), cents.map(_._2)))
+      .select(col("*"), posexplode(col("__dots")).as(Seq("cell", "cell_score")))
+      .withColumn("__rk", row_number().over(wc))
+      .where(col("__rk") <= IvfProbe)
+      .drop("__dots", "cell_score", "__rk")
+    val w2 = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("vec_id"))
+    assignCells(corpus, cents).join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim",
+        cosine(scaledDot(col("qvec"), col("embedding")), col("qnorm2"), col("norm2")))
+      .withColumn("rk", row_number().over(w2))
+      .where(col("rk") <= k)
+      .select("qid", "vec_id", "cos_sim", "rk")
+      .orderBy("qid", "rk")
+  }
+
+  /** Lloyd iteration `i` for the oracle: per-(cell, dim) exact sums `s_i`
+    * from the previous assignment (`assigned` = the seed assignment of
+    * [[sqlIvfAssignCtes]] when i == 1, else `a_{i-1}`).
+    */
+  def sqlLloydSums(i: Int): String = {
+    val prev = if (i == 1) "assigned" else s"a${i - 1}"
+    s"""s$i AS (
+          SELECT a.cell, i.dim, COUNT(*) AS n_members,
+                 SUM(CAST(FLOOR(CAST(e.embedding[CAST(i.dim + 1 AS INT)] AS DOUBLE) * 1e15) AS BIGINT)) AS ssum
+          FROM $prev a JOIN nv e USING (vec_id),
+               LATERAL (SELECT UNNEST(range(0, len(e.embedding))) AS dim) i
+          GROUP BY 1, 2)"""
+  }
+
+  /** Oracle CTEs turning `s_i` into trained centroids `c_i` (IEEE-double
+    * mean of exact integer sums), their scaled norms `cn_i`, per-(vector,
+    * cell) exact dots `sc_i`, and the new argmax assignment `a_i` — each
+    * step the same engine-exact arithmetic as the Spark kernel, so DuckDB
+    * reproduces the whole training trajectory bit-for-bit.
+    */
+  def sqlLloydAssign(i: Int): String =
+    s"""c$i AS (SELECT cell, dim, CAST(ssum AS DOUBLE) / (n_members * 1e15) AS cval FROM s$i),
+        cn$i AS (SELECT cell, SUM(CAST(FLOOR(cval * cval * 1e15) AS BIGINT)) AS norm2 FROM c$i GROUP BY 1),
+        sc$i AS (
+          SELECT e.vec_id, c.cell,
+                 SUM(CAST(FLOOR(CAST(e.embedding[CAST(c.dim + 1 AS INT)] AS DOUBLE) * c.cval * 1e15) AS BIGINT)) AS dot
+          FROM nv e CROSS JOIN c$i c
+          GROUP BY 1, 2),
+        a$i AS (
+          SELECT vec_id, cell FROM (
+            SELECT s.vec_id, s.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                     ORDER BY CAST(s.dot AS DOUBLE) / SQRT(CAST(n.norm2 AS DOUBLE)) DESC, s.cell) AS rn
+            FROM sc$i s JOIN cn$i n USING (cell)) WHERE rn = 1)"""
+
+  /** Everything from raw embeddings to the TRAINED (two Lloyd iterations)
+    * IVF search candidates, scored — shared by sim08 (the search itself)
+    * and sim09 (its recall vs brute force).
+    */
+  lazy val sqlTrainedSearchCtes: String =
+    s"""$sqlIvfAssignCtes,
+        ${sqlLloydSums(1)}, ${sqlLloydAssign(1)},
+        ${sqlLloydSums(2)}, ${sqlLloydAssign(2)},
+        pcells AS (
+          SELECT vec_id AS qid, cell FROM (
+            SELECT s.vec_id, s.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                     ORDER BY CAST(s.dot AS DOUBLE) / SQRT(CAST(n.norm2 AS DOUBLE)) DESC, s.cell) AS rn
+            FROM sc2 s JOIN cn2 n USING (cell) WHERE s.vec_id < 10) WHERE rn <= $IvfProbe),
+        icand AS (
+          SELECT p.qid, s.vec_id FROM pcells p JOIN a2 s ON s.cell = p.cell
+          WHERE s.vec_id <> p.qid),
+        iscored AS (
+          SELECT icand.qid, icand.vec_id,
+                 $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+          FROM icand JOIN nv a ON a.vec_id = icand.qid
+                     JOIN nv b ON b.vec_id = icand.vec_id)"""
 
   val all: Seq[Q] = Seq(
     // Brute-force cosine top-k per probe (the exact ANN baseline).
@@ -168,45 +304,11 @@ object SimilarityOps {
     // tunes via IvfProbe. Fully deterministic integer-scaled math → direct
     // DuckDB oracle (cell identity mirrored as the centroid's vec_id).
     Q("sim03_ann_ivf",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val corpus = withNorm(s, d)
-        // deterministic centroid sample: the IvfCells lowest vec_ids, in
-        // vec_id order so cell index k == rank of centroid vec_id (the
-        // identity the SQL oracle mirrors)
-        val cents = corpus.where(col("vec_id") < IvfCells)
-          .select("vec_id", "embedding", "norm2").collect()
-          .sortBy(_.getLong(0))
-          .map(r => (r.getSeq[Float](1).toArray, r.getLong(2)))
-        def cellScores(v: Column): Column =
-          graft.functions.GraftFunctions.centroid_scores(v, cents.map(_._1), cents.map(_._2))
-        def bestCells(df: DataFrame, v: Column, n: Int, idCol: String): DataFrame = {
-          val w = Window.partitionBy(col(idCol)).orderBy(desc("cell_score"), col("cell"))
-          df.withColumn("__dots", cellScores(v))
-            .select(col("*"), posexplode(col("__dots")).as(Seq("cell", "cell_score")))
-            .withColumn("__rk", row_number().over(w))
-            .where(col("__rk") <= n)
-            .drop("__dots", "cell_score", "__rk")
-        }
-        // Corpus cell assignment via [[ivfAssigned]] (argmax inside the
-        // projection — ties to the lowest cell, same as the window's
-        // tie-break; a map stage, not a full exchange, at 100 TB). The
-        // probe side keeps the windowed top-`IvfProbe` (10 rows).
-        val assigned = ivfAssigned(s, d)
-        val probes = bestCells(
-          corpus.where(col("vec_id") < 10)
-            .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("norm2").as("qnorm2")),
-          col("qvec"), IvfProbe, "qid")
-        val w2 = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("vec_id"))
-        assigned.join(broadcast(probes), Seq("cell"))
-          .where(col("vec_id") =!= col("qid"))
-          .withColumn("cos_sim",
-            cosine(scaledDot(col("qvec"), col("embedding")), col("qnorm2"), col("norm2")))
-          .withColumn("rk", row_number().over(w2))
-          .where(col("rk") <= 3)
-          .select("qid", "vec_id", "cos_sim", "rk")
-          .orderBy("qid", "rk")
-      },
+      // Seed centroids = deterministic corpus sample (the IvfCells lowest
+      // vec_ids, vec_id order == cell index — the identity the SQL oracle
+      // mirrors); corpus assignment is the map-only argmax projection, the
+      // probe side keeps the windowed top-IvfProbe cells (10 rows).
+      (s, d) => ivfSearch(s, d, ivfCentroids(withNorm(s, d)), nProbes = 10, k = 3),
       // The whole IVF pipeline is exact integer-scaled math + deterministic
       // argmax (ties to the lowest cell — mirrored by ORDER BY score DESC,
       // cell with cell = centroid vec_id), so DuckDB reproduces it directly
@@ -247,12 +349,8 @@ object SimilarityOps {
     // broadcast back (centroids are always cells×dim ≪ corpus).
     Q("sim05_kmeans_step",
       (s, d) => {
-        val assigned = ivfAssigned(s, d)
-        assigned
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
-          .groupBy("cell", "dim")
-          .agg(count(lit(1)).as("n_members"),
-            sum(floor(col("x").cast(DoubleType) * SCALE).cast(DecimalType(38, 0))).as("ssum"))
+        val corpus = withNorm(s, d)
+        lloydSums(corpus, ivfCentroids(corpus))
           .select(col("cell"), col("dim"), col("n_members"),
             (col("ssum").cast(DoubleType) / (col("n_members") * lit(SCALE))).as("centroid"))
           .orderBy("cell", "dim")
@@ -269,6 +367,86 @@ object SimilarityOps {
                SELECT CAST(cell AS INT) AS cell, CAST(dim AS INT) AS dim, n_members,
                       CAST(ssum AS DOUBLE) / (n_members * 1e15) AS centroid
                FROM sums ORDER BY cell, dim""")),
+
+    // K-MEANS TO (near-)CONVERGENCE: two full Lloyd iterations from the
+    // deterministic seed — iteration 1 runs driver-coordinated (ONE
+    // distributed aggregate, 1024 rows collected, re-broadcast as codegen
+    // reference objects), the emitted result is iteration 2's distributed
+    // aggregate. Every arithmetic step is the engine-exact convention
+    // (integer-scaled sums in DECIMAL(38,0) == DuckDB HUGEINT, IEEE-double
+    // means, floor-scaled centroid norms), so the ORACLE REPLAYS THE WHOLE
+    // TRAINING TRAJECTORY — both unrolled iterations — bit-for-bit in SQL.
+    // Further iterations repeat the same bounded step; the corpus is only
+    // scanned, never shuffled by vector, at any scale.
+    Q("sim07_kmeans_train",
+      (s, d) => {
+        val corpus = withNorm(s, d)
+        lloydSums(corpus, trainedCentroids(s, d, iters = 1))
+          .select(col("cell"), col("dim"), col("n_members"),
+            (col("ssum").cast(DoubleType) / (col("n_members") * lit(SCALE))).as("centroid"))
+          .orderBy("cell", "dim")
+      },
+      Some(s"""WITH $sqlIvfAssignCtes,
+                 ${sqlLloydSums(1)},
+                 ${sqlLloydAssign(1)},
+                 ${sqlLloydSums(2)}
+               SELECT CAST(cell AS INT) AS cell, CAST(dim AS INT) AS dim, n_members,
+                      CAST(ssum AS DOUBLE) / (n_members * 1e15) AS centroid
+               FROM s2 ORDER BY cell, dim""")),
+
+    // IVF ANN on TRAINED centroids (two Lloyd iterations) — the production
+    // shape: train the coarse quantizer, then run the identical bucketed
+    // search of sim03 against it. Same map-only assignment + broadcast
+    // equi-join; only the 16×64 reference object changed.
+    Q("sim08_ann_ivf_trained",
+      (s, d) => ivfSearch(s, d, trainedCentroids(s, d, iters = 2), nProbes = 10, k = 3),
+      Some(s"""WITH $sqlTrainedSearchCtes
+               SELECT qid, vec_id, cos_sim, rk FROM (
+                 SELECT qid, vec_id, cos_sim,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+                 FROM iscored)
+               WHERE rk <= 3 ORDER BY qid, rk""")),
+
+    // Recall@3 of the TRAINED IVF path vs exact brute force — the number
+    // that shows training the quantizer pays: compare with sim04's seeded
+    // `ivf` row. Hard oracle: DuckDB recomputes brute-force truth from raw
+    // embeddings AND the trained search from the replayed training CTEs,
+    // so the recall NUMBER itself is cross-engine-verified.
+    Q("sim09_recall_trained",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("vec_id"))
+        val truth = probePairs(s, d, 10)
+          .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+          .select("qid", "vec_id")
+        val ann = byNameLocal("sim08_ann_ivf_trained").build(s, d)
+        val hits = ann.select("qid", "vec_id").join(truth, Seq("qid", "vec_id"), "left_semi").count()
+        val total = truth.count()
+        import s.implicits._
+        Seq(("ivf_trained", total, hits, hits.toDouble / total))
+          .toDF("method", "n_truth", "n_hit", "recall")
+      },
+      Some(s"""WITH $sqlTrainedSearchCtes,
+                 ivf_top AS (
+                   SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                     FROM iscored) WHERE rk <= 3),
+                 bpairs AS (
+                   SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                          $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                   FROM nv a JOIN nv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+                 brute_top AS (
+                   SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                     FROM bpairs) WHERE rk <= 3),
+                 hits AS (SELECT COUNT(*) AS n_hit FROM ivf_top i JOIN brute_top b USING (qid, vec_id)),
+                 tot AS (SELECT COUNT(*) AS n_truth FROM brute_top)
+               SELECT 'ivf_trained' AS method, n_truth, n_hit,
+                      CAST(n_hit AS DOUBLE) / n_truth AS recall
+               FROM tot, hits"""),
+      bench = false),
 
     // LSH-bucketed ANN — the scale path: one codegen'd 60-bit sign word per
     // vector (map-only), 15 OR'd tables of 4-bit keys; candidates = probe ×
