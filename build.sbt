@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run inherits sbt's own stdout instead of being re-logged with
+// "[info] " / "[error] " prefixes — graft.Bench and graft.Verify emit
+// machine-read JSON lines on stdout, and the prefix has broken downstream
+// json.load of the bench line every round so far.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

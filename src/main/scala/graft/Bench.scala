@@ -86,5 +86,9 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_OUT write failed: $e") }
     println(line)
     System.out.flush()
+    // ...and on stderr: sbt prefixes forked stdout with "[info] ", which has
+    // broken downstream JSON parsing; stderr passes through unprefixed
+    System.err.println(line)
+    System.err.flush()
   }
 }

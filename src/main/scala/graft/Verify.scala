@@ -46,9 +46,22 @@ object Verify {
     * Spark hash classes) — so the LSH/SimHash/ANN pipelines are oracled
     * against math computed entirely outside the engine under test.
     */
+  /** dumpSignatures collects both tables to the driver BY DESIGN (the
+    * oracle must be computed outside the engine under test); that is only
+    * sane at verification scale. Guarded so pointing Verify at a big sfDir
+    * fails with an explanation instead of an OOM'd driver.
+    */
+  private val SigDumpMaxRows = 1000000L
+
   def dumpSignatures(spark: SparkSession, sfDir: String): Unit = {
     import graft.verify.PureSig
     import spark.implicits._
+    Seq("documents", "embeddings").foreach { tbl =>
+      val n = spark.read.parquet(s"$sfDir/$tbl.parquet").count()
+      require(n <= SigDumpMaxRows,
+        s"dumpSignatures is a TEST-SCALE oracle aid: it materializes $tbl on the driver " +
+          s"($n rows > $SigDumpMaxRows). Run Verify against a verification-scale sfDir.")
+    }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))

@@ -37,13 +37,16 @@ object DedupOps {
     * contributes O(k²) candidate rows to the pair join, so one ubiquitous
     * shingle ("of the and") makes the exact-Jaccard join quadratic in its
     * df. Shingles with per-lang df above this cap are excluded from the
-    * JOIN side (set sizes stay full), bounding per-shingle fan-out to cap²
-    * while keeping prune-only semantics: a capped pair's evidence must come
-    * from non-ubiquitous shingles. 50 exceeds the max observed df at every
-    * test SF (25 at sf0.1), so test-scale output is bit-identical to the
-    * uncapped form (pinned in DedupOpsSpec); at larger corpora, scale the
-    * cap with corpus size (df > cap ⇒ stopword-grade shingle) — d03 (LSH)
-    * remains the intended 100 TB path either way.
+    * JOIN side only, bounding per-shingle fan-out to cap². Surviving pairs
+    * get their hot-shingle intersection RESTORED from per-doc hot sets
+    * (see [[jaccardPairs]]), so reported inter/jaccard values stay exact;
+    * the cap only costs recall on pairs whose every shared shingle is hot.
+    * 50 exceeds the max observed df at every test SF (25 at sf0.1), so
+    * test-scale output is bit-identical to the uncapped form (pinned in
+    * DedupOpsSpec, which also pins metric exactness under an ACTIVE cap);
+    * at larger corpora, scale the cap with corpus size (df > cap ⇒
+    * stopword-grade shingle) — d03 (LSH) remains the intended 100 TB path
+    * either way.
     */
   val HotShingleDfCap = 50
 
@@ -60,17 +63,24 @@ object DedupOps {
         hot AS (SELECT lang, shingle FROM ex GROUP BY lang, shingle
                 HAVING COUNT(*) > $HotShingleDfCap),
         exf AS (SELECT ex.* FROM ex ANTI JOIN hot USING (lang, shingle)),
+        hsets AS (SELECT doc_id, list(shingle) AS hsh
+                  FROM ex JOIN hot USING (lang, shingle) GROUP BY doc_id),
         prs AS (
           SELECT a.doc_id AS da, b.doc_id AS db,
                  CAST(a.sz AS BIGINT) AS sza, CAST(b.sz AS BIGINT) AS szb,
-                 COUNT(*) AS inter
+                 COUNT(*) AS cold
           FROM exf a JOIN exf b
             ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
           GROUP BY 1, 2, 3, 4),
+        prsh AS (
+          SELECT p.da, p.db, p.sza, p.szb,
+                 p.cold + COALESCE(len(list_intersect(ha.hsh, hb.hsh)), 0) AS inter
+          FROM prs p LEFT JOIN hsets ha ON ha.doc_id = p.da
+                     LEFT JOIN hsets hb ON hb.doc_id = p.db),
         jpairs AS (
           SELECT da, db, inter, sza + szb - inter AS uni,
                  CAST(inter AS DOUBLE) / (sza + szb - inter) AS jaccard
-          FROM prs
+          FROM prsh
           WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.2)"""
 
   /** Recursive-CTE connected components over `jpairs`: `reach(id, r)` is the
@@ -267,29 +277,46 @@ object DedupOps {
 
   /** Exact lang-blocked 3-shingle Jaccard pairs at J ≥ 0.2 (the d02
     * dataflow): shingle-join candidate generation with shingles above
-    * `dfCap` per-lang document frequency excluded from the join (full set
-    * sizes retained — dropping a hot shingle can only LOWER a pair's
-    * reported J, never create a pair). `dfCap < 0` disables the cap (spec
-    * baseline).
+    * `dfCap` per-lang document frequency excluded from the JOIN only —
+    * no ubiquitous shingle can make the candidate space quadratic. The
+    * reported inter/jaccard stays EXACT even when the cap is active:
+    * surviving pairs recover their hot-shingle intersection from a small
+    * per-doc hot-shingle set (bounded — hot shingles are stopword-grade
+    * few) joined back on the bounded candidate list, never through the
+    * pair space. The only approximation left is recall: a pair whose
+    * shared shingles are ALL hot never becomes a candidate (the
+    * documented loss mode — all its evidence is ubiquitous). `dfCap < 0`
+    * disables the cap (spec baseline).
     */
   def jaccardPairs(s: SparkSession, d: String, dfCap: Int): DataFrame = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sh"))
       .withColumn("sz", size(col("sh")))
     val ex = docs.select(col("doc_id"), col("lang"), col("sz"), explode(col("sh")).as("shingle"))
-    val exf =
-      if (dfCap < 0) ex
-      else {
-        val hot = ex.groupBy("lang", "shingle")
-          .agg(count(lit(1)).as("__df")).where(col("__df") > dfCap)
-          .select("lang", "shingle")
-        ex.join(hot, Seq("lang", "shingle"), "left_anti")
-      }
+    val hot =
+      if (dfCap < 0) None
+      else Some(ex.groupBy("lang", "shingle")
+        .agg(count(lit(1)).as("__df")).where(col("__df") > dfCap)
+        .select("lang", "shingle"))
+    val exf = hot.fold(ex)(h => ex.join(h, Seq("lang", "shingle"), "left_anti"))
     val a = exf.select(col("doc_id").as("da"), col("lang").as("la"), col("sz").as("sza"), col("shingle"))
     val b = exf.select(col("doc_id").as("db"), col("lang").as("lb"), col("sz").as("szb"), col("shingle"))
-    a.join(b, a("shingle") === b("shingle") && col("la") === col("lb") && col("da") < col("db"))
+    val cold = a.join(b, a("shingle") === b("shingle") && col("la") === col("lb") && col("da") < col("db"))
       .groupBy("da", "db", "sza", "szb")
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("__cold"))
+    val withInter = hot.fold(cold.withColumn("inter", col("__cold"))) { h =>
+      val hotSets = ex.join(h, Seq("lang", "shingle"))
+        .groupBy("doc_id").agg(collect_set(col("shingle")).as("hsh"))
+      cold
+        .join(hotSets.select(col("doc_id").as("da"), col("hsh").as("__ha")), Seq("da"), "left")
+        .join(hotSets.select(col("doc_id").as("db"), col("hsh").as("__hb")), Seq("db"), "left")
+        .withColumn("inter", col("__cold") +
+          when(col("__ha").isNull || col("__hb").isNull, lit(0L))
+            .otherwise(size(array_intersect(col("__ha"), col("__hb"))).cast(LongType)))
+        .drop("__ha", "__hb")
+    }
+    // canonical column order: the USING-joins above move their key first
+    withInter.select("da", "db", "sza", "szb", "inter")
       .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
       .where(col("jaccard") >= 0.2)
@@ -350,8 +377,10 @@ object DedupOps {
     // least one shingle ever meet), not by a cartesian product, and hot
     // shingles (per-lang df > HotShingleDfCap) are excluded from the join
     // so no single ubiquitous shingle can make the candidate space
-    // quadratic. Set sizes stay full → prune-only semantics; a no-op at
-    // test SFs (max df 25 < 50), exactness pinned in DedupOpsSpec.
+    // quadratic. Surviving pairs recover their hot intersection exactly
+    // (jaccardPairs), so emitted values are true Jaccard even under an
+    // active cap; a no-op at test SFs (max df 25 < 50), both properties
+    // pinned in DedupOpsSpec.
     Q("d02_ngram_jaccard",
       (s, d) => jaccardPairs(s, d, HotShingleDfCap)
         .select("da", "db", "inter", "uni", "jaccard")

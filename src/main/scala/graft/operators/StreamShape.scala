@@ -252,6 +252,42 @@ object StreamShape {
                  AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
                  AND CAST(${TextOps.sqlCountIn(TextOps.stopwords)} AS DOUBLE) / len(toks) <= 0.6
                GROUP BY lang ORDER BY lang"""),
+      bench = false),
+
+    // CHECKPOINTED RESTART in the hash gate — the durability story the
+    // reference lacks (its subscriptions restart from scratch on
+    // reconnect, SURVEY §3.2): the graft-eth log stream runs TWO LIVES
+    // against one checkpoint + one parquet sink. Life 1 drains blocks
+    // 0..499 in three micro-batches (maxBlocksPerTrigger=200) and stops;
+    // life 2 sees a longer chain (head 999) and MUST resume at block 500 —
+    // any re-read or gap breaks the hash against the single-delivery chain
+    // dump, so exactly-once-across-restart is what the oracle checks.
+    Q("x09_stream_restart",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ckpt = java.nio.file.Files.createTempDirectory("x09ckpt").toString
+        val out = java.nio.file.Files.createTempDirectory("x09out").toString
+        def life(head: Long): Unit = {
+          val sq = s.readStream.format("graft-eth")
+            .option("dataset", "logs").option("startBlock", "0")
+            .option("head", head.toString).option("maxBlocksPerTrigger", "200")
+            .load()
+            .select("blockNumber", "logIndex", "address")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          sq.awaitTermination()
+        }
+        life(head = 499)
+        life(head = 999)
+        s.read.parquet(out).orderBy("blockNumber", "logIndex")
+      },
+      Some(s"""SELECT blockNumber, logIndex, address
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE blockNumber <= 999
+               ORDER BY blockNumber, logIndex"""),
       bench = false)
   )
 }

@@ -133,31 +133,45 @@ class DedupOpsSpec extends SparkSpec {
       "df cap changed the exact-Jaccard pair set at test scale")
   }
 
-  test("active hot-shingle cap is prune-only: drops only hot-evidence pairs") {
+  test("active hot-shingle cap is prune-only AND metric-exact on survivors") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hotshingle").toString
     // docs 1/2: near-dups via COLD shingles; docs 10-19: share ONLY the hot
-    // shingle "x y z" (df 12 > cap 3), each padded with unique junk;
+    // shingle "x y z" (df > cap 3), each padded with unique junk;
     // docs 20/21: 3-token docs whose single shingle is the hot one — the
-    // documented loss mode (all evidence ubiquitous).
+    // documented loss mode (all evidence ubiquitous); docs 30/31: MIXED
+    // evidence — share the hot "x y z" AND cold shingles, the case whose
+    // reported inter/jaccard must not be undercounted by the cap.
     val docs = (Seq(
       (1L, "en", "a b c d e f"),
       (2L, "en", "a b c d e f g"),
       (20L, "en", "x y z"),
-      (21L, "en", "x y z")) ++
+      (21L, "en", "x y z"),
+      (30L, "en", "x y z p q r s t"),
+      (31L, "en", "x y z p q r s u")) ++
       (10L to 19L).map(i => (i, "en", s"x y z u$i v$i w$i"))
     ).toDF("doc_id", "lang", "text")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    def pairs(cap: Int) = DedupOps.jaccardPairs(spark, dir, cap)
-      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val un = pairs(-1)
-    val cp = pairs(3)
-    assert(cp.subsetOf(un), "capping created a pair out of nothing")
+    def rows(cap: Int) = DedupOps.jaccardPairs(spark, dir, cap)
+      .select("da", "db", "inter", "uni", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val un = rows(-1)
+    val cp = rows(3)
+    assert(cp.keySet.subsetOf(un.keySet), "capping created a pair out of nothing")
     assert(cp.contains((1L, 2L)), "cold-evidence pair lost by the cap")
     assert(un.contains((20L, 21L)) && !cp.contains((20L, 21L)),
       "hot-only pair should be the one pruned")
     // nothing else differs: the pruned set is exactly the hot-only pairs
-    assert((un -- cp).forall { case (a, b) => a >= 10L && b >= 10L },
-      s"cap pruned a pair with cold evidence: ${un -- cp}")
+    assert((un.keySet -- cp.keySet).forall { case (a, b) => a >= 10L && b >= 10L },
+      s"cap pruned a pair with cold evidence: ${un.keySet -- cp.keySet}")
+    // metric exactness: every SURVIVING pair reports the same inter/uni/
+    // jaccard as the uncapped truth — including the mixed-evidence pair,
+    // whose intersection contains the hot shingle
+    assert(cp.contains((30L, 31L)), "mixed-evidence pair lost by the cap")
+    cp.foreach { case (k, v) =>
+      assert(un(k) === v, s"cap changed the reported metric for pair $k")
+    }
+    val (inter3031, _, _) = cp((30L, 31L))
+    assert(inter3031 === 5L, "mixed pair intersection must include the hot shingle (4 cold + 1 hot)")
   }
 
   test("large-star/small-star CC == min-label propagation on path, random, and corpus graphs") {
