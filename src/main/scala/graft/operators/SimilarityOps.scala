@@ -253,14 +253,21 @@ object SimilarityOps {
                      ORDER BY CAST(s.dot AS DOUBLE) / SQRT(CAST(n.norm2 AS DOUBLE)) DESC, s.cell) AS rn
             FROM sc$i s JOIN cn$i n USING (cell)) WHERE rn = 1)"""
 
+  /** Raw embeddings → TRAINED (two Lloyd iterations) centroids and the
+    * corpus assignment `a2` under them — the replayed training trajectory,
+    * shared by sim07/sim08/sim09/sim10.
+    */
+  lazy val sqlTrainedAssignCtes: String =
+    s"""$sqlIvfAssignCtes,
+        ${sqlLloydSums(1)}, ${sqlLloydAssign(1)},
+        ${sqlLloydSums(2)}, ${sqlLloydAssign(2)}"""
+
   /** Everything from raw embeddings to the TRAINED (two Lloyd iterations)
     * IVF search candidates, scored — shared by sim08 (the search itself)
     * and sim09 (its recall vs brute force).
     */
   lazy val sqlTrainedSearchCtes: String =
-    s"""$sqlIvfAssignCtes,
-        ${sqlLloydSums(1)}, ${sqlLloydAssign(1)},
-        ${sqlLloydSums(2)}, ${sqlLloydAssign(2)},
+    s"""$sqlTrainedAssignCtes,
         pcells AS (
           SELECT vec_id AS qid, cell FROM (
             SELECT s.vec_id, s.cell,
@@ -446,6 +453,44 @@ object SimilarityOps {
                SELECT 'ivf_trained' AS method, n_truth, n_hit,
                       CAST(n_hit AS DOUBLE) / n_truth AS recall
                FROM tot, hits"""),
+      bench = false),
+
+    // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): coarse-cluster the
+    // corpus with the TRAINED k-means quantizer, then prune near-dups
+    // WITHIN each cell only — a vector is removed iff a LOWER vec_id in
+    // its cell has cosine ≥ 0.4 with it (deterministic keeper rule); the
+    // output is the kept representatives. The pair space is Σ n_cell², set
+    // by the cell granularity (cell count scales with corpus size in
+    // production — 16 is the test parameterization), never corpus-wide
+    // O(n²); a cross-cell near-dup pair is the method's documented miss.
+    // The within-cell self-join is an equi-join on the cell id; exact
+    // integer cosine keeps the 0.4 boundary engine-exact, and the oracle
+    // replays training + pruning entirely in SQL.
+    Q("sim10_semdedup",
+      (s, d) => {
+        val assigned = assignCells(withNorm(s, d), trainedCentroids(s, d, iters = 2))
+        val l = assigned.select(col("cell"), col("vec_id").as("u"),
+          col("embedding").as("ea"), col("norm2").as("na"))
+        val r = assigned.select(col("cell"), col("vec_id").as("v"),
+          col("embedding").as("eb"), col("norm2").as("nb"))
+        val dups = l.join(r, Seq("cell")).where(col("u") < col("v"))
+          .where(cosine(scaledDot(col("ea"), col("eb")), col("na"), col("nb")) >= 0.4)
+          .select(col("v").as("vec_id")).distinct()
+        assigned.join(dups, Seq("vec_id"), "left_anti")
+          .select("vec_id", "cell")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $sqlTrainedAssignCtes,
+                 spairs AS (
+                   SELECT x.vec_id AS u, y.vec_id AS v
+                   FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+                   JOIN nv a ON a.vec_id = x.vec_id
+                   JOIN nv b ON b.vec_id = y.vec_id
+                   WHERE $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) >= 0.4),
+                 sdup AS (SELECT DISTINCT v FROM spairs)
+               SELECT a2.vec_id, CAST(a2.cell AS INT) AS cell
+               FROM a2 ANTI JOIN sdup ON a2.vec_id = sdup.v
+               ORDER BY vec_id"""),
       bench = false),
 
     // LSH-bucketed ANN — the scale path: one codegen'd 60-bit sign word per

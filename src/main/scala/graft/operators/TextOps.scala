@@ -432,6 +432,107 @@ object TextOps {
       Some("""SELECT doc_id,
                      CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
                             (w, i) -> (CAST(ascii(w) AS BIGINT) * 31 + length(w)) * i)) % 1000000007 AS BIGINT) AS fingerprint
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // TEMPERATURE-SCALED mixture sampling — the multi-source rebalancing
+    // step of multilingual training pipelines (mT5/XLM-R style: source
+    // share ∝ n_s^α, α = 0.5 upsamples low-resource sources relative to
+    // their natural share). Deterministic one-pass design: per-source
+    // keep-rate ∝ n_s^α / n_s, normalized so the scarcest source keeps
+    // 100%, materialized as an integer ppm threshold tested against a
+    // multiplicative doc_id hash — no rand(), so the sample is
+    // retry-idempotent and engine-reproducible. The per-source rate table
+    // is ≪ corpus (broadcast); the normalizing max is a one-row aggregate.
+    Q("t14_temperature_mix",
+      (s, d) => {
+        val counts = t(s, d, "documents").groupBy("lang").agg(count(lit(1)).as("n_total"))
+        val pd = counts.withColumn("__pd", sqrt(col("n_total").cast(DoubleType)) / col("n_total"))
+        val rates = pd.crossJoin(broadcast(pd.agg(max(col("__pd")).as("__mx"))))
+          .withColumn("rate_ppm", floor(col("__pd") / col("__mx") * 1000000).cast(LongType))
+          .select("lang", "n_total", "rate_ppm")
+        t(s, d, "documents")
+          .join(broadcast(rates), Seq("lang"))
+          .where(pmod(col("doc_id") * lit(2654435761L), lit(1000000L)) < col("rate_ppm"))
+          .groupBy("lang", "n_total", "rate_ppm")
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some("""WITH counts AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+                 pd AS (SELECT lang, n_total, SQRT(CAST(n_total AS DOUBLE)) / n_total AS pd FROM counts),
+                 rates AS (SELECT lang, n_total,
+                                  CAST(FLOOR(pd / (SELECT MAX(pd) FROM pd) * 1000000) AS BIGINT) AS rate_ppm
+                           FROM pd)
+              SELECT r.lang, r.n_total, r.rate_ppm, COUNT(*) AS n_kept
+              FROM documents d JOIN rates r USING (lang)
+              WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm
+              GROUP BY 1, 2, 3 ORDER BY 1""")),
+
+    // Unigram corpus-frequency quality score: a doc's mean token corpus
+    // probability — rare-garbage-token documents score low, the unigram
+    // flavor of LM-perplexity filtering with NO float-summation order
+    // dependence: per-doc Σ count(token) is exact integer arithmetic, the
+    // only float op is one final division (log-prob variants would hang
+    // the gate on libm ulp parity). Corpus counts are a two-level agg;
+    // the per-token join is an equi-join on the token — the same shape at
+    // any corpus size.
+    Q("t15_unigram_score",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .where(length(col("tok")) > 0)
+        val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        val tot = cnt.agg(sum(col("c")).as("__n_corpus"))
+        toks.join(cnt, "tok")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("sum_tf"))
+          .crossJoin(broadcast(tot))
+          .withColumn("mean_tf",
+            col("sum_tf").cast(DoubleType) / (col("n_tokens") * col("__n_corpus")))
+          .select("doc_id", "n_tokens", "sum_tf", "mean_tf")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tt AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+                 tf AS (SELECT doc_id, tok FROM tt WHERE length(tok) > 0),
+                 cnt AS (SELECT tok, COUNT(*) AS c FROM tf GROUP BY tok),
+                 tot AS (SELECT COUNT(*) AS n_corpus FROM tf),
+                 per AS (SELECT t.doc_id, COUNT(*) AS n_tokens, CAST(SUM(c.c) AS BIGINT) AS sum_tf
+                         FROM tf t JOIN cnt c USING (tok) GROUP BY 1)
+              SELECT doc_id, n_tokens, sum_tf,
+                     CAST(sum_tf AS DOUBLE) / (n_tokens * (SELECT n_corpus FROM tot)) AS mean_tf
+              FROM per ORDER BY doc_id""")),
+
+    // Deterministic corpus shuffle — the "shuffle the training data" step,
+    // reproducibly: global order by a multiplicative doc_id hash (no
+    // rand(); re-runs and retries see the identical permutation), here the
+    // first 100 in shuffled order. Top-k over a computed key plans as a
+    // distributed TakeOrdered (per-partition heads + one bounded merge),
+    // not a full global sort; the full-permutation variant is the same
+    // expression under a range-partitioned sort.
+    Q("t16_corpus_shuffle",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)).as("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(100),
+      Some("""SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS shuffle_key
+              FROM documents ORDER BY shuffle_key, doc_id LIMIT 100""")),
+
+    // Context-window sequence chunking: split each document's token stream
+    // into fixed 128-token training chunks (the packing-free baseline of
+    // sequence preparation) — per-doc chunk list is computed inside the
+    // projection (sequence + explode, no join, no shuffle); row count
+    // scales with corpus tokens / 128.
+    Q("t17_sequence_chunks",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_toks"))
+        .select(col("doc_id"), col("n_toks"),
+          explode(sequence(lit(0L), expr("(n_toks - 1) div 128"))).as("chunk_id"))
+        .withColumn("chunk_len", least(lit(128L), col("n_toks") - col("chunk_id") * 128))
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH nt AS (SELECT doc_id,
+                                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+                          FROM documents)
+              SELECT doc_id, n_toks, chunk_id, LEAST(128, n_toks - chunk_id * 128) AS chunk_len
+              FROM nt, LATERAL (SELECT UNNEST(range(0, (n_toks - 1) // 128 + 1)) AS chunk_id)
+              ORDER BY doc_id, chunk_id"""))
   )
 }

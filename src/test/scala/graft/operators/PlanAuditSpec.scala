@@ -38,6 +38,11 @@ class PlanAuditSpec extends SparkSpec {
     "d05_embedding_neardup" -> Set("BroadcastNestedLoopJoin"),
     // single-row global aggregates: the one-partition stage IS the answer
     "a12_bool_count" -> Set("SinglePartition"),
+    // one-row normalizers (max per-lang rate / corpus token total): the
+    // single-partition agg is 1 row and its crossJoin-back is a 1-row
+    // broadcast nested loop — bounded by construction, the c16 pattern
+    "t14_temperature_mix" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
+    "t15_unigram_score" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
     "e02_eth_blocks_scan" -> Set("SinglePartition"),
     "e03_eth_bisection" -> Set("SinglePartition"),
     // chunk planning: a 1-row MAX drives the sequence explode
