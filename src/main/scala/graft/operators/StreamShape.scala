@@ -254,6 +254,49 @@ object StreamShape {
                GROUP BY lang ORDER BY lang"""),
       bench = false),
 
+    // The SAME per-address state machine as x07, through the Spark 4
+    // transformWithState API (StatefulProcessor + named typed ValueState
+    // on the RocksDB state store) — the successor of mapGroupsWithState,
+    // with per-state TTL and timer support the old API lacks. Same
+    // one-batch drain, same oracle as x07: both stateful surfaces are
+    // pinned to the identical result in the hash gate.
+    Q("x10_transform_with_state",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = s"x10_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x10ckpt").toString
+        val providerConf = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerConf)
+        s.conf.set(providerConf,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val logs = s.readStream.format("graft-eth").option("dataset", "logs")
+            .option("startBlock", "0").option("head", "999")
+            .option("maxBlocksPerTrigger", "1000").load()
+          val sq = graft.streaming.StreamOps.addressActivityTws(logs)
+            .toDF()
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .start()
+          sq.awaitTermination()
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set(providerConf, p)
+            case None => s.conf.unset(providerConf)
+          }
+        }
+        s.table(name).orderBy("address")
+      },
+      Some(s"""SELECT address,
+                      MIN(blockNumber) AS firstBlock,
+                      MAX(blockNumber) AS lastBlock,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE blockNumber <= 999
+               GROUP BY address ORDER BY address"""),
+      bench = false),
+
     // CHECKPOINTED RESTART in the hash gate — the durability story the
     // reference lacks (its subscriptions restart from scratch on
     // reconnect, SURVEY §3.2): the graft-eth log stream runs TWO LIVES

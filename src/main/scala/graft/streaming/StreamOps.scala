@@ -84,6 +84,47 @@ object StreamOps {
       }
   }
 
+  // ---- custom state v2: the same summary via transformWithState ----
+
+  /** [[AddrActivityProcessor]] — [[addressActivity]]'s logic on the Spark 4
+    * `transformWithState` API (StatefulProcessor + typed ValueState): the
+    * successor surface for arbitrary streaming state — explicit named state
+    * primitives (value/list/map) with per-state TTL and timers, instead of
+    * one implicit GroupState. Requires the RocksDB state store provider.
+    */
+  class AddrActivityProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, AddrEvent, AddrSession] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ValueState}
+    @transient private var state: ValueState[AddrSessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[AddrSessionState](
+        "activity", org.apache.spark.sql.Encoders.product[AddrSessionState], TTLConfig.NONE)
+    override def handleInputRows(addr: String, events: Iterator[AddrEvent],
+        tv: TimerValues): Iterator[AddrSession] = {
+      val prev = if (state.exists()) state.get()
+        else AddrSessionState(Long.MaxValue, Long.MinValue, 0L)
+      val next = events.foldLeft(prev) { (s, e) =>
+        AddrSessionState(math.min(s.firstBlock, e.blockNumber),
+          math.max(s.lastBlock, e.blockNumber), s.n + 1)
+      }
+      state.update(next)
+      Iterator.single(AddrSession(addr, next.firstBlock, next.lastBlock, next.n))
+    }
+  }
+
+  /** Per-address activity via [[AddrActivityProcessor]]; semantics pinned
+    * identical to [[addressActivity]] (x10 shares x07's oracle).
+    */
+  def addressActivityTws(logs: DataFrame): Dataset[AddrSession] = {
+    val spark = logs.sparkSession
+    import spark.implicits._
+    logs.select(col("address"), col("blockNumber")).as[AddrEvent]
+      .groupByKey(_.address)
+      .transformWithState(new AddrActivityProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Streaming deduplication: exactly-once per (blockNumber, logIndex)
     * even if the upstream re-delivers (e.g. a reorg replay). The watermark
     * bounds the dedup state: keys older than the horizon are evicted —
