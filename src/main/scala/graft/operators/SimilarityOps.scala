@@ -148,19 +148,55 @@ object SimilarityOps {
   def trainedCentroids(s: SparkSession, d: String, iters: Int): Array[(Array[Double], Long)] = {
     val corpus = withNorm(s, d)
     var cents = ivfCentroids(corpus)
-    val dim = cents(0)._1.length
-    for (_ <- 1 to iters) {
-      val rows = lloydSums(corpus, cents).collect()
-      require(rows.iterator.map(_.getInt(0)).toSet.size == IvfCells,
-        s"k-means cell emptied during training (have ${rows.length} (cell,dim) rows); re-seed required")
-      val next = Array.fill(IvfCells)(new Array[Double](dim))
-      rows.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) =
-          r.getDecimal(3).doubleValue() / (r.getLong(2) * SCALE)
-      }
-      cents = next.map(c => (c, c.map(x => math.floor(x * x * SCALE).toLong).sum))
-    }
+    for (_ <- 1 to iters)
+      cents = centroidsFrom(lloydSums(corpus, cents).collect())
     cents
+  }
+
+  /** Lloyd to the assignment FIXPOINT: iterate until the per-(cell, dim)
+    * exact sums repeat. The sums determine the centroids and the centroids
+    * determine the next assignment, so two equal consecutive sum sets
+    * CERTIFY the fixpoint — an exact-integer comparison, no epsilon. The
+    * gate queries pin a fixed two-iteration unroll (a SQL oracle cannot
+    * replay an unknown iteration count); this is the production training
+    * loop, spec-pinned to converge on the corpus and to be a true
+    * fixpoint. Returns (centroids, iterations until the certificate).
+    */
+  def trainedCentroidsConverged(s: SparkSession, d: String,
+      maxIters: Int): (Array[(Array[Double], Long)], Int) = {
+    val corpus = withNorm(s, d)
+    var cents = ivfCentroids(corpus)
+    var prev: Map[(Int, Int), (Long, java.math.BigDecimal)] = Map.empty
+    var it = 0
+    while (it < maxIters) {
+      val rows = lloydSums(corpus, cents).collect()
+      val cur = rows.iterator
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDecimal(3))).toMap
+      if (cur == prev) return (cents, it)
+      cents = centroidsFrom(rows)
+      prev = cur
+      it += 1
+    }
+    throw new IllegalStateException(
+      s"k-means assignment did not reach a fixpoint within $maxIters Lloyd iterations")
+  }
+
+  /** Rebuild the centroid reference objects from one collected Lloyd
+    * aggregate: mean = exact-integer sum / (n·SCALE) in IEEE double,
+    * norm2 = Σ floor(c²·SCALE) — the engine-exact convention the SQL
+    * oracles mirror. Rejects emptied cells (cells are data-seeded so none
+    * empties at catalog scale; production re-seeds).
+    */
+  private[operators] def centroidsFrom(rows: Array[org.apache.spark.sql.Row]): Array[(Array[Double], Long)] = {
+    require(rows.iterator.map(_.getInt(0)).toSet.size == IvfCells,
+      s"k-means cell emptied during training (have ${rows.length} (cell,dim) rows); re-seed required")
+    val dim = rows.iterator.map(_.getInt(1)).max + 1
+    val next = Array.fill(IvfCells)(new Array[Double](dim))
+    rows.foreach { r =>
+      next(r.getInt(0))(r.getInt(1)) =
+        r.getDecimal(3).doubleValue() / (r.getLong(2) * SCALE)
+    }
+    next.map(c => (c, c.map(x => math.floor(x * x * SCALE).toLong).sum))
   }
 
   /** Oracle CTEs shared by sim03/sim05: exact scaled scores of every vector

@@ -104,4 +104,20 @@ class SimilarityOpsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got === expected)
   }
+
+  test("Lloyd training reaches a TRUE assignment fixpoint on the corpus") {
+    val (cents, iters) = SimilarityOps.trainedCentroidsConverged(spark, sfDir, maxIters = 40)
+    info(s"assignment fixpoint certified after $iters Lloyd iterations")
+    assert(iters >= 1, "the certificate cannot precede the first distributed step")
+    // a TRUE fixpoint reproduces itself: one more full Lloyd step from the
+    // returned centroids must rebuild bit-identical centroids and norms
+    val corpus = SimilarityOps.withNorm(spark, sfDir)
+    val next = SimilarityOps.centroidsFrom(
+      SimilarityOps.lloydSums(corpus, cents).collect())
+    assert(cents.length === next.length)
+    cents.zip(next).zipWithIndex.foreach { case (((c1, n1), (c2, n2)), k) =>
+      assert(n1 === n2, s"cell $k norm changed after the certified fixpoint")
+      assert(c1.sameElements(c2), s"cell $k centroid changed after the certified fixpoint")
+    }
+  }
 }
