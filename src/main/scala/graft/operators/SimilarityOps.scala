@@ -199,6 +199,37 @@ object SimilarityOps {
     next.map(c => (c, c.map(x => math.floor(x * x * SCALE).toLong).sum))
   }
 
+  // ---- persisted IVF index: train once, serve many ----
+
+  /** Per-JVM, per-sfDir persisted IVF index: the corpus with its TRAINED
+    * (two Lloyd iterations) cell assignment written `partitionBy("cell")`,
+    * plus the 16-row centroid reference table — the train-once/serve-many
+    * split of a production ANN deployment. The partition layout IS the
+    * index: a search probing `IvfProbe` cells reads ONLY those
+    * directories (static partition pruning — at 100 TB, 4/16ths of the
+    * corpus touched per query instead of a full scan, and finer cell
+    * granularity prunes proportionally more). Memoized so repeated builds
+    * (Verify, PlanAudit, specs) write once per JVM.
+    */
+  private val ivfDbs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def ensureIvfIndex(s: SparkSession, d: String): String =
+    ivfDbs.computeIfAbsent(d, _ => {
+      val db = s"graft_ivf_${math.abs(d.hashCode)}"
+      val loc = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      val cents = trainedCentroids(s, d, iters = 2)
+      import s.implicits._
+      cents.zipWithIndex
+        .map { case ((c, n2), k) => (k, c.toSeq, n2) }.toSeq
+        .toDF("cell", "centroid", "norm2")
+        .write.mode("overwrite").option("path", s"$loc/ivf_centroids")
+        .saveAsTable(s"$db.ivf_centroids")
+      assignCells(withNorm(s, d), cents)
+        .write.mode("overwrite").partitionBy("cell")
+        .option("path", s"$loc/corpus_ivf").saveAsTable(s"$db.corpus_ivf")
+      db
+    })
+
   /** Oracle CTEs shared by sim03/sim05: exact scaled scores of every vector
     * against the 16 centroid vectors and the resulting argmax cell
     * assignment (`assigned(vec_id, cell)`, cell = centroid vec_id — equal
@@ -318,6 +349,17 @@ object SimilarityOps {
                  $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
           FROM icand JOIN nv a ON a.vec_id = icand.qid
                      JOIN nv b ON b.vec_id = icand.vec_id)"""
+
+  /** Trained-IVF top-3 per probe — the shared sim08/sim11 oracle (the
+    * persisted index must change WHERE bytes are read, never the answer).
+    */
+  lazy val sqlTrainedSearchSql: String =
+    s"""WITH $sqlTrainedSearchCtes
+        SELECT qid, vec_id, cos_sim, rk FROM (
+          SELECT qid, vec_id, cos_sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+          FROM iscored)
+        WHERE rk <= 3 ORDER BY qid, rk"""
 
   val all: Seq[Q] = Seq(
     // Brute-force cosine top-k per probe (the exact ANN baseline).
@@ -443,12 +485,52 @@ object SimilarityOps {
     // equi-join; only the 16×64 reference object changed.
     Q("sim08_ann_ivf_trained",
       (s, d) => ivfSearch(s, d, trainedCentroids(s, d, iters = 2), nProbes = 10, k = 3),
-      Some(s"""WITH $sqlTrainedSearchCtes
-               SELECT qid, vec_id, cos_sim, rk FROM (
-                 SELECT qid, vec_id, cos_sim,
-                        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
-                 FROM iscored)
-               WHERE rk <= 3 ORDER BY qid, rk""")),
+      Some(sqlTrainedSearchSql)),
+
+    // The SAME trained-IVF search SERVED FROM THE PERSISTED INDEX: the
+    // corpus assignment is a cell-partitioned parquet table, the trained
+    // centroids a 16-row reference table (ensureIvfIndex — train once,
+    // serve many). The probed cells are known at query time (a bounded
+    // 10×IvfProbe collect), so the candidate scan carries a STATIC
+    // partition filter — in-query plan-asserted: only the probed cell
+    // directories are read. This is the 100 TB serving shape: per query,
+    // IvfProbe/IvfCells of the corpus is touched, and finer cells prune
+    // proportionally more. Same oracle as sim08 — the index must change
+    // WHERE bytes are read, never the answer.
+    Q("sim11_ann_ivf_indexed",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val db = ensureIvfIndex(s, d)
+        val cents = s.table(s"$db.ivf_centroids").collect()
+          .sortBy(_.getInt(0))
+          .map(r => (r.getSeq[Double](1).toArray, r.getLong(2)))
+        val wc = Window.partitionBy(col("qid")).orderBy(desc("cell_score"), col("cell"))
+        val probes = withNorm(s, d).where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("norm2").as("qnorm2"))
+          .withColumn("__dots",
+            graft.functions.GraftFunctions.centroid_scores(col("qvec"), cents.map(_._1), cents.map(_._2)))
+          .select(col("*"), posexplode(col("__dots")).as(Seq("cell", "cell_score")))
+          .withColumn("__rk", row_number().over(wc))
+          .where(col("__rk") <= IvfProbe)
+          .drop("__dots", "cell_score", "__rk")
+        val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
+        val idx = s.table(s"$db.corpus_ivf")
+          .where(col("cell").isin(cells.map(Int.box): _*))
+          .select("vec_id", "embedding", "norm2", "cell")
+        val scanPlan = idx.queryExecution.executedPlan.toString
+        require(scanPlan.contains("PartitionFilters: [") && scanPlan.contains("cell"),
+          s"indexed IVF scan lost its static cell partition pruning:\n${scanPlan.take(2000)}")
+        val w2 = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("vec_id"))
+        idx.join(broadcast(probes), Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("cos_sim",
+            cosine(scaledDot(col("qvec"), col("embedding")), col("qnorm2"), col("norm2")))
+          .withColumn("rk", row_number().over(w2))
+          .where(col("rk") <= 3)
+          .select("qid", "vec_id", "cos_sim", "rk")
+          .orderBy("qid", "rk")
+      },
+      Some(sqlTrainedSearchSql)),
 
     // Recall@3 of the TRAINED IVF path vs exact brute force — the number
     // that shows training the quantizer pays: compare with sim04's seeded
