@@ -645,6 +645,36 @@ object DedupOps {
         .select("qid", "vec_id", "cos_sim")
         .orderBy("qid", "vec_id"),
       Some(s"""SELECT qid, vec_id, cos_sim FROM (${SimilarityOps.sqlProbePairs(50)})
-               WHERE cos_sim >= 0.2 ORDER BY qid, vec_id"""))
+               WHERE cos_sim >= 0.2 ORDER BY qid, vec_id""")),
+
+    // CROSS-SOURCE LEAKAGE MATRIX — the data-governance report over the
+    // near-dup pair graph: for every (source, source) pair, how many
+    // near-duplicate document pairs cross it (diagonal = within-source
+    // duplication, off-diagonal = content leaking between sources —
+    // which d09-style decontamination and train/eval splits care about).
+    // Composes d02's exact pair graph; the source attach is two equi-joins
+    // of the SMALL pair list against the doc table, the matrix is
+    // ≤ sources² rows. Canonicalized to upper-triangular with
+    // least/greatest so the pair orientation cannot split counts.
+    Q("d13_source_leakage",
+      (s, d) => {
+        val pairs = byNameLocal("d02_ngram_jaccard").build(s, d).select("da", "db")
+        val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("da"), col("source").as("sa")), Seq("da"))
+          .join(src.select(col("doc_id").as("db"), col("source").as("sb")), Seq("db"))
+          .groupBy(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH $sqlJaccardCtes
+               SELECT LEAST(a.source, b.source) AS source_a,
+                      GREATEST(a.source, b.source) AS source_b,
+                      COUNT(*) AS n_pairs
+               FROM jpairs j JOIN documents a ON a.doc_id = j.da
+                             JOIN documents b ON b.doc_id = j.db
+               GROUP BY 1, 2 ORDER BY 1, 2"""),
+      bench = false)
   )
 }

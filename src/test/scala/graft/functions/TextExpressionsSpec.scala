@@ -177,4 +177,23 @@ class TextExpressionsSpec extends SparkSpec {
     val bad = both.where($"fast" =!= $"slow").count()
     assert(bad === 0, s"$bad docs disagree between kernel and declarative simhash")
   }
+
+  test("CentroidScores equality is content-based (canonicalization/CSE-safe)") {
+    // case-class equals on Array params is reference identity; the
+    // override must make two structurally identical instances equal so
+    // Catalyst canonicalization, common-subexpression elimination, and
+    // plan-cache matching can merge them.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def child = BoundReference(0, ArrayType(FloatType), nullable = true)
+    def mk() = CentroidScores(child,
+      Array(Array(1.0, 2.0), Array(3.0, 4.0)), Array(5L, 25L))
+    val (a, b) = (mk(), mk())
+    assert(a == b, "content-identical CentroidScores instances must be equal")
+    assert(a.hashCode == b.hashCode, "equal instances must hash equal")
+    assert(a.semanticEquals(b), "semantic equality must hold for content-identical instances")
+    val c = CentroidScores(child,
+      Array(Array(1.0, 2.0), Array(3.0, 9.0)), Array(5L, 25L))
+    assert(a != c, "different centroid matrices must not compare equal")
+  }
 }
