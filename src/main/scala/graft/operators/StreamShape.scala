@@ -297,6 +297,88 @@ object StreamShape {
                GROUP BY address ORDER BY address"""),
       bench = false),
 
+    // STREAMING CONTENT DEDUP — continuous-ingest exact dedup, the
+    // streaming counterpart of d01: documents staged TWICE (re-delivered
+    // feed), keyed by the codegen'd content fingerprint, deduped with
+    // dropDuplicatesWithinWatermark — the horizon bounds dedup state in a
+    // live pipeline (run-long here so the bounded drain is exact).
+    // Deterministic because fingerprints are unique per doc at every test
+    // SF (500/500, checked); the oracle is the single-delivery table with
+    // the same fingerprint formula.
+    Q("x11_stream_content_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        graft.functions.GraftFunctions.register(s)
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val name = s"x11_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x11ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x11src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/documents.parquet"),
+          srcDir.resolve("delivery1.parquet"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/documents.parquet"),
+          srcDir.resolve("delivery2.parquet"))
+        val sq = s.readStream.schema(schema).parquet(srcDir.toString)
+          .withColumn("fingerprint",
+            graft.functions.GraftFunctions.token_fingerprint(col("text")))
+          // epoch-offset the synthetic event time: a row AT the
+          // clamped-to-zero watermark boundary counts as expired state
+          // and silently vanishes (doc 0 did)
+          .withColumn("event_time",
+            timestamp_micros(col("doc_id") * 1000000L + lit(1700000000000000L)))
+          .withWatermark("event_time", "3650 days")
+          .dropDuplicatesWithinWatermark("fingerprint")
+          .select("doc_id", "fingerprint")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        s.table(name).orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                            (w, i) -> (CAST(ascii(w) AS BIGINT) * 31 + length(w)) * i)) % 1000000007 AS BIGINT) AS fingerprint
+              FROM documents ORDER BY doc_id"""),
+      bench = false),
+
+    // STREAMING INDEX MAINTENANCE — the persisted IVF index (sim11) kept
+    // fresh by a stream: newly arriving embeddings get their TRAINED-cell
+    // assignment inside the micro-batch (the centroid_scores kernel is a
+    // map-only projection, so the streaming plan is the batch plan) and
+    // append into cell-partitioned parquet — exactly how the sim11 index
+    // would absorb new corpus data continuously. The oracle REPLAYS the
+    // two-iteration training and assignment in SQL (the a2 CTE).
+    Q("x12_stream_index_append",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val cents = SimilarityOps.trainedCentroids(s, d, iters = 2)
+        val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+        val ckpt = java.nio.file.Files.createTempDirectory("x12ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x12src")
+        val out = java.nio.file.Files.createTempDirectory("x12out").toString
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/embeddings.parquet"),
+          srcDir.resolve("embeddings.parquet"))
+        val sq = s.readStream.schema(schema).parquet(srcDir.toString)
+          .withColumn("__dots", graft.functions.GraftFunctions
+            .centroid_scores(col("embedding"), cents.map(_._1), cents.map(_._2)))
+          .withColumn("cell",
+            (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast(IntegerType))
+          .select("vec_id", "cell")
+          .writeStream.format("parquet").partitionBy("cell")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        s.read.parquet(out).select("vec_id", "cell").orderBy("vec_id")
+      },
+      Some(s"""WITH ${SimilarityOps.sqlTrainedAssignCtes}
+               SELECT vec_id, CAST(cell AS INT) AS cell FROM a2 ORDER BY vec_id"""),
+      bench = false),
+
     // CHECKPOINTED RESTART in the hash gate — the durability story the
     // reference lacks (its subscriptions restart from scratch on
     // reconnect, SURVEY §3.2): the graft-eth log stream runs TWO LIVES
