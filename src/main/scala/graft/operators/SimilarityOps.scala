@@ -350,6 +350,22 @@ object SimilarityOps {
           FROM icand JOIN nv a ON a.vec_id = icand.qid
                      JOIN nv b ON b.vec_id = icand.vec_id)"""
 
+  /** SemDeDup as oracle CTEs: within-cell near-dup pairs under the
+    * trained assignment (`spairs`), the pruned ids (`sdup`), and the kept
+    * representatives (`skept(vec_id, cell)`) — shared by sim10 and the
+    * p03 semantic-curation pipeline.
+    */
+  lazy val sqlSemDedupCtes: String =
+    s"""$sqlTrainedAssignCtes,
+        spairs AS (
+          SELECT x.vec_id AS u, y.vec_id AS v
+          FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
+          JOIN nv a ON a.vec_id = x.vec_id
+          JOIN nv b ON b.vec_id = y.vec_id
+          WHERE $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) >= 0.4),
+        sdup AS (SELECT DISTINCT v FROM spairs),
+        skept AS (SELECT a2.vec_id, a2.cell FROM a2 ANTI JOIN sdup ON a2.vec_id = sdup.v)"""
+
   /** Trained-IVF top-3 per probe — the shared sim08/sim11 oracle (the
     * persisted index must change WHERE bytes are read, never the answer).
     */
@@ -598,17 +614,8 @@ object SimilarityOps {
           .select("vec_id", "cell")
           .orderBy("vec_id")
       },
-      Some(s"""WITH $sqlTrainedAssignCtes,
-                 spairs AS (
-                   SELECT x.vec_id AS u, y.vec_id AS v
-                   FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
-                   JOIN nv a ON a.vec_id = x.vec_id
-                   JOIN nv b ON b.vec_id = y.vec_id
-                   WHERE $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) >= 0.4),
-                 sdup AS (SELECT DISTINCT v FROM spairs)
-               SELECT a2.vec_id, CAST(a2.cell AS INT) AS cell
-               FROM a2 ANTI JOIN sdup ON a2.vec_id = sdup.v
-               ORDER BY vec_id"""),
+      Some(s"""WITH $sqlSemDedupCtes
+               SELECT vec_id, CAST(cell AS INT) AS cell FROM skept ORDER BY vec_id"""),
       bench = false),
 
     // LSH-bucketed ANN — the scale path: one codegen'd 60-bit sign word per

@@ -329,6 +329,42 @@ object TextOps {
                GROUP BY lang, source ORDER BY lang, source"""),
       bench = false),
 
+    // SEMANTIC curation pipeline — the modality-composing variant of p01:
+    // keep documents that survive BOTH the text-signal quality envelope
+    // (t06) AND embedding-space semantic dedup on the TRAINED quantizer
+    // (sim10; embeddings are 1:1 with documents by id). This is the
+    // SemDeDup-paper pipeline shape: cheap text filters first, semantic
+    // pruning on the vector side, one id-join to combine — and the oracle
+    // replays k-means training, within-cell pruning, AND the text filters
+    // in a single DuckDB query.
+    Q("p03_semantic_curation",
+      (s, d) => {
+        val kept = Catalog.byName("sim10_semdedup").build(s, d)
+          .select(col("vec_id").as("doc_id"))
+        val toks = tokens(col("text"))
+        t(s, d, "documents")
+          .join(kept, "doc_id")
+          .withColumn("n_tokens", size(toks))
+          .withColumn("n_stop", countIn(col("text"), stopwords))
+          .withColumn("avg_token_len",
+            length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / col("n_tokens"))
+          .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
+          .where(col("n_tokens").between(10, 500) &&
+            col("avg_token_len").between(2.0, 12.0) &&
+            col("stop_ratio") <= 0.6)
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH ${SimilarityOps.sqlSemDedupCtes},
+                 qt AS (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+               SELECT lang, COUNT(*) AS n_docs
+               FROM qt JOIN skept k ON qt.doc_id = k.vec_id
+               WHERE len(toks) BETWEEN 10 AND 500
+                 AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
+                 AND CAST(${sqlCountIn(stopwords)} AS DOUBLE) / len(toks) <= 0.6
+               GROUP BY lang ORDER BY lang"""),
+      bench = false),
+
     // Within-document REPETITION signal — the published LM quality filter
     // that catches boilerplate/spam: fraction of duplicated tokens and of
     // duplicated word-3-grams inside each document (1 − distinct/total).
