@@ -552,6 +552,37 @@ object TextOps {
       Some("""SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS shuffle_key
               FROM documents ORDER BY shuffle_key, doc_id LIMIT 100""")),
 
+    // N-GRAM NOVELTY — the memorization-risk signal: what fraction of a
+    // document's distinct 3-grams appear in NO other document (df == 1).
+    // Low novelty = the doc is assembled from corpus-common spans
+    // (boilerplate / near-dup debris that dedup thresholds missed); high
+    // novelty = unique content. Corpus df is the same two-level aggregate
+    // as t05/t10; the membership join runs on (doc, shingle) pairs —
+    // equi-join, never a pair space. Exact integers + one final division.
+    Q("t18_ngram_novelty",
+      (s, d) => {
+        val sh = t(s, d, "documents")
+          .select(col("doc_id"), explode(DedupOps.shingles3(col("text"))).as("shingle"))
+        val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        sh.join(df, "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_3g"),
+            count_if(col("df") === 1).as("n_unique"))
+          .withColumn("novelty", col("n_unique").cast(DoubleType) / col("n_3g"))
+          .select("doc_id", "n_3g", "n_unique", "novelty")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (
+                 SELECT doc_id, UNNEST(${DedupOps.sqlShingles3}) AS shingle
+                 FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents)),
+               dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+               SELECT doc_id, COUNT(*) AS n_3g,
+                      CAST(COUNT(*) FILTER (df = 1) AS BIGINT) AS n_unique,
+                      CAST(COUNT(*) FILTER (df = 1) AS DOUBLE) / COUNT(*) AS novelty
+               FROM sh JOIN dfreq USING (shingle)
+               GROUP BY doc_id ORDER BY doc_id"""),
+      bench = false),
+
     // Context-window sequence chunking: split each document's token stream
     // into fixed 128-token training chunks (the packing-free baseline of
     // sequence preparation) — per-doc chunk list is computed inside the
