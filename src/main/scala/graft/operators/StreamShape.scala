@@ -299,16 +299,17 @@ object StreamShape {
 
     // STREAMING CONTENT DEDUP — continuous-ingest exact dedup, the
     // streaming counterpart of d01: documents staged TWICE (re-delivered
-    // feed), keyed by the codegen'd content fingerprint, deduped with
+    // feed), deduped ON THE CONTENT ITSELF with
     // dropDuplicatesWithinWatermark — the horizon bounds dedup state in a
-    // live pipeline (run-long here so the bounded drain is exact).
-    // Deterministic because fingerprints are unique per doc at every test
-    // SF (500/500, checked); the oracle is the single-delivery table with
-    // the same fingerprint formula.
+    // live pipeline (run-long here so the bounded drain is exact). The
+    // corpus holds true duplicate texts from sf0.1 up, and WHICH copy
+    // survives first-arrival dedup is batch-order-dependent — so the
+    // gate compares the kept CONTENT set (md5 identity), which is
+    // deterministic no matter which doc_id carried it; the oracle is the
+    // distinct content of the single-delivery table.
     Q("x11_stream_content_dedup",
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
-        graft.functions.GraftFunctions.register(s)
         val schema = s.read.parquet(s"$d/documents.parquet").schema
         val name = s"x11_mem_${memId.incrementAndGet()}"
         val ckpt = java.nio.file.Files.createTempDirectory("x11ckpt").toString
@@ -320,27 +321,23 @@ object StreamShape {
           java.nio.file.Paths.get(s"$d/documents.parquet"),
           srcDir.resolve("delivery2.parquet"))
         val sq = s.readStream.schema(schema).parquet(srcDir.toString)
-          .withColumn("fingerprint",
-            graft.functions.GraftFunctions.token_fingerprint(col("text")))
           // epoch-offset the synthetic event time: a row AT the
           // clamped-to-zero watermark boundary counts as expired state
           // and silently vanishes (doc 0 did)
           .withColumn("event_time",
             timestamp_micros(col("doc_id") * 1000000L + lit(1700000000000000L)))
           .withWatermark("event_time", "3650 days")
-          .dropDuplicatesWithinWatermark("fingerprint")
-          .select("doc_id", "fingerprint")
+          .dropDuplicatesWithinWatermark("text")
+          .select(md5(col("text").cast(BinaryType)).as("content_md5"))
           .writeStream.format("memory").queryName(name)
           .outputMode("append").trigger(Trigger.AvailableNow())
           .option("checkpointLocation", ckpt)
           .start()
         sq.awaitTermination()
-        s.table(name).orderBy("doc_id")
+        s.table(name).orderBy("content_md5")
       },
-      Some("""SELECT doc_id,
-                     CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
-                            (w, i) -> (CAST(ascii(w) AS BIGINT) * 31 + length(w)) * i)) % 1000000007 AS BIGINT) AS fingerprint
-              FROM documents ORDER BY doc_id"""),
+      Some("""SELECT DISTINCT md5(text) AS content_md5
+              FROM documents ORDER BY content_md5"""),
       bench = false),
 
     // STREAMING INDEX MAINTENANCE — the persisted IVF index (sim11) kept
