@@ -552,6 +552,36 @@ object TextOps {
       Some("""SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS shuffle_key
               FROM documents ORDER BY shuffle_key, doc_id LIMIT 100""")),
 
+    // EPOCH UPSAMPLING — the complement of t14's downsampling: low-resource
+    // languages are REPEATED (integer epochs, factor = max-lang count div
+    // own count) toward equal representation — the "more epochs over
+    // scarce high-quality data" move of LLM data recipes. The repeat is a
+    // deterministic sequence+explode inside the projection (no shuffle, no
+    // rand()); the per-lang factor table is a broadcast; emitted counts
+    // verify the exact expansion.
+    Q("t19_upsample_repeat",
+      (s, d) => {
+        val counts = t(s, d, "documents").groupBy("lang").agg(count(lit(1)).as("n_total"))
+        val factors = counts.crossJoin(broadcast(counts.agg(max(col("n_total")).as("__mx"))))
+          .withColumn("repeat_factor", greatest(lit(1L), expr("__mx div n_total")))
+          .select("lang", "n_total", "repeat_factor")
+        t(s, d, "documents")
+          .join(broadcast(factors), Seq("lang"))
+          .select(col("lang"), col("n_total"), col("repeat_factor"),
+            explode(sequence(lit(1L), col("repeat_factor"))).as("epoch"))
+          .groupBy("lang", "n_total", "repeat_factor")
+          .agg(count(lit(1)).as("n_emitted"))
+          .orderBy("lang")
+      },
+      Some("""WITH counts AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+                 factors AS (SELECT lang, n_total,
+                                    GREATEST(1, (SELECT MAX(n_total) FROM counts) // n_total) AS repeat_factor
+                             FROM counts)
+              SELECT f.lang, f.n_total, f.repeat_factor, COUNT(*) AS n_emitted
+              FROM documents d JOIN factors f USING (lang),
+                   LATERAL (SELECT UNNEST(range(1, f.repeat_factor + 1)) AS epoch) e
+              GROUP BY 1, 2, 3 ORDER BY 1""")),
+
     // N-GRAM NOVELTY — the memorization-risk signal: what fraction of a
     // document's distinct 3-grams appear in NO other document (df == 1).
     // Low novelty = the doc is assembled from corpus-common spans
