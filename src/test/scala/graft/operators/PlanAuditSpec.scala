@@ -83,7 +83,11 @@ class PlanAuditSpec extends SparkSpec {
     "r01_asof_join" -> 2, // union repartition + window; no per-row range probe
     "sim03_ann_ivf" -> 3, // probe window + candidate join + final sort
     "sim05_kmeans_step" -> 2, // the one two-level kmeans aggregate + sort
-    "t10_tfidf_keywords" -> 5) // df agg + tf agg + doc-partitioned rank + sort
+    "t10_tfidf_keywords" -> 5, // df agg + tf agg + doc-partitioned rank + sort
+    "sim10_semdedup" -> 3, // within-cell self-join + dedup distinct + final sort
+    "sim11_ann_ivf_indexed" -> 4, // probe window + candidate join + rank window + sort
+    "t18_ngram_novelty" -> 3, // df agg + per-doc agg + final sort
+    "t15_unigram_score" -> 4) // token agg + tf join + per-doc agg + sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
