@@ -658,7 +658,9 @@ object DedupOps {
     // least/greatest so the pair orientation cannot split counts.
     Q("d13_source_leakage",
       (s, d) => {
-        val pairs = byNameLocal("d02_ngram_jaccard").build(s, d).select("da", "db")
+        // the near-dup pair list is ≪ corpus — broadcast it so the doc
+        // table streams through both source-attach joins unshuffled
+        val pairs = broadcast(byNameLocal("d02_ngram_jaccard").build(s, d).select("da", "db"))
         val src = t(s, d, "documents").select(col("doc_id"), col("source"))
         pairs
           .join(src.select(col("doc_id").as("da"), col("source").as("sa")), Seq("da"))
