@@ -658,9 +658,12 @@ object DedupOps {
     // least/greatest so the pair orientation cannot split counts.
     Q("d13_source_leakage",
       (s, d) => {
-        // the near-dup pair list is ≪ corpus — broadcast it so the doc
-        // table streams through both source-attach joins unshuffled
-        val pairs = broadcast(byNameLocal("d02_ngram_jaccard").build(s, d).select("da", "db"))
+        // the pair list comes straight from jaccardPairs (d02 minus its
+        // oracle-determinism sort — ordering is irrelevant to a join
+        // input); its size is data-dependent (O(k²) per duplicate
+        // cluster), so join strategy is left to AQE rather than forced
+        // to a broadcast that a high-duplication corpus would overflow
+        val pairs = jaccardPairs(s, d, HotShingleDfCap).select("da", "db")
         val src = t(s, d, "documents").select(col("doc_id"), col("source"))
         pairs
           .join(src.select(col("doc_id").as("da"), col("source").as("sa")), Seq("da"))

@@ -216,7 +216,10 @@ object EngineOps {
             when(size(col("topics")) === 1, lit(null).cast(IntegerType))
               .otherwise(col("transactionIndex")).as("ti_or_null"),
             col("topics"),
-            slice(col("topics"), lit(2), size(col("topics")) - 1).as("tail_topics"),
+            // length clamps at 0: a zero-topic log (legal on the real-RPC
+            // path — LOG0 events carry no topics) would otherwise pass
+            // length -1 and crash slice()
+            slice(col("topics"), lit(2), greatest(size(col("topics")) - 1, lit(0))).as("tail_topics"),
             when(size(col("topics")) === 1, lit(null).cast(ArrayType(StringType)))
               .otherwise(col("topics")).as("topics_or_null"))
           .repartition(4)

@@ -145,13 +145,20 @@ object SimilarityOps {
     * scale; production would re-seed an emptied cell (require()d here so a
     * silent cell collapse can never ship a wrong-but-plausible result).
     */
-  def trainedCentroids(s: SparkSession, d: String, iters: Int): Array[(Array[Double], Long)] = {
-    val corpus = withNorm(s, d)
-    var cents = ivfCentroids(corpus)
-    for (_ <- 1 to iters)
-      cents = centroidsFrom(lloydSums(corpus, cents).collect())
-    cents
-  }
+  def trainedCentroids(s: SparkSession, d: String, iters: Int): Array[(Array[Double], Long)] =
+    // memoized per (sfDir, iters): one Verify/Bench session builds
+    // sim07/sim08/sim09/sim10/sim11/x12/p03 from the same training —
+    // train once, not once per query (centroids depend only on the data)
+    trainedCache.computeIfAbsent((d, iters), _ => {
+      val corpus = withNorm(s, d)
+      var cents = ivfCentroids(corpus)
+      for (_ <- 1 to iters)
+        cents = centroidsFrom(lloydSums(corpus, cents).collect())
+      cents
+    })
+
+  private val trainedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[(Array[Double], Long)]]()
 
   /** Lloyd to the assignment FIXPOINT: iterate until the per-(cell, dim)
     * exact sums repeat. The sums determine the centroids and the centroids
@@ -214,7 +221,7 @@ object SimilarityOps {
   private val ivfDbs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def ensureIvfIndex(s: SparkSession, d: String): String =
     ivfDbs.computeIfAbsent(d, _ => {
-      val db = s"graft_ivf_${math.abs(d.hashCode)}"
+      val db = s"graft_ivf_${java.lang.Integer.toHexString(d.hashCode)}"
       val loc = java.nio.file.Files.createTempDirectory("graft_ivf").toString
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
       val cents = trainedCentroids(s, d, iters = 2)
@@ -261,12 +268,16 @@ object SimilarityOps {
     * id, so the shape is identical for seed (sim03) and trained (sim08)
     * centroids and survives a 100 TB corpus unchanged.
     */
-  def ivfSearch(s: SparkSession, d: String, cents: Array[(Array[Double], Long)],
-      nProbes: Int, k: Int): DataFrame = {
+  /** Probe rows (vec_id < nProbes, as qid/qvec/qnorm2) with their
+    * top-`IvfProbe` cells under `cents` — ONE implementation shared by
+    * ivfSearch (sim03/sim08) and the persisted-index serve path (sim11),
+    * so the probe-side tie-break can never diverge between queries that
+    * share an oracle.
+    */
+  def probeCells(corpus: DataFrame, cents: Array[(Array[Double], Long)], nProbes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpus = withNorm(s, d)
     val wc = Window.partitionBy(col("qid")).orderBy(desc("cell_score"), col("cell"))
-    val probes = corpus.where(col("vec_id") < nProbes)
+    corpus.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("norm2").as("qnorm2"))
       .withColumn("__dots",
         graft.functions.GraftFunctions.centroid_scores(col("qvec"), cents.map(_._1), cents.map(_._2)))
@@ -274,6 +285,13 @@ object SimilarityOps {
       .withColumn("__rk", row_number().over(wc))
       .where(col("__rk") <= IvfProbe)
       .drop("__dots", "cell_score", "__rk")
+  }
+
+  def ivfSearch(s: SparkSession, d: String, cents: Array[(Array[Double], Long)],
+      nProbes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = withNorm(s, d)
+    val probes = probeCells(corpus, cents, nProbes)
     val w2 = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("vec_id"))
     assignCells(corpus, cents).join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
@@ -520,21 +538,17 @@ object SimilarityOps {
         val cents = s.table(s"$db.ivf_centroids").collect()
           .sortBy(_.getInt(0))
           .map(r => (r.getSeq[Double](1).toArray, r.getLong(2)))
-        val wc = Window.partitionBy(col("qid")).orderBy(desc("cell_score"), col("cell"))
-        val probes = withNorm(s, d).where(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("norm2").as("qnorm2"))
-          .withColumn("__dots",
-            graft.functions.GraftFunctions.centroid_scores(col("qvec"), cents.map(_._1), cents.map(_._2)))
-          .select(col("*"), posexplode(col("__dots")).as(Seq("cell", "cell_score")))
-          .withColumn("__rk", row_number().over(wc))
-          .where(col("__rk") <= IvfProbe)
-          .drop("__dots", "cell_score", "__rk")
+        val probes = probeCells(withNorm(s, d), cents, nProbes = 10)
         val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
         val idx = s.table(s"$db.corpus_ivf")
           .where(col("cell").isin(cells.map(Int.box): _*))
           .select("vec_id", "embedding", "norm2", "cell")
         val scanPlan = idx.queryExecution.executedPlan.toString
-        require(scanPlan.contains("PartitionFilters: [") && scanPlan.contains("cell"),
+        // the filter must be INSIDE the scan's PartitionFilters list — an
+        // empty "PartitionFilters: []" plus a post-scan Filter would mean
+        // every cell directory is read, which is the regression this
+        // assert exists to catch
+        require(raw"PartitionFilters: \[[^\]]*cell".r.findFirstIn(scanPlan).isDefined,
           s"indexed IVF scan lost its static cell partition pruning:\n${scanPlan.take(2000)}")
         val w2 = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("vec_id"))
         idx.join(broadcast(probes), Seq("cell"))

@@ -454,7 +454,11 @@ object StockOps {
       Some("""SELECT l_returnflag,
                      CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
                      TRUE AS within_rel_error
-              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      // bench=false: the gate anchor needs the exact countDistinct in the
+      // same query, so timing it would measure the exact-distinct shuffle
+      // the HLL exists to avoid — not the approx path
+      bench = false),
 
     // Unpivot / melt (wide → long).
     Q("c27_unpivot",
@@ -585,7 +589,7 @@ object StockOps {
   private val bucketedDbs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ensureBucketed(s: org.apache.spark.sql.SparkSession, d: String): String =
     bucketedDbs.computeIfAbsent(d, _ => {
-      val db = s"graft_bkt_${math.abs(d.hashCode)}"
+      val db = s"graft_bkt_${java.lang.Integer.toHexString(d.hashCode)}"
       val loc = java.nio.file.Files.createTempDirectory("graft_bkt").toString
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
       t(s, d, "lineitem")

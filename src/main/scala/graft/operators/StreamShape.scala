@@ -358,11 +358,10 @@ object StreamShape {
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$d/embeddings.parquet"),
           srcDir.resolve("embeddings.parquet"))
-        val sq = s.readStream.schema(schema).parquet(srcDir.toString)
-          .withColumn("__dots", graft.functions.GraftFunctions
-            .centroid_scores(col("embedding"), cents.map(_._1), cents.map(_._2)))
-          .withColumn("cell",
-            (array_position(col("__dots"), array_max(col("__dots"))) - 1).cast(IntegerType))
+        // assignCells is a pure projection, so the batch assignment path
+        // IS the streaming one — one implementation, one tie-break
+        val sq = SimilarityOps
+          .assignCells(s.readStream.schema(schema).parquet(srcDir.toString), cents)
           .select("vec_id", "cell")
           .writeStream.format("parquet").partitionBy("cell")
           .option("path", out)
