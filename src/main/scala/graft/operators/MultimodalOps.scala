@@ -119,6 +119,43 @@ object MultimodalOps {
                 FROM documents WHERE length(text) >= 64)
               SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
                      sha256(substring(text, CAST(frame_idx * 32 + 1 AS INT), 16)) AS frame_digest
-              FROM x ORDER BY doc_id, frame_idx"""))
+              FROM x ORDER BY doc_id, frame_idx""")),
+
+    // CROSS-MODAL curation view: media features grouped by the TRAINED
+    // semantic cluster of the paired embedding (embeddings are 1:1 with
+    // documents by id) — the report that catches clusters whose media is
+    // degenerate (tiny payloads, washed-out intensity concentrated in one
+    // semantic cell). Exact arithmetic end-to-end: byte totals are integer
+    // sums, intensity means ride the dec() fixed-point convention so the
+    // per-cell mean is order-independent; the oracle replays k-means
+    // training, the stub decode, and the aggregation in one SQL query.
+    Q("m04_media_by_cluster",
+      (s, d) => {
+        val feats = decodeFeatures(mediaTable(s, d)).toDF()
+          .select(col("doc_id"), col("n_bytes"), col("mean_intensity"))
+        val cells = SimilarityOps.assignCells(
+            SimilarityOps.withNorm(s, d), SimilarityOps.trainedCentroids(s, d, iters = 2))
+          .select(col("vec_id").as("doc_id"), col("cell"))
+        feats.join(cells, "doc_id")
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_media"),
+            sum(col("n_bytes").cast(LongType)).as("total_bytes"),
+            davg(col("mean_intensity")).as("avg_intensity"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH ${SimilarityOps.sqlTrainedAssignCtes},
+                 feats AS (
+                   SELECT doc_id,
+                          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                          CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                 i -> ascii(text[i]))) AS DOUBLE) / length(text) AS mean_intensity
+                   FROM documents)
+               SELECT CAST(a2.cell AS INT) AS cell,
+                      COUNT(*) AS n_media,
+                      CAST(SUM(f.n_bytes) AS BIGINT) AS total_bytes,
+                      ${sqlDavg("f.mean_intensity")} AS avg_intensity
+               FROM feats f JOIN a2 ON a2.vec_id = f.doc_id
+               GROUP BY 1 ORDER BY 1"""),
+      bench = false)
   )
 }
