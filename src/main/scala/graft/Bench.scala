@@ -88,11 +88,11 @@ object Bench {
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_OUT write failed: $e") }
+    // exactly ONE console copy: build.sbt's StdoutOutput strategy passes
+    // forked stdout through unprefixed, and a second (stderr) copy makes a
+    // merged-console consumer see the JSON line twice — which itself can
+    // break a parser expecting exactly one
     println(line)
     System.out.flush()
-    // ...and on stderr: sbt prefixes forked stdout with "[info] ", which has
-    // broken downstream JSON parsing; stderr passes through unprefixed
-    System.err.println(line)
-    System.err.flush()
   }
 }

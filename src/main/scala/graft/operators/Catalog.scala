@@ -49,6 +49,16 @@ object Catalog {
   def sqlDsum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
   def sqlDavg(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)"
 
+  /** Collision-resistant tag for per-path derived artifacts (bucketed /
+    * IVF warehouse database names): SHA-256 of the path, 16 hex chars.
+    * The 32-bit `String.hashCode` used previously can collide across two
+    * distinct sfDirs in one JVM, silently repointing the first dir's
+    * memoized warehouse at the second dir's data.
+    */
+  def pathTag(d: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
   lazy val all: Seq[Q] =
     RelationalQueries.all ++ StockOps.all ++ StreamShape.all ++
       TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ EngineOps.all ++

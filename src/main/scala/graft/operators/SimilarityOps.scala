@@ -221,7 +221,7 @@ object SimilarityOps {
   private val ivfDbs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def ensureIvfIndex(s: SparkSession, d: String): String =
     ivfDbs.computeIfAbsent(d, _ => {
-      val db = s"graft_ivf_${java.lang.Integer.toHexString(d.hashCode)}"
+      val db = s"graft_ivf_${Catalog.pathTag(d)}"
       val loc = java.nio.file.Files.createTempDirectory("graft_ivf").toString
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
       val cents = trainedCentroids(s, d, iters = 2)

@@ -589,7 +589,7 @@ object StockOps {
   private val bucketedDbs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ensureBucketed(s: org.apache.spark.sql.SparkSession, d: String): String =
     bucketedDbs.computeIfAbsent(d, _ => {
-      val db = s"graft_bkt_${java.lang.Integer.toHexString(d.hashCode)}"
+      val db = s"graft_bkt_${Catalog.pathTag(d)}"
       val loc = java.nio.file.Files.createTempDirectory("graft_bkt").toString
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
       t(s, d, "lineitem")

@@ -269,10 +269,14 @@ object StreamShape {
         val prev = s.conf.getOption(providerConf)
         s.conf.set(providerConf,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // trigger size derived from head so the whole chain drains in ONE
+        // micro-batch by construction (not by a magic constant that could
+        // drift apart from head)
+        val head = 999
         try {
           val logs = s.readStream.format("graft-eth").option("dataset", "logs")
-            .option("startBlock", "0").option("head", "999")
-            .option("maxBlocksPerTrigger", "1000").load()
+            .option("startBlock", "0").option("head", head.toString)
+            .option("maxBlocksPerTrigger", (head + 1).toString).load()
           val sq = graft.streaming.StreamOps.addressActivityTws(logs)
             .toDF()
             .writeStream.format("memory").queryName(name)
@@ -286,7 +290,16 @@ object StreamShape {
             case None => s.conf.unset(providerConf)
           }
         }
-        s.table(name).orderBy("address")
+        // the Update-mode memory sink APPENDS each batch's updated rows; if
+        // the drain ever splits into >1 batch, keep only the LAST update per
+        // address (n is the per-address row count, strictly increasing
+        // across updates — max(n) identifies the final state)
+        s.table(name)
+          .groupBy("address")
+          .agg(max(struct(col("n"), col("firstBlock"), col("lastBlock"))).as("__last"))
+          .select(col("address"), col("__last.firstBlock").as("firstBlock"),
+            col("__last.lastBlock").as("lastBlock"), col("__last.n").as("n"))
+          .orderBy("address")
       },
       Some(s"""SELECT address,
                       MIN(blockNumber) AS firstBlock,

@@ -486,9 +486,15 @@ object TextOps {
         val rates = pd.crossJoin(broadcast(pd.agg(max(col("__pd")).as("__mx"))))
           .withColumn("rate_ppm", floor(col("__pd") / col("__mx") * 1000000).cast(LongType))
           .select("lang", "n_total", "rate_ppm")
+        // mask doc_id to 31 bits BEFORE the multiplicative mix: the raw
+        // product overflows i64 once doc_id > ~3.47e9 (the 100TB regime) —
+        // Spark wraps silently while the DuckDB oracle's BIGINT * raises;
+        // (2^31-1) * 2654435761 ≈ 5.7e18 provably fits, stays positive,
+        // so pmod here and % in SQL agree
         t(s, d, "documents")
           .join(broadcast(rates), Seq("lang"))
-          .where(pmod(col("doc_id") * lit(2654435761L), lit(1000000L)) < col("rate_ppm"))
+          .where(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
+            lit(1000000L)) < col("rate_ppm"))
           .groupBy("lang", "n_total", "rate_ppm")
           .agg(count(lit(1)).as("n_kept"))
           .orderBy("lang")
@@ -500,7 +506,7 @@ object TextOps {
                            FROM pd)
               SELECT r.lang, r.n_total, r.rate_ppm, COUNT(*) AS n_kept
               FROM documents d JOIN rates r USING (lang)
-              WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm
+              WHERE ((d.doc_id % 2147483648) * 2654435761) % 1000000 < r.rate_ppm
               GROUP BY 1, 2, 3 ORDER BY 1""")),
 
     // Unigram corpus-frequency quality score: a doc's mean token corpus
@@ -545,11 +551,14 @@ object TextOps {
     // expression under a range-partitioned sort.
     Q("t16_corpus_shuffle",
       (s, d) => t(s, d, "documents")
+        // same 31-bit pre-mask as t14: the product must provably fit i64
+        // on both engines (Spark wraps on overflow, DuckDB raises)
         .select(col("doc_id"),
-          pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)).as("shuffle_key"))
+          pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
+            lit(1000000007L)).as("shuffle_key"))
         .orderBy("shuffle_key", "doc_id")
         .limit(100),
-      Some("""SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS shuffle_key
+      Some("""SELECT doc_id, ((doc_id % 2147483648) * 2654435761) % 1000000007 AS shuffle_key
               FROM documents ORDER BY shuffle_key, doc_id LIMIT 100""")),
 
     // EPOCH UPSAMPLING — the complement of t14's downsampling: low-resource
@@ -621,13 +630,18 @@ object TextOps {
     Q("t17_sequence_chunks",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_toks"))
+        // guard the degenerate empty/whitespace-only doc: n_toks=0 makes
+        // Spark's div (truncate toward zero) emit a chunk_id=0 row where
+        // DuckDB's // (floor) emits none — both sides filter it out
+        .where(col("n_toks") > 0)
         .select(col("doc_id"), col("n_toks"),
           explode(sequence(lit(0L), expr("(n_toks - 1) div 128"))).as("chunk_id"))
         .withColumn("chunk_len", least(lit(128L), col("n_toks") - col("chunk_id") * 128))
         .orderBy("doc_id", "chunk_id"),
       Some("""WITH nt AS (SELECT doc_id,
                                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
-                          FROM documents)
+                          FROM documents
+                          WHERE len(string_split_regex(trim(text), '\s+')) > 0)
               SELECT doc_id, n_toks, chunk_id, LEAST(128, n_toks - chunk_id * 128) AS chunk_len
               FROM nt, LATERAL (SELECT UNNEST(range(0, (n_toks - 1) // 128 + 1)) AS chunk_id)
               ORDER BY doc_id, chunk_id"""))
