@@ -680,6 +680,116 @@ object DedupOps {
                FROM jpairs j JOIN documents a ON a.doc_id = j.da
                              JOIN documents b ON b.doc_id = j.db
                GROUP BY 1, 2 ORDER BY 1, 2"""),
+      bench = false),
+
+    // DUPLICATE-SPAN COVERAGE — the exact-substring dedup signal (the
+    // suffix-array method's verdict, re-expressed as dataflow): a token
+    // position is "duplicated" when its 8-gram occurs anywhere else in the
+    // corpus; per doc we report how many positions that covers and how many
+    // contiguous duplicated RUNS they form. Positional (non-deduping)
+    // 8-grams from the codegen'd word_ngrams kernel; corpus df is the
+    // standard two-level aggregate with map-side combine; the membership
+    // join is an equi-join on the gram; the run-detection window is
+    // partitioned BY doc — no global window at any corpus size. 8-grams
+    // (not 3) so a hit means real text overlap, matching d09's convention.
+    Q("d14_duplicate_spans",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val grams = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(graft.functions.GraftFunctions.word_ngrams(col("text"), 8))
+              .as(Seq("pos", "gram")))
+        val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        grams.join(dfreq, "gram")
+          .withColumn("dup", col("df") > 1)
+          .withColumn("sstart",
+            col("dup") && !coalesce(lag(col("dup"), 1).over(w), lit(false)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            count_if(col("dup")).as("n_dup"),
+            count_if(col("sstart")).as("n_spans"))
+          .withColumn("dup_fraction", col("n_dup").cast(DoubleType) / col("n_grams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                 g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+                       FROM tt, LATERAL (SELECT UNNEST(range(1, len(toks) - 6)) AS i)),
+                 dfreq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+                 fl AS (SELECT doc_id, pos, (df > 1) AS dup FROM g JOIN dfreq USING (gram)),
+                 st AS (SELECT doc_id, dup,
+                               dup AND NOT COALESCE(LAG(dup) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS sstart
+                        FROM fl)
+              SELECT doc_id, COUNT(*) AS n_grams,
+                     CAST(COUNT(*) FILTER (dup) AS BIGINT) AS n_dup,
+                     CAST(COUNT(*) FILTER (sstart) AS BIGINT) AS n_spans,
+                     CAST(COUNT(*) FILTER (dup) AS DOUBLE) / COUNT(*) AS dup_fraction
+              FROM st GROUP BY doc_id ORDER BY doc_id""")),
+
+    // WINNOWING FINGERPRINTS (Schleimer/Wilkerson/Aiken, the MOSS
+    // algorithm): per document, hash every 4-gram and keep the MINIMUM
+    // hash of each sliding window of 4 consecutive positions — the
+    // guarantee is that any shared substring of ≥ 7 tokens contributes at
+    // least one IDENTICAL selected fingerprint to both documents, at ~1/4
+    // the storage of the full gram set. Hash = md5 (identical across
+    // engines — xxhash64 would be engine-internal); the selection windows
+    // are partitioned BY doc, the fingerprint set is the distinct output.
+    // At scale the fingerprint table feeds the same bucketed equi-join as
+    // d03's bands.
+    Q("d15_winnowing",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val grams = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(graft.functions.GraftFunctions.word_ngrams(col("text"), 4))
+              .as(Seq("pos", "gram")))
+          .withColumn("fp", md5(col("gram").cast(BinaryType)))
+        val wN = Window.partitionBy("doc_id")
+        val wWin = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.currentRow, 3)
+        grams
+          .withColumn("n", count(lit(1)).over(wN))
+          .withColumn("wmin", min(col("fp")).over(wWin))
+          .where(col("pos") <= col("n") - 4) // full windows only (pos 0-based)
+          .select(col("doc_id"), col("wmin").as("fingerprint")).distinct()
+          .orderBy("doc_id", "fingerprint")
+      },
+      Some("""WITH tt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                 g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+3], ' ')) AS fp
+                       FROM tt, LATERAL (SELECT UNNEST(range(1, len(toks) - 2)) AS i)),
+                 wm AS (SELECT doc_id, pos,
+                               COUNT(*) OVER (PARTITION BY doc_id) AS n,
+                               MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+                        FROM g)
+              SELECT DISTINCT doc_id, wmin AS fingerprint
+              FROM wm WHERE pos <= n - 3
+              ORDER BY doc_id, fingerprint""")),
+
+    // CONTAMINATION REPORT — d09's decision with its evidence: for each
+    // contaminated training document, how many distinct benchmark 8-grams
+    // it shares with the eval split and one example gram (the audit
+    // artifact a decontamination run ships alongside the removal list).
+    // Same broadcast semi-join shape as d09: the benchmark shingle set is
+    // eval-split-sized, the per-doc aggregate keys on doc_id.
+    Q("d16_contamination_report",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh = docs.select(col("doc_id"), col("source"),
+          graft.functions.GraftFunctions.word_shingles(col("text"), 8).as("sh"))
+        val benchShingles = sh.where(col("source") === "src0")
+          .select(explode(col("sh")).as("shingle")).distinct()
+        sh.where(col("source") =!= "src0")
+          .select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .join(broadcast(benchShingles), "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"), min(col("shingle")).as("example_shingle"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $sqlDecontCtes
+               SELECT doc_id, COUNT(*) AS n_hits, MIN(shingle) AS example_shingle
+               FROM tex JOIN bsh USING (shingle)
+               GROUP BY doc_id ORDER BY doc_id"""),
       bench = false)
   )
 }

@@ -796,6 +796,88 @@ object SimilarityOps {
                      (SELECT COUNT(*) FROM lsh_top l JOIN brute_top b USING (qid, vec_id))
             ) ORDER BY method"""
       },
+      bench = false),
+
+    // LABEL-AFFINITY MATRIX — the domain-similarity report of data-mixing
+    // recipes: per-label mean embedding (the label centroid), then pairwise
+    // cosine between centroids — which corpus slices are semantically close
+    // (candidates for merging or rebalancing) and which are disjoint. The
+    // centroid pass is the sim05 Lloyd aggregate grouped by the LABEL
+    // (exact DECIMAL(38,0) scaled-integer sums, labels×dim output rows
+    // regardless of corpus size); the pairwise stage joins the tiny
+    // centroid table to itself on the dim — labels are bounded (domains /
+    // sources), so the matrix is always small. Every product is floor-
+    // scaled per element before summation, so DuckDB reproduces the matrix
+    // bit-for-bit.
+    Q("sim12_label_affinity",
+      (s, d) => {
+        val sums = t(s, d, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy("label", "dim")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("x").cast(DoubleType) * SCALE).cast(DecimalType(38, 0))).as("ssum"))
+          .withColumn("cval", col("ssum").cast(DoubleType) / (col("n") * lit(SCALE)))
+          .select("label", "dim", "cval")
+        val a = sums.select(col("label").as("la"), col("dim"), col("cval").as("ca"))
+        val b = sums.select(col("label").as("lb"), col("dim"), col("cval").as("cb"))
+        val dots = a.join(b, Seq("dim")).where(col("la") <= col("lb"))
+          .groupBy("la", "lb")
+          .agg(sum(floor(col("ca") * col("cb") * lit(SCALE)).cast(LongType)).as("dot"))
+        val norms = dots.where(col("la") === col("lb"))
+          .select(col("la").as("l"), col("dot").as("norm2"))
+        dots.where(col("la") < col("lb"))
+          .join(norms.select(col("l").as("la"), col("norm2").as("na")), "la")
+          .join(norms.select(col("l").as("lb"), col("norm2").as("nb")), "lb")
+          .withColumn("affinity", cosine(col("dot"), col("na"), col("nb")))
+          .select("la", "lb", "affinity")
+          .orderBy("la", "lb")
+      },
+      Some("""WITH sums AS (
+                 SELECT label, dim, COUNT(*) AS n,
+                        SUM(CAST(FLOOR(CAST(embedding[CAST(dim + 1 AS INT)] AS DOUBLE) * 1e15) AS BIGINT)) AS ssum
+                 FROM embeddings, LATERAL (SELECT UNNEST(range(0, len(embedding))) AS dim) i
+                 GROUP BY 1, 2),
+               cv AS (SELECT label, dim, CAST(ssum AS DOUBLE) / (n * 1e15) AS cval FROM sums),
+               dots AS (
+                 SELECT a.label AS la, b.label AS lb,
+                        CAST(SUM(CAST(FLOOR(a.cval * b.cval * 1e15) AS BIGINT)) AS BIGINT) AS dot
+                 FROM cv a JOIN cv b ON a.dim = b.dim AND a.label <= b.label
+                 GROUP BY 1, 2),
+               nrm AS (SELECT la AS l, dot AS norm2 FROM dots WHERE la = lb)
+              SELECT d.la, d.lb,
+                     CAST(d.dot AS DOUBLE) / SQRT(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)) AS affinity
+              FROM dots d JOIN nrm na ON na.l = d.la JOIN nrm nb ON nb.l = d.lb
+              WHERE d.la < d.lb ORDER BY d.la, d.lb""")),
+
+    // SEMANTIC-STRATIFIED SAMPLE — diversity-preserving downsampling: a
+    // fixed quota per TRAINED quantizer cell (the coreset move: uniform
+    // sampling over-represents dense regions; per-cell quotas keep every
+    // semantic region represented). Selection within a cell is the t21
+    // deterministic doc-hash order — no rand(), retry-idempotent. The
+    // assignment is the map-only trained argmax; the quota window is
+    // partitioned BY cell; the oracle replays training in SQL and mirrors
+    // the hash order.
+    Q("sim13_cell_balanced_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val assigned = assignCells(withNorm(s, d), trainedCentroids(s, d, iters = 2))
+        val w = Window.partitionBy("cell").orderBy(col("skey"), col("vec_id"))
+        assigned
+          .withColumn("skey",
+            pmod(pmod(col("vec_id"), lit(2147483648L)) * lit(2654435761L), lit(1000000007L)))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 4)
+          .select(col("cell"), col("rk"), col("vec_id"), col("skey"))
+          .orderBy("cell", "rk")
+      },
+      Some(s"""WITH $sqlTrainedAssignCtes
+               SELECT CAST(cell AS INT) AS cell, CAST(rk AS INT) AS rk, vec_id, skey FROM (
+                 SELECT cell, vec_id,
+                        ((vec_id % 2147483648) * 2654435761) % 1000000007 AS skey,
+                        ROW_NUMBER() OVER (PARTITION BY cell
+                          ORDER BY ((vec_id % 2147483648) * 2654435761) % 1000000007, vec_id) AS rk
+                 FROM a2)
+               WHERE rk <= 4 ORDER BY cell, rk"""),
       bench = false)
   )
 

@@ -422,6 +422,52 @@ object StreamShape {
                FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
                WHERE blockNumber <= 999
                ORDER BY blockNumber, logIndex"""),
+      bench = false),
+
+    // STREAMING DECONTAMINATION — d16's contamination report over a LIVE
+    // document feed: the benchmark shingle set is a STATIC (batch) side
+    // joined into each micro-batch — the stream-static join Spark plans as
+    // a broadcast against every batch, exactly how a production pipeline
+    // screens incoming crawl data against a frozen eval set. The codegen'd
+    // word_shingles kernel runs inside the micro-batch (stateless), only
+    // the per-doc hit count carries state (complete mode; contaminated
+    // docs ≪ corpus). Same oracle as d16: the streaming path must land on
+    // the identical report.
+    Q("x13_stream_decontaminate",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        graft.functions.GraftFunctions.register(s)
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val name = s"x13_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x13ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x13src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/documents.parquet"),
+          srcDir.resolve("documents.parquet"))
+        // static side: the frozen benchmark shingle set (batch read)
+        val benchShingles = t(s, d, "documents")
+          .where(col("source") === "src0")
+          .select(explode(
+            graft.functions.GraftFunctions.word_shingles(col("text"), 8)).as("shingle"))
+          .distinct()
+        val sq = s.readStream.schema(schema).parquet(srcDir.toString)
+          .where(col("source") =!= "src0")
+          .select(col("doc_id"),
+            explode(graft.functions.GraftFunctions.word_shingles(col("text"), 8)).as("shingle"))
+          .join(broadcast(benchShingles), "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"), min(col("shingle")).as("example_shingle"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        s.table(name).orderBy("doc_id")
+      },
+      Some(s"""WITH ${DedupOps.sqlDecontCtes}
+               SELECT doc_id, COUNT(*) AS n_hits, MIN(shingle) AS example_shingle
+               FROM tex JOIN bsh USING (shingle)
+               GROUP BY doc_id ORDER BY doc_id"""),
       bench = false)
   )
 }

@@ -644,6 +644,65 @@ object TextOps {
                           WHERE len(string_split_regex(trim(text), '\s+')) > 0)
               SELECT doc_id, n_toks, chunk_id, LEAST(128, n_toks - chunk_id * 128) AS chunk_len
               FROM nt, LATERAL (SELECT UNNEST(range(0, (n_toks - 1) // 128 + 1)) AS chunk_id)
-              ORDER BY doc_id, chunk_id"""))
+              ORDER BY doc_id, chunk_id""")),
+
+    // SEQUENCE PACKING (concat-and-chunk) — t17's packing-free chunking
+    // wastes a partial chunk per document; production pipelines CONCATENATE
+    // documents in a deterministic order and cut fixed 128-token sequences
+    // across document boundaries. Packing is inherently sequential, so it
+    // runs WITHIN each source shard (the unit a writer task owns at scale):
+    // a running-total window partitioned BY source gives each doc its token
+    // offset, from which its first/last chunk are pure arithmetic. No
+    // global window; one shuffle on the shard key.
+    Q("t20_pack_sequences",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast(LongType).as("n_toks"))
+          .withColumn("end_tok", sum(col("n_toks")).over(w))
+          .withColumn("start_tok", col("end_tok") - col("n_toks"))
+          .withColumn("first_chunk", expr("start_tok div 128"))
+          .withColumn("last_chunk", expr("(end_tok - 1) div 128"))
+          .select("doc_id", "source", "n_toks", "start_tok", "first_chunk", "last_chunk")
+          .orderBy("doc_id")
+      },
+      Some("""WITH nt AS (SELECT doc_id, source,
+                                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+                          FROM documents),
+                 c AS (SELECT doc_id, source, n_toks,
+                              CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+                       FROM nt)
+              SELECT doc_id, source, n_toks, end_tok - n_toks AS start_tok,
+                     (end_tok - n_toks) // 128 AS first_chunk,
+                     (end_tok - 1) // 128 AS last_chunk
+              FROM c ORDER BY doc_id""")),
+
+    // DETERMINISTIC TRAIN/VAL/TEST SPLIT — the holdout assignment every
+    // training corpus needs, as a pure function of doc_id (the t14-style
+    // masked multiplicative hash into permille buckets: 80/10/10). No
+    // rand(): re-runs, retries and incremental reloads land every document
+    // in the same split forever, and the assignment is pushdown-friendly
+    // (a filter on the hash, not a join against a stored assignment).
+    // Emitted as the per-(source, split) composition report.
+    Q("t21_train_val_test",
+      (s, d) => {
+        val h = pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L), lit(1000L))
+        t(s, d, "documents")
+          .withColumn("split",
+            when(h < 800, "train").when(h < 900, "val").otherwise("test"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "split")
+      },
+      Some("""SELECT source,
+                     CASE WHEN ((doc_id % 2147483648) * 2654435761) % 1000 < 800 THEN 'train'
+                          WHEN ((doc_id % 2147483648) * 2654435761) % 1000 < 900 THEN 'val'
+                          ELSE 'test' END AS split,
+                     COUNT(*) AS n_docs
+              FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

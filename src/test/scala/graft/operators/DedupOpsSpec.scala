@@ -229,6 +229,70 @@ class DedupOpsSpec extends SparkSpec {
       "fixture has no contamination — the spec would not exercise the filter")
   }
 
+  test("d14 duplicate-span coverage == plain-Scala positional-8-gram reference") {
+    // independent driver-side reimplementation: positional 8-grams,
+    // corpus df, dup flags, contiguous-run count
+    val rows = Catalog.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val grams = rows.map { case (id, toks) =>
+      id -> toks.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toVector
+    }
+    val df8 = grams.flatMap(_._2).groupBy(identity).map { case (g, o) => g -> o.size }
+    val expect = grams.collect { case (id, gs) if gs.nonEmpty =>
+      val dup = gs.map(df8(_) > 1)
+      val spans = dup.zip(false +: dup).count { case (cur, prev) => cur && !prev }
+      id -> (gs.size.toLong, dup.count(identity).toLong, spans.toLong)
+    }.toMap
+    val got = Catalog.byName("d14_duplicate_spans").build(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expect)
+    assert(expect.values.exists(_._2 > 0),
+      "fixture has no duplicated 8-gram positions — the spec would not exercise the signal")
+  }
+
+  test("d15 winnowing == plain-Scala reference, and shared 7-token runs share a fingerprint") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def winnow(text: String): Set[String] = {
+      val toks = text.trim.split("\\s+").toSeq
+      val fps = toks.sliding(4).filter(_.length == 4).map(g => md5hex(g.mkString(" "))).toVector
+      fps.sliding(4).filter(_.length == 4).map(_.min).toSet
+    }
+    val rows = Catalog.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = rows.map { case (id, t) => id -> winnow(t) }.filter(_._2.nonEmpty).toMap
+    val got = Catalog.byName("d15_winnowing").build(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    assert(got === expect)
+    // the winnowing guarantee (k=4, w=4): two docs sharing a run of
+    // >= k+w-1 = 7 tokens select at least one common fingerprint
+    val toks = rows.toMap.view.mapValues(_.trim.split("\\s+").toSeq).toMap
+    val run7 = (id: Long) => toks(id).sliding(7).filter(_.length == 7).map(_.mkString(" ")).toSet
+    for {
+      (a, _) <- rows; (b, _) <- rows if a < b
+      if run7(a).intersect(run7(b)).nonEmpty
+    } assert(expect(a).intersect(expect(b)).nonEmpty,
+      s"docs $a/$b share a 7-token run but no winnowing fingerprint")
+  }
+
+  test("d16 reports exactly the docs d09 removes, with true hit counts") {
+    val removedByD09 = {
+      val all = Catalog.t(spark, sfDir, "documents")
+        .where($"source" =!= "src0").select("doc_id").collect().map(_.getLong(0)).toSet
+      val kept = Catalog.byName("d09_decontaminate").build(spark, sfDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      all -- kept
+    }
+    val report = Catalog.byName("d16_contamination_report").build(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(report.keySet === removedByD09)
+    assert(report.values.forall(_ >= 1), "a contaminated doc must have at least one hit")
+  }
+
   test("simhash of identical docs is identical") {
     val out = Catalog.byName("d04_simhash").build(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

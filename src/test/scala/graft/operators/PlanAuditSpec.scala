@@ -18,6 +18,7 @@ class PlanAuditSpec extends SparkSpec {
     "x06_stream_stream_join", "x07_stateful_sessions", "x08_stream_curation",
     "x09_stream_restart", "x10_transform_with_state",
     "x11_stream_content_dedup", "x12_stream_index_append",
+    "x13_stream_decontaminate",
     // Arrow IPC roundtrip: the build writes+reads IPC files eagerly; the
     // returned frame is a bounded local relation (scan itself is audited
     // via e01's plan — same connector path)
@@ -87,7 +88,10 @@ class PlanAuditSpec extends SparkSpec {
     "sim10_semdedup" -> 3, // within-cell self-join + dedup distinct + final sort
     "sim11_ann_ivf_indexed" -> 4, // probe window + candidate join + rank window + sort
     "t18_ngram_novelty" -> 3, // df agg + per-doc agg + final sort
-    "t15_unigram_score" -> 4) // token agg + tf join + per-doc agg + sort
+    "t15_unigram_score" -> 4, // token agg + tf join + per-doc agg + sort
+    "d14_duplicate_spans" -> 4, // gram df agg + membership join + doc window + sort
+    "d15_winnowing" -> 3, // doc-partitioned windows + distinct + final sort
+    "t20_pack_sequences" -> 2) // source-partitioned running total + final sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

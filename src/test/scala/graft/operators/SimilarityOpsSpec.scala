@@ -120,4 +120,50 @@ class SimilarityOpsSpec extends SparkSpec {
       assert(c1.sameElements(c2), s"cell $k centroid changed after the certified fixpoint")
     }
   }
+
+  test("sim12 label-affinity matrix == driver-side centroid cosines") {
+    import spark.implicits._
+    val SCALE = SimilarityOps.SCALE
+    val rows = Catalog.t(spark, sfDir, "embeddings")
+      .select($"label", $"embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+    val dims = rows.head._2.length
+    // label centroid with the engine's exact convention: integer-scaled
+    // sums, IEEE-double mean
+    val cents: Map[Int, Array[Double]] = rows.groupBy(_._1).map { case (l, ms) =>
+      l -> Array.tabulate(dims) { d =>
+        ms.map { case (_, v) => BigInt(math.floor(v(d).toDouble * SCALE).toLong) }.sum.toDouble /
+          (ms.length * SCALE)
+      }
+    }
+    def sdot(a: Array[Double], b: Array[Double]): Long =
+      a.indices.map(i => math.floor(a(i) * b(i) * SCALE).toLong).sum
+    val labels = cents.keys.toSeq.sorted
+    val expect = (for { la <- labels; lb <- labels if la < lb } yield
+      (la, lb) -> sdot(cents(la), cents(lb)).toDouble /
+        math.sqrt(sdot(cents(la), cents(la)).toDouble * sdot(cents(lb), cents(lb)).toDouble)).toMap
+    val got = Catalog.byName("sim12_label_affinity").build(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (k, v) => assert(v === expect(k), s"pair $k: $v vs ${expect(k)}") }
+    got.values.foreach(v => assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9))
+  }
+
+  test("sim13 takes at most the quota per cell, in deterministic hash order") {
+    val assigned = SimilarityOps.assignCells(
+      SimilarityOps.withNorm(spark, sfDir),
+      SimilarityOps.trainedCentroids(spark, sfDir, iters = 2))
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    def key(id: Long): Long = ((id % 2147483648L) * 2654435761L) % 1000000007L
+    val expect: Map[(Int, Int), Long] = assigned.groupBy(_._2).toSeq.flatMap { case (cell, ms) =>
+      ms.map(_._1).sortBy(id => (key(id), id)).take(4).zipWithIndex
+        .map { case (id, i) => (cell, i + 1) -> id }
+    }.toMap
+    val got = Catalog.byName("sim13_cell_balanced_sample").build(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+    // balanced: every non-empty cell is represented
+    assert(got.keys.map(_._1).toSet === assigned.map(_._2).toSet)
+  }
 }

@@ -2,9 +2,9 @@ package graft.operators
 
 import graft.SparkSpec
 
-/** Semantic pin for the TF-IDF keyword extraction (t10): the query's
-  * ranked output must equal a driver-side recomputation of tf/df scoring
-  * from raw tokenization — top-3 per doc, score desc, token asc tie-break.
+/** Semantic pins for the text-pipeline operators: TF-IDF ranking (t10),
+  * sequence packing (t20), and the deterministic train/val/test split
+  * (t21) — each against an independent driver-side recomputation.
   */
 class TextOpsSpec extends SparkSpec {
 
@@ -32,5 +32,45 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
         r.getLong(4), r.getDouble(5))).toSet
     assert(got === expected)
+  }
+
+  test("t20 packing is gapless and exhaustive within each source shard") {
+    val rows = Catalog.byName("t20_pack_sequences").build(spark, sfDir)
+      .select("doc_id", "source", "n_toks", "start_tok", "first_chunk", "last_chunk")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      val ordered = docs.sortBy(_._1)
+      // first doc starts at token 0; each next doc starts where the
+      // previous ended — no token is skipped or double-assigned
+      assert(ordered.head._4 === 0L, s"$src: first doc does not start at 0")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4 === a._4 + a._3, s"$src: gap between docs ${a._1} and ${b._1}")
+        case _ =>
+      }
+      ordered.foreach { case (id, _, n, start, first, last) =>
+        assert(first === start / 128 && last === (start + n - 1) / 128,
+          s"$src doc $id: chunk bounds disagree with offsets")
+      }
+    }
+    // every document is packed
+    assert(rows.length.toLong === Catalog.t(spark, sfDir, "documents").count())
+  }
+
+  test("t21 split is a deterministic partition with the 80/10/10 hash rule") {
+    val docs = Catalog.t(spark, sfDir, "documents")
+      .select($"doc_id", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def split(id: Long): String = {
+      val h = ((id % 2147483648L) * 2654435761L) % 1000L
+      if (h < 800) "train" else if (h < 900) "val" else "test"
+    }
+    val expect = docs.groupBy { case (id, src) => (src, split(id)) }
+      .map { case (k, v) => k -> v.length.toLong }
+    val got = Catalog.byName("t21_train_val_test").build(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+    assert(got.values.sum === docs.length.toLong, "splits must partition the corpus")
   }
 }

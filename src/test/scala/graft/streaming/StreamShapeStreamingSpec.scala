@@ -55,4 +55,15 @@ class StreamShapeStreamingSpec extends SparkSpec {
     assert(streamed.size >= batch.size - batch.map(_._2).toSeq.distinct.size,
       s"too few closed windows: ${streamed.size} of ${batch.size}")
   }
+
+  test("x13 streaming decontamination report == d16 batch report") {
+    val stream = graft.operators.Catalog.byName("x13_stream_decontaminate")
+      .build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = graft.operators.Catalog.byName("d16_contamination_report")
+      .build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty, "fixture has no contamination — spec exercises nothing")
+  }
 }
