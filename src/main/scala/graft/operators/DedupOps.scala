@@ -790,6 +790,49 @@ object DedupOps {
                SELECT doc_id, COUNT(*) AS n_hits, MIN(shingle) AS example_shingle
                FROM tex JOIN bsh USING (shingle)
                GROUP BY doc_id ORDER BY doc_id"""),
+      bench = false),
+
+    // SKETCH QUALITY IN THE GATE — the MinHash estimator itself, measured:
+    // for every exact-Jaccard pair (d02), the fraction of agreeing
+    // signature positions (the unbiased MinHash estimate of J, E[match] =
+    // J per position) next to the true value and the absolute error — the
+    // sim04-style "is the sketch actually good" row for the dedup family.
+    // Engine side uses its codegen'd signatures; the oracle recomputes the
+    // agreement from the INDEPENDENT PureSig dump, so a signature-kernel
+    // regression shows up as a hash mismatch here even if banding (d03)
+    // still collides. The signature join touches only the bounded d02 pair
+    // list.
+    Q("d17_minhash_estimate",
+      (s, d) => {
+        val pairs = byNameLocal("d02_ngram_jaccard").build(s, d)
+          .select("da", "db", "jaccard")
+        val sigs = minhashSignatures(s, d)
+        val sa = sigs.select(col("doc_id").as("da"), col("sig").as("siga"))
+        val sb = sigs.select(col("doc_id").as("db"), col("sig").as("sigb"))
+        pairs.join(sa, "da").join(sb, "db")
+          .withColumn("n_match",
+            size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+              b => b)).cast(LongType))
+          .withColumn("est_jaccard", col("n_match").cast(DoubleType) / NumHashes)
+          .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+          .select("da", "db", "jaccard", "n_match", "est_jaccard", "abs_err")
+          .orderBy("da", "db")
+      },
+      Some {
+        val dump = s"'${graft.Verify.SigDumpDir}/doc_sigs.parquet/*.parquet'"
+        s"""WITH $sqlJaccardCtes,
+              sg AS (SELECT doc_id, sig FROM $dump),
+              m AS (
+                SELECT da, db, jaccard,
+                       CAST(list_sum(list_transform(range(1, ${NumHashes + 1}),
+                              i -> CASE WHEN a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)]
+                                        THEN 1 ELSE 0 END)) AS BIGINT) AS n_match
+                FROM jpairs JOIN sg a ON a.doc_id = da JOIN sg b ON b.doc_id = db)
+            SELECT da, db, jaccard, n_match,
+                   CAST(n_match AS DOUBLE) / $NumHashes AS est_jaccard,
+                   ABS(CAST(n_match AS DOUBLE) / $NumHashes - jaccard) AS abs_err
+            FROM m ORDER BY da, db"""
+      },
       bench = false)
   )
 }

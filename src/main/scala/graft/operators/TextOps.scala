@@ -703,6 +703,74 @@ object TextOps {
                           WHEN ((doc_id % 2147483648) * 2654435761) % 1000 < 900 THEN 'val'
                           ELSE 'test' END AS split,
                      COUNT(*) AS n_docs
-              FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""))
+              FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // KEYWORD SEARCH — lexical retrieval over the corpus for a fixed query
+    // term set: per-doc score = Σ_q tf(doc,q) · w(q), with the idf-style
+    // weight w(q) = floor(N·10⁶ / df(q)) materialized as an INTEGER (the
+    // log-free rational idf of t10 — BM25's log would hang the gate on
+    // libm ulp parity, and floor-division keeps every score exact and
+    // order-independent). Scale shape: the token scan filters to the query
+    // terms FIRST (the posting-list read), the weight table is |Q| rows
+    // (broadcast), the top-10 is a distributed TakeOrdered — no global
+    // sort, no corpus-wide join.
+    Q("t22_keyword_search",
+      (s, d) => {
+        val qTerms = Seq("spark", "join", "stream")
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .where(col("tok").isin(qTerms: _*))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val nDocs = t(s, d, "documents").agg(count(lit(1)).as("__n"))
+        val weights = dfq.crossJoin(broadcast(nDocs))
+          .withColumn("weight", expr("(__n * 1000000) div df"))
+          .select("tok", "weight")
+        tf.join(broadcast(weights), "tok")
+          .groupBy("doc_id")
+          .agg(sum(col("tf") * col("weight")).as("score"),
+            count(lit(1)).as("n_terms"))
+          .orderBy(desc("score"), col("doc_id")).limit(10)
+      },
+      Some("""WITH tt AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+                 qt AS (SELECT doc_id, tok FROM tt WHERE tok IN ('spark', 'join', 'stream')),
+                 tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+                 w AS (SELECT tok, ((SELECT COUNT(*) FROM documents) * 1000000) // COUNT(*) AS weight
+                       FROM tf GROUP BY tok)
+              SELECT doc_id, CAST(SUM(tf.tf * w.weight) AS BIGINT) AS score,
+                     COUNT(*) AS n_terms
+              FROM tf JOIN w USING (tok)
+              GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""")),
+
+    // LINEAR QUALITY CLASSIFIER — the fixed-weight model-based filter
+    // stage of curation pipelines (fastText-style quality classifiers),
+    // reduced to its inference dataflow: a per-doc integer feature vector
+    // (token count, stopword hits, character mass) dotted with frozen
+    // integer weights, threshold on the raw margin. All-integer arithmetic
+    // (the sigmoid is monotone, so thresholding the margin IS thresholding
+    // the probability) keeps the decision boundary engine-exact. Inference
+    // is map-only except the one codegen'd stopword-count kernel — the
+    // same narrow scan at any corpus size.
+    Q("t23_quality_classifier",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        t(s, d, "documents")
+          .withColumn("n_toks", size(toks).cast(LongType))
+          .withColumn("n_stop", countIn(col("text"), stopwords))
+          .withColumn("score",
+            lit(50L) * col("n_stop") + lit(10L) * col("n_toks") - col("n_chars"))
+          .withColumn("kept", col("score") >= 600L)
+          .select("doc_id", "n_toks", "n_stop", "score", "kept")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+                      CAST(len(toks) AS BIGINT) AS n_toks,
+                      ${sqlCountIn(stopwords)} AS n_stop,
+                      50 * CAST(${sqlCountIn(stopwords)} AS BIGINT)
+                        + 10 * CAST(len(toks) AS BIGINT) - n_chars AS score,
+                      (50 * CAST(${sqlCountIn(stopwords)} AS BIGINT)
+                        + 10 * CAST(len(toks) AS BIGINT) - n_chars) >= 600 AS kept
+               FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+               ORDER BY doc_id"""))
   )
 }

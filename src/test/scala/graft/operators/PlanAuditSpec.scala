@@ -45,6 +45,7 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast nested loop — bounded by construction, the c16 pattern
     "t14_temperature_mix" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
     "t15_unigram_score" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
+    "t22_keyword_search" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
     "t19_upsample_repeat" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
     "e02_eth_blocks_scan" -> Set("SinglePartition"),
     "e03_eth_bisection" -> Set("SinglePartition"),

@@ -58,6 +58,40 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.length.toLong === Catalog.t(spark, sfDir, "documents").count())
   }
 
+  test("t22 keyword search == driver-side integer tf-weight scoring") {
+    val qTerms = Set("spark", "join", "stream")
+    val docs = Catalog.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val tf = docs.flatMap { case (id, toks) =>
+      toks.filter(qTerms).groupBy(identity).map { case (q, hits) => (id, q) -> hits.size.toLong }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (q, ks) => q -> ks.size.toLong }
+    val n = docs.length.toLong
+    val weight = df.map { case (q, d) => q -> n * 1000000L / d }
+    val scored = tf.groupBy(_._1._1).map { case (id, m) =>
+      (id, m.map { case ((_, q), f) => f * weight(q) }.sum, m.size.toLong)
+    }
+    val expect = scored.toSeq.sortBy { case (id, score, _) => (-score, id) }.take(10)
+    val got = Catalog.byName("t22_keyword_search").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("d17 MinHash estimate is exact on identical pairs and bounded everywhere") {
+    val rows = Catalog.byName("d17_minhash_estimate").build(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (da, db, j, m, est) =>
+      assert(m >= 0L && m <= 64L)
+      assert(est === m.toDouble / 64)
+      // exact duplicates (J = 1) must agree on EVERY minhash position
+      if (j == 1.0) assert(m === 64L, s"identical pair ($da,$db) has $m/64 matches")
+    }
+  }
+
   test("t21 split is a deterministic partition with the 80/10/10 hash rule") {
     val docs = Catalog.t(spark, sfDir, "documents")
       .select($"doc_id", $"source").collect()
