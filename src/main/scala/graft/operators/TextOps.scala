@@ -771,6 +771,66 @@ object TextOps {
                       (50 * CAST(${sqlCountIn(stopwords)} AS BIGINT)
                         + 10 * CAST(len(toks) AS BIGINT) - n_chars) >= 600 AS kept
                FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
-               ORDER BY doc_id"""))
+               ORDER BY doc_id""")),
+
+    // DATA CARD — the per-source governance summary a curation run ships
+    // with the dataset: document and token counts, exact-duplicate
+    // incidence, benchmark contamination, and quality-envelope pass rate,
+    // one row per source. Composes the d01/d09/t06 signals: duplicate
+    // detection is a window count over the content (one shuffle on the
+    // text key, the d01 shape), contamination is the d09 broadcast
+    // semi-join, the quality envelope is map-only; the report itself is a
+    // sources-sized aggregate. Every count is exact integer arithmetic.
+    Q("p04_data_card",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = tokens(col("text"))
+        val docs = t(s, d, "documents")
+        // d09's contaminated-id set (non-src0 docs sharing an 8-gram with
+        // the benchmark split)
+        val sh = docs.select(col("doc_id"), col("source"),
+          graft.functions.GraftFunctions.word_shingles(col("text"), 8).as("sh"))
+        val benchShingles = sh.where(col("source") === "src0")
+          .select(explode(col("sh")).as("shingle")).distinct()
+        val contaminated = sh.where(col("source") =!= "src0")
+          .select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .join(broadcast(benchShingles), "shingle")
+          .select("doc_id").distinct()
+          .withColumn("is_cont", lit(true))
+        docs
+          .withColumn("n_copies", count(lit(1)).over(Window.partitionBy("text")))
+          .withColumn("n_toks", size(toks).cast(LongType))
+          .withColumn("n_stop", countIn(col("text"), stopwords))
+          .withColumn("avg_token_len",
+            length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / col("n_toks"))
+          .withColumn("q_ok", col("n_toks").between(10, 500) &&
+            col("avg_token_len").between(2.0, 12.0) &&
+            (col("n_stop").cast(DoubleType) / col("n_toks")) <= 0.6)
+          .join(contaminated, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"),
+            count_if(col("n_copies") > 1).as("n_dup_docs"),
+            count_if(coalesce(col("is_cont"), lit(false))).as("n_contaminated"),
+            count_if(col("q_ok")).as("n_quality"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${DedupOps.sqlDecontCtes},
+                 flags AS (
+                   SELECT b.source,
+                          CAST(len(b.toks) AS BIGINT) AS n_toks,
+                          (COUNT(*) OVER (PARTITION BY b.text) > 1) AS is_dup,
+                          (c.doc_id IS NOT NULL) AS is_cont,
+                          (len(b.toks) BETWEEN 10 AND 500
+                           AND CAST(length(regexp_replace(b.text, '\\s+', '', 'g')) AS DOUBLE) / len(b.toks) BETWEEN 2.0 AND 12.0
+                           AND CAST(len(list_filter(b.toks, w -> list_contains([${stopwords.map(w => s"'$w'").mkString(",")}], w))) AS DOUBLE) / len(b.toks) <= 0.6) AS q_ok
+                   FROM tt8 b LEFT JOIN cont c ON c.doc_id = b.doc_id)
+               SELECT source, COUNT(*) AS n_docs,
+                      CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                      CAST(COUNT(*) FILTER (is_dup) AS BIGINT) AS n_dup_docs,
+                      CAST(COUNT(*) FILTER (is_cont) AS BIGINT) AS n_contaminated,
+                      CAST(COUNT(*) FILTER (q_ok) AS BIGINT) AS n_quality
+               FROM flags GROUP BY source ORDER BY source"""),
+      bench = false)
   )
 }

@@ -92,6 +92,42 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("p04 data card columns agree with the operators they summarize") {
+    import org.apache.spark.sql.functions._
+    val card = Catalog.byName("p04_data_card").build(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val docs = Catalog.t(spark, sfDir, "documents")
+    // n_docs / n_tokens
+    val counts = docs.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(size(split(trim(col("text")), "\\s+"))).as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    counts.foreach { case (src, (n, t)) =>
+      assert(card(src)._1 === n && card(src)._2 === t, s"$src doc/token counts differ")
+    }
+    // n_contaminated per source == d16's report joined to sources
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val contBySrc = Catalog.byName("d16_contamination_report").build(spark, sfDir)
+      .select("doc_id").collect().map(r => srcOf(r.getLong(0)))
+      .groupBy(identity).map { case (s, xs) => s -> xs.length.toLong }
+    card.foreach { case (src, (_, _, _, cont, _)) =>
+      assert(cont === contBySrc.getOrElse(src, 0L), s"$src contamination count differs")
+    }
+    // n_dup_docs: docs whose text has >1 copy corpus-wide (d01's signal)
+    val dupBySrc = {
+      val byText = docs.select("doc_id", "source", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val copies = byText.groupBy(_._3).view.mapValues(_.length).toMap
+      byText.filter(x => copies(x._3) > 1).groupBy(_._2)
+        .map { case (s, xs) => s -> xs.length.toLong }
+    }
+    card.foreach { case (src, (_, _, dup, _, _)) =>
+      assert(dup === dupBySrc.getOrElse(src, 0L), s"$src dup count differs")
+    }
+  }
+
   test("t21 split is a deterministic partition with the 80/10/10 hash rule") {
     val docs = Catalog.t(spark, sfDir, "documents")
       .select($"doc_id", $"source").collect()
