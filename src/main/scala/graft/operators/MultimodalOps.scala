@@ -156,6 +156,71 @@ object MultimodalOps {
                       ${sqlDavg("f.mean_intensity")} AS avg_intensity
                FROM feats f JOIN a2 ON a2.vec_id = f.doc_id
                GROUP BY 1 ORDER BY 1"""),
+      bench = false),
+
+    // MEDIA EXACT DEDUP — d01 for the binary modality: group by payload
+    // digest (sha-256 of the raw bytes; media payloads are large, so the
+    // shuffle keys on the 32-byte digest, never the payload), canonical =
+    // lowest doc_id, emit only duplicated payloads. One hash aggregation —
+    // the same shape at any corpus size.
+    Q("m05_media_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("digest")
+        mediaTable(s, d).toDF()
+          .withColumn("digest", sha2(col("payload"), 256))
+          .withColumn("canonical_id", min(col("doc_id")).over(w))
+          .withColumn("n_copies", count(lit(1)).over(w))
+          .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+          .select("doc_id", "canonical_id", "n_copies", "is_dup")
+          .orderBy("doc_id")
+      },
+      // documents are pure ASCII: sha256 over the text's bytes == sha256
+      // over the payload bytes
+      Some("""SELECT doc_id,
+                     MIN(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id,
+                     COUNT(*) OVER (PARTITION BY sha256(text)) AS n_copies,
+                     doc_id <> MIN(doc_id) OVER (PARTITION BY sha256(text)) AS is_dup
+              FROM documents ORDER BY doc_id""")),
+
+    // FRAME-OVERLAP NEAR-DUP — the video-near-dup shape: two media items
+    // are candidate near-dups when they share >= 4 distinct frame digests
+    // (m03's fixed-stride frames), regardless of position — re-encoded or
+    // trimmed copies keep most frame content. The candidate join is an
+    // equi-join on the digest (never the O(n²) item space); a ubiquitous
+    // frame (intros, black frames) would fan out quadratically, so at
+    // corpus scale a digest-df cap prunes it out of the join — d02's
+    // hot-shingle move on the binary modality.
+    Q("m06_frame_neardup",
+      (s, d) => {
+        val frames = t(s, d, "documents")
+          .withColumn("payload", col("text").cast(BinaryType))
+          .withColumn("n", octet_length(col("payload")))
+          .where(col("n") >= 64)
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(0L), least(floor((col("n") - 1) / 32).cast(LongType), lit(7L))),
+              i => col("payload").substr((i * 32 + 1).cast(IntegerType), lit(16)))).as("frame"))
+          .select(col("doc_id"), sha2(col("frame"), 256).as("digest"))
+          .distinct()
+        val a = frames.select(col("doc_id").as("da"), col("digest"))
+        val b = frames.select(col("doc_id").as("db"), col("digest"))
+        a.join(b, Seq("digest")).where(col("da") < col("db"))
+          .groupBy("da", "db")
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 4)
+          .orderBy("da", "db")
+      },
+      Some("""WITH x AS (
+                SELECT doc_id, UNNEST(range(0, LEAST((length(text) - 1) // 32, 7) + 1)) AS frame_idx, text
+                FROM documents WHERE length(text) >= 64),
+              fr AS (SELECT DISTINCT doc_id,
+                            sha256(substring(text, CAST(frame_idx * 32 + 1 AS INT), 16)) AS digest
+                     FROM x)
+              SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+              FROM fr a JOIN fr b ON a.digest = b.digest AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING COUNT(*) >= 4
+              ORDER BY 1, 2"""),
       bench = false)
   )
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Semantic pins for the binary-modality dedup operators: both are
+  * verified against plain-Scala references computed from the raw text
+  * bytes (the stand-in payloads), independent of Spark's hash/window
+  * machinery.
+  */
+class MultimodalOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs: Array[(Long, String)] =
+    Catalog.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+
+  test("m05 media dedup == grouping by raw payload bytes") {
+    val byPayload = docs.groupBy(_._2)
+    val expect = docs.map { case (id, t) =>
+      val ids = byPayload(t).map(_._1)
+      id -> (ids.min, ids.length.toLong, id != ids.min)
+    }.toMap
+    val got = Catalog.byName("m05_media_dedup").build(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got === expect)
+  }
+
+  test("m06 frame near-dup == plain-Scala shared-frame counting") {
+    // the m03 frame grid: up to 8 frames of 16 bytes at stride 32, only
+    // for payloads >= 64 bytes
+    def frames(t: String): Set[String] = {
+      if (t.length < 64) Set.empty
+      else (0 to math.min((t.length - 1) / 32, 7))
+        .map(i => t.slice(i * 32, i * 32 + 16)).toSet
+    }
+    val fr = docs.map { case (id, t) => id -> frames(t) }.filter(_._2.nonEmpty)
+    val expect = (for {
+      (da, fa) <- fr; (db, fb) <- fr if da < db
+      shared = fa.intersect(fb).size if shared >= 4
+    } yield (da, db) -> shared.toLong).toMap
+    val got = Catalog.byName("m06_frame_neardup").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+    assert(got.nonEmpty, "fixture has no frame-overlap pairs — spec exercises nothing")
+  }
+}
