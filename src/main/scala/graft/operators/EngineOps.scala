@@ -192,6 +192,37 @@ object EngineOps {
                GROUP BY address ORDER BY address"""),
       bench = false),
 
+    // The reference notebook's CROSS-DATASET join (logs × blocks on the
+    // block number — its time-series cells join log activity to block
+    // metadata): both sides come through the connector, the blocks side is
+    // bounded by the requested range so it BROADCASTS — at any corpus
+    // scale the logs side only streams. Oracle joins the two independent
+    // chain-dump files.
+    Q("e07_eth_logs_blocks_join",
+      (s, d) => {
+        val logs = s.read.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", "0").option("endBlock", "999").load()
+        val blocks = s.read.format("graft-eth").option("dataset", "blocks")
+          .option("startBlock", "0").option("endBlock", "999").load()
+          .select(col("number").as("blockNumber"), col("gasUsed"),
+            size(col("transactions")).as("n_tx"))
+        logs.join(broadcast(blocks), "blockNumber")
+          .groupBy("address")
+          .agg(count(lit(1)).as("n_logs"),
+            sum(col("gasUsed")).as("total_gas"),
+            sum(col("n_tx").cast(LongType)).as("total_tx"))
+          .orderBy("address")
+      },
+      Some(s"""SELECT l.address,
+                      CAST(COUNT(*) AS BIGINT) AS n_logs,
+                      CAST(SUM(b.gasUsed) AS BIGINT) AS total_gas,
+                      CAST(SUM(b.n_tx) AS BIGINT) AS total_tx
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet' l
+               JOIN '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet' b
+                 ON l.blockNumber = b.number
+               WHERE l.blockNumber <= 999
+               GROUP BY 1 ORDER BY 1""")),
+
     // S16/S17/S21/S29 in the HARD gate: the row→columnar Arrow edge — the
     // reference's core product surface (Converter.java:126-293, client loop
     // FlightRpcClient.java:33-55) — as a full write→read roundtrip. A

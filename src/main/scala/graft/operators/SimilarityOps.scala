@@ -878,6 +878,58 @@ object SimilarityOps {
                           ORDER BY ((vec_id % 2147483648) * 2654435761) % 1000000007, vec_id) AS rk
                  FROM a2)
                WHERE rk <= 4 ORDER BY cell, rk"""),
+      bench = false),
+
+    // SCALAR QUANTIZATION — the vector-compression move of 100 TB ANN
+    // serving (int8 embeddings are 4× smaller than float32, so 4× more of
+    // the index fits in executor memory): per-dimension min/max (one
+    // two-level aggregate, dims-sized → broadcast back), uniform 8-bit
+    // quantize, reconstruct, and the per-vector squared reconstruction
+    // error as a floor-scaled exact integer — the quality report that says
+    // whether int8 serving is safe. Quantize/reconstruct are map-only; the
+    // double arithmetic is mirrored operation-for-operation in the oracle
+    // (every step deterministic IEEE), the error sum is exact.
+    Q("sim14_scalar_quantization",
+      (s, d) => {
+        val ex = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .withColumn("x", col("x").cast(DoubleType))
+        val rng = ex.groupBy("dim").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        ex.join(broadcast(rng), "dim")
+          .withColumn("q",
+            when(col("hi") > col("lo"),
+              least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 255).cast(LongType),
+                lit(255L)))
+              .otherwise(lit(0L)))
+          .withColumn("recon",
+            col("lo") + col("q").cast(DoubleType) * (col("hi") - col("lo")) / 255)
+          .withColumn("err2",
+            floor((col("x") - col("recon")) * (col("x") - col("recon")) * lit(SCALE))
+              .cast(LongType))
+          .groupBy("vec_id")
+          .agg(sum(col("err2")).as("sq_err_scaled"), max(col("q")).as("max_code"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH ex AS (
+                 SELECT vec_id, dim, CAST(embedding[CAST(dim + 1 AS INT)] AS DOUBLE) AS x
+                 FROM embeddings, LATERAL (SELECT UNNEST(range(0, len(embedding))) AS dim) i),
+               rng AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM ex GROUP BY dim),
+               qz AS (
+                 SELECT vec_id,
+                        x, lo, hi,
+                        CASE WHEN hi > lo
+                             THEN LEAST(CAST(FLOOR((x - lo) / (hi - lo) * 255) AS BIGINT), 255)
+                             ELSE 0 END AS q
+                 FROM ex JOIN rng USING (dim)),
+               rc AS (
+                 SELECT vec_id, q,
+                        CAST(FLOOR((x - (lo + CAST(q AS DOUBLE) * (hi - lo) / 255))
+                                   * (x - (lo + CAST(q AS DOUBLE) * (hi - lo) / 255))
+                                   * 1e15) AS BIGINT) AS err2
+                 FROM qz)
+              SELECT vec_id, CAST(SUM(err2) AS BIGINT) AS sq_err_scaled,
+                     MAX(q) AS max_code
+              FROM rc GROUP BY vec_id ORDER BY vec_id"""),
       bench = false)
   )
 

@@ -149,6 +149,38 @@ class SimilarityOpsSpec extends SparkSpec {
     got.values.foreach(v => assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9))
   }
 
+  test("sim14 scalar quantization == driver-side recompute, with bounded error") {
+    import spark.implicits._
+    val SCALE = SimilarityOps.SCALE
+    val rows = Catalog.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    val dims = rows.head._2.length
+    val lo = Array.tabulate(dims)(d => rows.map(_._2(d)).min)
+    val hi = Array.tabulate(dims)(d => rows.map(_._2(d)).max)
+    val expect = rows.map { case (id, v) =>
+      val errs = v.indices.map { d =>
+        val q = if (hi(d) > lo(d))
+          math.min(math.floor((v(d) - lo(d)) / (hi(d) - lo(d)) * 255).toLong, 255L)
+        else 0L
+        val recon = lo(d) + q.toDouble * (hi(d) - lo(d)) / 255
+        (q, math.floor((v(d) - recon) * (v(d) - recon) * SCALE).toLong)
+      }
+      id -> (errs.map(_._2).sum, errs.map(_._1).max)
+    }.toMap
+    val got = Catalog.byName("sim14_scalar_quantization").build(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expect)
+    // 8-bit uniform quantization error bound: per element < ((hi-lo)/255)²,
+    // so the scaled per-vector sum is bounded by dims × max-step²
+    val maxStep2 = (0 until dims).map { d =>
+      val s = (hi(d) - lo(d)) / 255; s * s * SCALE
+    }.max
+    got.values.foreach { case (err, _) =>
+      assert(err.toDouble <= dims * maxStep2 + dims, s"error $err above the uniform-quantization bound")
+    }
+  }
+
   test("sim13 takes at most the quota per cell, in deterministic hash order") {
     val assigned = SimilarityOps.assignCells(
       SimilarityOps.withNorm(spark, sfDir),
