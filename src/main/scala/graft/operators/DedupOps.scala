@@ -28,9 +28,20 @@ object DedupOps {
   def shingles3(text: Column): Column =
     graft.functions.GraftFunctions.word_shingles(text, 3)
 
+  /** Non-empty view of a `toks` column for the gram/shingle oracles.
+    * The kernels tokenize by scanning past ALL whitespace and never emit
+    * an empty token; `string_split_regex(trim(text), '\s+')` keeps a
+    * leading empty token when the text starts with a tab/newline (SQL
+    * trim strips spaces only). Filtering here makes the oracle faithful
+    * to the kernel on every input, not just the space-separated fixture
+    * (found by KernelFuzzSpec).
+    */
+  val sqlToksNE = "list_filter(toks, t -> length(t) > 0)"
+
   val sqlShingles3 =
-    """list_distinct(CASE WHEN len(toks) >= 3
-         THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+    s"""list_distinct(CASE WHEN len($sqlToksNE) >= 3
+         THEN list_transform(range(1, len($sqlToksNE) - 1),
+                i -> array_to_string(($sqlToksNE)[i:i+2], ' '))
          ELSE [] END)"""
 
   /** Document-frequency cap on join shingles: a shingle shared by k docs
@@ -329,8 +340,9 @@ object DedupOps {
   val sqlDecontCtes: String =
     s"""tt8 AS (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
         sh8 AS (SELECT doc_id, source,
-                       list_distinct(CASE WHEN len(toks) >= 8
-                         THEN list_transform(range(1, len(toks) - 6), i -> array_to_string(toks[i:i+7], ' '))
+                       list_distinct(CASE WHEN len($sqlToksNE) >= 8
+                         THEN list_transform(range(1, len($sqlToksNE) - 6),
+                                i -> array_to_string(($sqlToksNE)[i:i+7], ' '))
                          ELSE [] END) AS sh
                 FROM tt8),
         bsh AS (SELECT DISTINCT UNNEST(sh) AS shingle FROM sh8 WHERE source = 'src0'),
@@ -712,7 +724,10 @@ object DedupOps {
           .withColumn("dup_fraction", col("n_dup").cast(DoubleType) / col("n_grams"))
           .orderBy("doc_id")
       },
-      Some("""WITH tt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      Some("""WITH tt AS (SELECT doc_id,
+                                 list_filter(string_split_regex(trim(text), '\s+'),
+                                             t -> length(t) > 0) AS toks
+                          FROM documents),
                  g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
                        FROM tt, LATERAL (SELECT UNNEST(range(1, len(toks) - 6)) AS i)),
                  dfreq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
@@ -754,7 +769,10 @@ object DedupOps {
           .select(col("doc_id"), col("wmin").as("fingerprint")).distinct()
           .orderBy("doc_id", "fingerprint")
       },
-      Some("""WITH tt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      Some("""WITH tt AS (SELECT doc_id,
+                                 list_filter(string_split_regex(trim(text), '\s+'),
+                                             t -> length(t) > 0) AS toks
+                          FROM documents),
                  g AS (SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+3], ' ')) AS fp
                        FROM tt, LATERAL (SELECT UNNEST(range(1, len(toks) - 2)) AS i)),
                  wm AS (SELECT doc_id, pos,

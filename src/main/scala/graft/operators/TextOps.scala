@@ -418,7 +418,9 @@ object TextOps {
         .limit(20),
       Some("""SELECT bigram, COUNT(*) AS n
               FROM (SELECT UNNEST(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
-                    FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents))
+                    FROM (SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                                             t -> length(t) > 0) AS toks
+                          FROM documents))
               GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")),
 
     // Vocabulary-COVERAGE quality signal: fraction of a document's tokens
