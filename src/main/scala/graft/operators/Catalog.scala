@@ -49,6 +49,21 @@ object Catalog {
   def sqlDsum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
   def sqlDavg(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)"
 
+  /** Deterministic multiplicative id-mix hash into [0, m) — the engine's
+    * substitute for rand() (retry-idempotent, pushdown-friendly, identical
+    * across engines). The 31-bit pre-mask keeps the product provably
+    * inside i64 on BOTH engines (Spark wraps silently on overflow, the
+    * DuckDB oracle's BIGINT * raises — they diverge once ids exceed
+    * ~3.47e9 without it), and non-negative input makes pmod == %.
+    * [[sqlDocHash]] is the DuckDB mirror; the overflow-safety argument
+    * lives HERE, once.
+    */
+  def docHash(c: Column, m: Long): Column =
+    pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(m))
+
+  def sqlDocHash(x: String, m: Long): String =
+    s"(($x % 2147483648) * 2654435761) % $m"
+
   /** Collision-resistant tag for per-path derived artifacts (bucketed /
     * IVF warehouse database names): SHA-256 of the path, 16 hex chars.
     * The 32-bit `String.hashCode` used previously can collide across two

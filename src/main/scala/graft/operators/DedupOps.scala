@@ -349,6 +349,32 @@ object DedupOps {
         tex AS (SELECT doc_id, UNNEST(sh) AS shingle FROM sh8 WHERE source <> 'src0'),
         cont AS (SELECT DISTINCT doc_id FROM tex JOIN bsh USING (shingle))"""
 
+  /** Distinct 8-gram shingles of the benchmark (src0) split — the
+    * broadcast side of EVERY decontamination surface (d09, d16, p04,
+    * x13's static side). Eval sets are tiny relative to the corpus, so
+    * this set broadcasts at any scale.
+    */
+  def benchShingles8(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").where(col("source") === "src0")
+      .select(explode(
+        graft.functions.GraftFunctions.word_shingles(col("text"), 8)).as("shingle"))
+      .distinct()
+
+  /** (doc_id, shingle) contamination evidence: every 8-gram a training
+    * (non-src0) document shares with the benchmark split — the map-side
+    * broadcast semi-join all decontamination surfaces are built on.
+    * [[sqlDecontCtes]] is the SQL twin (its `tex JOIN bsh` pair).
+    */
+  def contaminationHits(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").where(col("source") =!= "src0")
+      .select(col("doc_id"), explode(
+        graft.functions.GraftFunctions.word_shingles(col("text"), 8)).as("shingle"))
+      .join(broadcast(benchShingles8(s, d)), "shingle")
+
+  /** The d09 removal set: ids of contaminated training documents. */
+  def contaminatedIds(s: SparkSession, d: String): DataFrame =
+    contaminationHits(s, d).select("doc_id").distinct()
+
   /** Local alias to avoid a Catalog init cycle (Catalog.byName forces
     * Catalog.all which includes this module).
     */
@@ -596,21 +622,12 @@ object DedupOps {
     // contaminated-id set.
     Q("d09_decontaminate",
       (s, d) => {
-        val docs = t(s, d, "documents")
-        val sh = docs.select(col("doc_id"), col("source"),
-          graft.functions.GraftFunctions.word_shingles(col("text"), 8).as("sh"))
-        val benchShingles = sh.where(col("source") === "src0")
-          .select(explode(col("sh")).as("shingle")).distinct()
-        val contaminated = sh.where(col("source") =!= "src0")
-          .select(col("doc_id"), explode(col("sh")).as("shingle"))
-          .join(broadcast(benchShingles), "shingle")
-          .select("doc_id").distinct()
         // no broadcast hint on the contaminated set: it is USUALLY tiny,
         // but unlike the benchmark shingles it is not bounded by the eval
         // set's size (an adversarially-overlapping corpus contaminates
         // everything) — let AQE pick broadcast when it measures small
-        docs.where(col("source") =!= "src0")
-          .join(contaminated, Seq("doc_id"), "left_anti")
+        t(s, d, "documents").where(col("source") =!= "src0")
+          .join(contaminatedIds(s, d), Seq("doc_id"), "left_anti")
           .select("doc_id", "lang", "source")
           .orderBy("doc_id")
       },
@@ -791,19 +808,10 @@ object DedupOps {
     // Same broadcast semi-join shape as d09: the benchmark shingle set is
     // eval-split-sized, the per-doc aggregate keys on doc_id.
     Q("d16_contamination_report",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val sh = docs.select(col("doc_id"), col("source"),
-          graft.functions.GraftFunctions.word_shingles(col("text"), 8).as("sh"))
-        val benchShingles = sh.where(col("source") === "src0")
-          .select(explode(col("sh")).as("shingle")).distinct()
-        sh.where(col("source") =!= "src0")
-          .select(col("doc_id"), explode(col("sh")).as("shingle"))
-          .join(broadcast(benchShingles), "shingle")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_hits"), min(col("shingle")).as("example_shingle"))
-          .orderBy("doc_id")
-      },
+      (s, d) => contaminationHits(s, d)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"), min(col("shingle")).as("example_shingle"))
+        .orderBy("doc_id"),
       Some(s"""WITH $sqlDecontCtes
                SELECT doc_id, COUNT(*) AS n_hits, MIN(shingle) AS example_shingle
                FROM tex JOIN bsh USING (shingle)

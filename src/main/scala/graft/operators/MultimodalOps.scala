@@ -192,16 +192,21 @@ object MultimodalOps {
     // corpus scale a digest-df cap prunes it out of the join — d02's
     // hot-shingle move on the binary modality.
     Q("m06_frame_neardup",
+      // frames are cut at CHARACTER offsets of the decoded text (and
+      // hashed over their UTF-8 bytes) so engine and oracle agree on
+      // every input — DuckDB cannot substring BLOBs, so a byte-offset
+      // engine side would silently diverge from the VARCHAR oracle the
+      // moment the fixture gained a multi-byte character; m03 keeps the
+      // byte-offset binary variant with its ASCII-fixture note
       (s, d) => {
         val frames = t(s, d, "documents")
-          .withColumn("payload", col("text").cast(BinaryType))
-          .withColumn("n", octet_length(col("payload")))
+          .withColumn("n", length(col("text")))
           .where(col("n") >= 64)
           .select(col("doc_id"),
             explode(transform(
               sequence(lit(0L), least(floor((col("n") - 1) / 32).cast(LongType), lit(7L))),
-              i => col("payload").substr((i * 32 + 1).cast(IntegerType), lit(16)))).as("frame"))
-          .select(col("doc_id"), sha2(col("frame"), 256).as("digest"))
+              i => col("text").substr((i * 32 + 1).cast(IntegerType), lit(16)))).as("frame"))
+          .select(col("doc_id"), sha2(encode(col("frame"), "UTF-8"), 256).as("digest"))
           .distinct()
         val a = frames.select(col("doc_id").as("da"), col("digest"))
         val b = frames.select(col("doc_id").as("db"), col("digest"))

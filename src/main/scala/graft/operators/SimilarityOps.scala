@@ -863,8 +863,7 @@ object SimilarityOps {
         val assigned = assignCells(withNorm(s, d), trainedCentroids(s, d, iters = 2))
         val w = Window.partitionBy("cell").orderBy(col("skey"), col("vec_id"))
         assigned
-          .withColumn("skey",
-            pmod(pmod(col("vec_id"), lit(2147483648L)) * lit(2654435761L), lit(1000000007L)))
+          .withColumn("skey", Catalog.docHash(col("vec_id"), 1000000007L))
           .withColumn("rk", row_number().over(w))
           .where(col("rk") <= 4)
           .select(col("cell"), col("rk"), col("vec_id"), col("skey"))
@@ -873,9 +872,9 @@ object SimilarityOps {
       Some(s"""WITH $sqlTrainedAssignCtes
                SELECT CAST(cell AS INT) AS cell, CAST(rk AS INT) AS rk, vec_id, skey FROM (
                  SELECT cell, vec_id,
-                        ((vec_id % 2147483648) * 2654435761) % 1000000007 AS skey,
+                        ${Catalog.sqlDocHash("vec_id", 1000000007L)} AS skey,
                         ROW_NUMBER() OVER (PARTITION BY cell
-                          ORDER BY ((vec_id % 2147483648) * 2654435761) % 1000000007, vec_id) AS rk
+                          ORDER BY ${Catalog.sqlDocHash("vec_id", 1000000007L)}, vec_id) AS rk
                  FROM a2)
                WHERE rk <= 4 ORDER BY cell, rk"""),
       bench = false),

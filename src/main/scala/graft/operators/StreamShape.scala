@@ -17,6 +17,11 @@ object StreamShape {
   // unique memory-sink names so repeated builds in one session never collide
   private val memId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** x10's chain head — ONE constant shared by the engine build (trigger
+    * size = head+1) and its oracle's block-range predicate.
+    */
+  private val X10Head = 999
+
   val all: Seq[Q] = Seq(
     // Tumbling 1-hour event-time window (streaming: groupBy(window($"ts","1 hour"))).
     Q("x01_tumbling_window",
@@ -270,9 +275,9 @@ object StreamShape {
         s.conf.set(providerConf,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         // trigger size derived from head so the whole chain drains in ONE
-        // micro-batch by construction (not by a magic constant that could
-        // drift apart from head)
-        val head = 999
+        // micro-batch by construction; the ORACLE interpolates the same
+        // constant, so engine and oracle cannot drift apart
+        val head = X10Head
         try {
           val logs = s.readStream.format("graft-eth").option("dataset", "logs")
             .option("startBlock", "0").option("head", head.toString)
@@ -306,7 +311,7 @@ object StreamShape {
                       MAX(blockNumber) AS lastBlock,
                       CAST(COUNT(*) AS BIGINT) AS n
                FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
-               WHERE blockNumber <= 999
+               WHERE blockNumber <= $X10Head
                GROUP BY address ORDER BY address"""),
       bench = false),
 
@@ -444,12 +449,9 @@ object StreamShape {
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$d/documents.parquet"),
           srcDir.resolve("documents.parquet"))
-        // static side: the frozen benchmark shingle set (batch read)
-        val benchShingles = t(s, d, "documents")
-          .where(col("source") === "src0")
-          .select(explode(
-            graft.functions.GraftFunctions.word_shingles(col("text"), 8)).as("shingle"))
-          .distinct()
+        // static side: the frozen benchmark shingle set (batch read) —
+        // the shared DedupOps definition
+        val benchShingles = DedupOps.benchShingles8(s, d)
         val sq = s.readStream.schema(schema).parquet(srcDir.toString)
           .where(col("source") =!= "src0")
           .select(col("doc_id"),

@@ -488,27 +488,21 @@ object TextOps {
         val rates = pd.crossJoin(broadcast(pd.agg(max(col("__pd")).as("__mx"))))
           .withColumn("rate_ppm", floor(col("__pd") / col("__mx") * 1000000).cast(LongType))
           .select("lang", "n_total", "rate_ppm")
-        // mask doc_id to 31 bits BEFORE the multiplicative mix: the raw
-        // product overflows i64 once doc_id > ~3.47e9 (the 100TB regime) —
-        // Spark wraps silently while the DuckDB oracle's BIGINT * raises;
-        // (2^31-1) * 2654435761 ≈ 5.7e18 provably fits, stays positive,
-        // so pmod here and % in SQL agree
         t(s, d, "documents")
           .join(broadcast(rates), Seq("lang"))
-          .where(pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
-            lit(1000000L)) < col("rate_ppm"))
+          .where(docHash(col("doc_id"), 1000000L) < col("rate_ppm"))
           .groupBy("lang", "n_total", "rate_ppm")
           .agg(count(lit(1)).as("n_kept"))
           .orderBy("lang")
       },
-      Some("""WITH counts AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+      Some(s"""WITH counts AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
                  pd AS (SELECT lang, n_total, SQRT(CAST(n_total AS DOUBLE)) / n_total AS pd FROM counts),
                  rates AS (SELECT lang, n_total,
                                   CAST(FLOOR(pd / (SELECT MAX(pd) FROM pd) * 1000000) AS BIGINT) AS rate_ppm
                            FROM pd)
               SELECT r.lang, r.n_total, r.rate_ppm, COUNT(*) AS n_kept
               FROM documents d JOIN rates r USING (lang)
-              WHERE ((d.doc_id % 2147483648) * 2654435761) % 1000000 < r.rate_ppm
+              WHERE ${sqlDocHash("d.doc_id", 1000000L)} < r.rate_ppm
               GROUP BY 1, 2, 3 ORDER BY 1""")),
 
     // Unigram corpus-frequency quality score: a doc's mean token corpus
@@ -553,14 +547,10 @@ object TextOps {
     // expression under a range-partitioned sort.
     Q("t16_corpus_shuffle",
       (s, d) => t(s, d, "documents")
-        // same 31-bit pre-mask as t14: the product must provably fit i64
-        // on both engines (Spark wraps on overflow, DuckDB raises)
-        .select(col("doc_id"),
-          pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
-            lit(1000000007L)).as("shuffle_key"))
+        .select(col("doc_id"), docHash(col("doc_id"), 1000000007L).as("shuffle_key"))
         .orderBy("shuffle_key", "doc_id")
         .limit(100),
-      Some("""SELECT doc_id, ((doc_id % 2147483648) * 2654435761) % 1000000007 AS shuffle_key
+      Some(s"""SELECT doc_id, ${sqlDocHash("doc_id", 1000000007L)} AS shuffle_key
               FROM documents ORDER BY shuffle_key, doc_id LIMIT 100""")),
 
     // EPOCH UPSAMPLING — the complement of t14's downsampling: low-resource
@@ -630,12 +620,13 @@ object TextOps {
     // projection (sequence + explode, no join, no shuffle); row count
     // scales with corpus tokens / 128.
     Q("t17_sequence_chunks",
+      // the REAL degenerate case: a whitespace-only doc tokenizes to one
+      // EMPTY token on both engines (split(trim) semantics — n_toks is
+      // never 0), which would emit a phantom 1-token chunk; filter
+      // genuinely empty docs on both sides instead
       (s, d) => t(s, d, "documents")
+        .where(trim(col("text")) =!= "")
         .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_toks"))
-        // guard the degenerate empty/whitespace-only doc: n_toks=0 makes
-        // Spark's div (truncate toward zero) emit a chunk_id=0 row where
-        // DuckDB's // (floor) emits none — both sides filter it out
-        .where(col("n_toks") > 0)
         .select(col("doc_id"), col("n_toks"),
           explode(sequence(lit(0L), expr("(n_toks - 1) div 128"))).as("chunk_id"))
         .withColumn("chunk_len", least(lit(128L), col("n_toks") - col("chunk_id") * 128))
@@ -643,7 +634,7 @@ object TextOps {
       Some("""WITH nt AS (SELECT doc_id,
                                  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
                           FROM documents
-                          WHERE len(string_split_regex(trim(text), '\s+')) > 0)
+                          WHERE trim(text) <> '')
               SELECT doc_id, n_toks, chunk_id, LEAST(128, n_toks - chunk_id * 128) AS chunk_len
               FROM nt, LATERAL (SELECT UNNEST(range(0, (n_toks - 1) // 128 + 1)) AS chunk_id)
               ORDER BY doc_id, chunk_id""")),
@@ -692,7 +683,7 @@ object TextOps {
     // Emitted as the per-(source, split) composition report.
     Q("t21_train_val_test",
       (s, d) => {
-        val h = pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L), lit(1000L))
+        val h = docHash(col("doc_id"), 1000L)
         t(s, d, "documents")
           .withColumn("split",
             when(h < 800, "train").when(h < 900, "val").otherwise("test"))
@@ -700,9 +691,9 @@ object TextOps {
           .agg(count(lit(1)).as("n_docs"))
           .orderBy("source", "split")
       },
-      Some("""SELECT source,
-                     CASE WHEN ((doc_id % 2147483648) * 2654435761) % 1000 < 800 THEN 'train'
-                          WHEN ((doc_id % 2147483648) * 2654435761) % 1000 < 900 THEN 'val'
+      Some(s"""SELECT source,
+                     CASE WHEN ${sqlDocHash("doc_id", 1000L)} < 800 THEN 'train'
+                          WHEN ${sqlDocHash("doc_id", 1000L)} < 900 THEN 'val'
                           ELSE 'test' END AS split,
                      COUNT(*) AS n_docs
               FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
@@ -788,16 +779,9 @@ object TextOps {
         import org.apache.spark.sql.expressions.Window
         val toks = tokens(col("text"))
         val docs = t(s, d, "documents")
-        // d09's contaminated-id set (non-src0 docs sharing an 8-gram with
-        // the benchmark split)
-        val sh = docs.select(col("doc_id"), col("source"),
-          graft.functions.GraftFunctions.word_shingles(col("text"), 8).as("sh"))
-        val benchShingles = sh.where(col("source") === "src0")
-          .select(explode(col("sh")).as("shingle")).distinct()
-        val contaminated = sh.where(col("source") =!= "src0")
-          .select(col("doc_id"), explode(col("sh")).as("shingle"))
-          .join(broadcast(benchShingles), "shingle")
-          .select("doc_id").distinct()
+        // d09's contaminated-id set — ONE definition (DedupOps) shared by
+        // every decontamination surface
+        val contaminated = DedupOps.contaminatedIds(s, d)
           .withColumn("is_cont", lit(true))
         docs
           .withColumn("n_copies", count(lit(1)).over(Window.partitionBy("text")))

@@ -270,8 +270,11 @@ class DedupOpsSpec extends SparkSpec {
     assert(got === expect)
     // the winnowing guarantee (k=4, w=4): two docs sharing a run of
     // >= k+w-1 = 7 tokens select at least one common fingerprint
-    val toks = rows.toMap.view.mapValues(_.trim.split("\\s+").toSeq).toMap
-    val run7 = (id: Long) => toks(id).sliding(7).filter(_.length == 7).map(_.mkString(" ")).toSet
+    // (run sets precomputed once per doc — the pair loop is quadratic)
+    val run7: Map[Long, Set[String]] = rows.map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq.sliding(7).filter(_.length == 7)
+        .map(_.mkString(" ")).toSet
+    }.toMap
     for {
       (a, _) <- rows; (b, _) <- rows if a < b
       if run7(a).intersect(run7(b)).nonEmpty
