@@ -92,5 +92,43 @@ object SkewOps {
       },
       Some(s"""SELECT p_brand, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
                FROM lineitem JOIN part ON l_partkey = p_partkey
-               GROUP BY p_brand ORDER BY p_brand""")))
+               GROUP BY p_brand ORDER BY p_brand""")),
+
+    // Z-ORDER LAYOUT — the multi-dimensional data-clustering move of
+    // 100 TB lakehouse tables: interleave the bits of two filter columns
+    // into a Morton code and bucket by its prefix, so each bucket (≈ one
+    // file after a z-sorted write) is confined to a SMALL RANGE IN BOTH
+    // dimensions — min/max file stats then prune scans on either column,
+    // which a one-column range layout cannot give. Emitted as the layout
+    // report: per z-bucket, the per-dimension extents (fixing the top 8
+    // z-bits fixes the top 4 bits of each 16-bit coordinate, so every
+    // extent is provably < 2^12 — spec-pinned). Pure bit arithmetic,
+    // mirrored term-for-term in the oracle.
+    Q("k03_zorder_layout",
+      (s, d) => {
+        val x = col("user_id").bitwiseAND(lit(65535L))
+        val y = col("event_id").bitwiseAND(lit(65535L))
+        val z = (0 until 16).map { i =>
+          shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+            .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        }.reduce(_ bitwiseOR _)
+        t(s, d, "events")
+          .withColumn("zbucket", shiftright(z, 24))
+          .groupBy("zbucket")
+          .agg(count(lit(1)).as("n"),
+            min(x).as("u_min"), max(x).as("u_max"),
+            min(y).as("e_min"), max(y).as("e_max"))
+          .orderBy("zbucket")
+      },
+      Some {
+        val zExpr = (0 until 16).map { i =>
+          s"((((user_id & 65535) >> $i) & 1) << ${2 * i}) | " +
+            s"((((event_id & 65535) >> $i) & 1) << ${2 * i + 1})"
+        }.mkString("(", " | ", ")")
+        s"""WITH z AS (SELECT *, $zExpr AS zc FROM events)
+            SELECT zc >> 24 AS zbucket, COUNT(*) AS n,
+                   MIN(user_id & 65535) AS u_min, MAX(user_id & 65535) AS u_max,
+                   MIN(event_id & 65535) AS e_min, MAX(event_id & 65535) AS e_max
+            FROM z GROUP BY 1 ORDER BY 1"""
+      }))
 }

@@ -42,4 +42,22 @@ class SkewOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(salted === direct)
   }
+
+  test("k03 z-buckets bound BOTH dimensions (the locality property)") {
+    // fixing the top 8 Morton bits fixes the top 4 bits of each 16-bit
+    // coordinate, so every per-bucket extent must sit inside one 2^12
+    // cell — the guarantee that makes min/max file stats prune scans on
+    // EITHER filter column
+    val rows = Catalog.byName("k03_zorder_layout").build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (uMin, uMax, eMin, eMax) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(uMax - uMin < 4096, s"bucket ${r.getLong(0)}: user extent ${uMax - uMin}")
+      assert(eMax - eMin < 4096, s"bucket ${r.getLong(0)}: event extent ${eMax - eMin}")
+      assert(uMin / 4096 === uMax / 4096 && eMin / 4096 === eMax / 4096,
+        s"bucket ${r.getLong(0)} crosses a 2^12 cell boundary")
+    }
+    // every event lands in exactly one bucket
+    assert(rows.map(_.getLong(1)).sum === Catalog.t(spark, sfDir, "events").count())
+  }
 }
