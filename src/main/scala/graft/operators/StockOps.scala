@@ -577,7 +577,56 @@ object StockOps {
                       ${sqlDsum("l_quantity")} AS sum_qty
                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
-      bench = false)
+      bench = false),
+
+    // RANGE window frames — the VALUE-based frame class (c01/c02 are
+    // row-based): per event, activity over the trailing event-time hour
+    // (RANGE BETWEEN 1h PRECEDING AND CURRENT ROW on epoch micros). Frame
+    // membership is defined by the ORDER value, so peers (equal
+    // timestamps) are included identically on both engines regardless of
+    // tie order; the sum rides the exact-decimal convention. Window is
+    // partitioned by event_type — no global sort.
+    Q("c32_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("us"))
+          .rangeBetween(-3600L * 1000000L, 0)
+        t(s, d, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sum_1h", sum(dec(col("value"))).over(w).cast(DoubleType))
+          .select("event_id", "event_type", "us", "n_1h", "sum_1h")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type, epoch_us(ts) AS us,
+                     CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+              ORDER BY event_id""")),
+
+    // The distribution-rank window family: percent_rank / cume_dist /
+    // ntile — deterministic under a UNIQUE ordering (ties broken by
+    // event_id; percent_rank's (rank-1)/(n-1) and cume_dist's pos/n are
+    // single IEEE divisions of exact integers on both engines).
+    Q("c33_rank_family",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("prk", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .withColumn("nt", ntile(4).over(w))
+          .select("event_id", "event_type", "value", "prk", "cd", "nt")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type, value,
+                     PERCENT_RANK() OVER w AS prk,
+                     CUME_DIST() OVER w AS cd,
+                     CAST(NTILE(4) OVER w AS INT) AS nt
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+              ORDER BY event_id"""))
   )
 
   /** Per-JVM, per-sfDir bucketed warehouse for c31: lineitem and orders
