@@ -470,6 +470,59 @@ object StreamShape {
                SELECT doc_id, COUNT(*) AS n_hits, MIN(shingle) AS example_shingle
                FROM tex JOIN bsh USING (shingle)
                GROUP BY doc_id ORDER BY doc_id"""),
+      bench = false),
+
+    // NATIVE STREAMING SESSION WINDOWS — x03's session_window aggregation
+    // executed through the real Structured Streaming path (the x04
+    // pattern): merging session state is the hardest stateful-streaming
+    // shape (sessions GROW and MERGE as events arrive — unlike fixed
+    // windows, a late event can fuse two open sessions), and Spark's
+    // native session_window operator handles it inside the state store.
+    // Complete mode + AvailableNow drains the bounded fixture exactly;
+    // same oracle as x03 — the streaming execution must land on the
+    // identical session set.
+    Q("x14_stream_session_window",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val name = s"x14_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x14ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x14src")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          srcDir.resolve("events.parquet"))
+        val sq = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .select(col("user_id"),
+            date_format(col("session_window.start"), fmtSec).as("session_start"),
+            col("n"), col("total"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        s.table(name).orderBy("user_id", "session_start")
+      },
+      Some(s"""WITH marked AS (
+                 SELECT user_id, ts, value,
+                        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                             THEN 1 ELSE 0 END AS new_session
+                 FROM events),
+               sess AS (
+                 SELECT user_id, ts, value,
+                        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                 FROM marked)
+               SELECT user_id,
+                      strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                      COUNT(*) AS n, ${sqlDsum("value")} AS total
+               FROM sess GROUP BY user_id, sid
+               ORDER BY user_id, session_start"""),
       bench = false)
   )
 }
