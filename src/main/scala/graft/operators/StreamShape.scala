@@ -523,6 +523,52 @@ object StreamShape {
                       COUNT(*) AS n, ${sqlDsum("value")} AS total
                FROM sess GROUP BY user_id, sid
                ORDER BY user_id, session_start"""),
+      bench = false),
+
+    // SUBSCRIPTION → ARROW BATCHES — the reference's actual product
+    // semantics (a live log subscription delivering Arrow record batches
+    // to the client, Subscription.java:156-174), as dataflow: the
+    // graft-eth STREAM drains in four micro-batches, each written to the
+    // Arrow IPC edge via foreachBatch (one IPC stream file per partition
+    // per micro-batch, real record-batch sizing), then every batch is
+    // read back through the client path and compared against the chain
+    // dump — exactly-once across the whole stream→Arrow→client loop.
+    Q("x15_stream_arrow_sink",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.arrow.ArrowEdge
+        val outRoot = java.nio.file.Files.createTempDirectory("x15arrow").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("x15ckpt").toString
+        // schema captured from the equivalent batch read — the stream
+        // emits the same connector schema
+        val schema = s.read.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", "0").option("endBlock", "0").load()
+          .select("blockNumber", "logIndex", "address").schema
+        val sq = s.readStream.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", "0").option("head", "999")
+          .option("maxBlocksPerTrigger", "250").load()
+          .select("blockNumber", "logIndex", "address")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            ArrowEdge.writeIpc(batch, s"$outRoot/batch-$id", batchSize = 128)
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val dirs = Option(new java.io.File(outRoot).listFiles())
+          .getOrElse(Array.empty).filter(_.isDirectory).sortBy(_.getName)
+        require(dirs.length >= 4, s"expected >= 4 micro-batch dirs, got ${dirs.length}")
+        val rows = dirs.toSeq.flatMap(dir => ArrowEdge.readIpc(dir.getPath))
+          .map(vs => org.apache.spark.sql.Row.fromSeq(vs))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.asJava, schema)
+          .orderBy("blockNumber", "logIndex")
+      },
+      Some(s"""SELECT blockNumber, logIndex, address
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE blockNumber <= 999
+               ORDER BY blockNumber, logIndex"""),
       bench = false)
   )
 }
