@@ -859,6 +859,61 @@ object DedupOps {
                    ABS(CAST(n_match AS DOUBLE) / $NumHashes - jaccard) AS abs_err
             FROM m ORDER BY da, db"""
       },
+      bench = false),
+
+    // DUPLICATE-SPAN REMOVAL — d14's APPLY step (the published exact-
+    // substring dedup actually REWRITES documents, cutting repeated
+    // spans, rather than dropping whole docs): a token is removed when
+    // any corpus-duplicated 8-gram covers it; the document is rebuilt
+    // from the surviving tokens. Coverage expansion is a bounded explode
+    // (8 positions per duplicated gram); the rebuild is a per-doc
+    // sort+join aggregate — partitioned BY doc, no global ordering.
+    // Docs shorter than 8 tokens have no grams and survive unchanged.
+    Q("d18_dedup_spans_apply",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val toksNE = filter(TextOps.tokens(col("text")), t => length(t) > 0)
+        val toksP = docs.select(col("doc_id"), posexplode(toksNE).as(Seq("pos", "tok")))
+        val grams = docs.select(col("doc_id"),
+          posexplode(graft.functions.GraftFunctions.word_ngrams(col("text"), 8))
+            .as(Seq("gpos", "gram")))
+        val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+        val covered = grams.join(dfreq, "gram").where(col("df") > 1)
+          .select(col("doc_id"),
+            explode(sequence(col("gpos"), col("gpos") + 7)).as("pos"))
+          .distinct()
+          .withColumn("cov", lit(true))
+        toksP.join(covered, Seq("doc_id", "pos"), "left")
+          .withColumn("cov", coalesce(col("cov"), lit(false)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            count_if(!col("cov")).as("n_kept"),
+            array_join(
+              transform(
+                array_sort(collect_list(when(!col("cov"), struct(col("pos"), col("tok"))))),
+                s => s.getField("tok")),
+              " ").as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tt AS (SELECT doc_id,
+                                 list_filter(string_split_regex(trim(text), '\s+'),
+                                             t -> length(t) > 0) AS toks
+                          FROM documents),
+                 tokp AS (SELECT doc_id, UNNEST(toks) AS tok,
+                                 UNNEST(range(0, len(toks))) AS pos
+                          FROM tt),
+                 g AS (SELECT doc_id, i - 1 AS gpos, array_to_string(toks[i:i+7], ' ') AS gram
+                       FROM tt, LATERAL (SELECT UNNEST(range(1, len(toks) - 6)) AS i)),
+                 dfreq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+                 covered AS (SELECT DISTINCT doc_id, UNNEST(range(gpos, gpos + 8)) AS pos
+                             FROM g JOIN dfreq USING (gram) WHERE df > 1),
+                 kept AS (SELECT t.doc_id, t.pos, t.tok, (c.pos IS NOT NULL) AS cov
+                          FROM tokp t LEFT JOIN covered c
+                            ON c.doc_id = t.doc_id AND c.pos = t.pos)
+              SELECT doc_id, COUNT(*) AS n_toks,
+                     CAST(COUNT(*) FILTER (NOT cov) AS BIGINT) AS n_kept,
+                     COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (NOT cov), '') AS clean_text
+              FROM kept GROUP BY doc_id ORDER BY doc_id"""),
       bench = false)
   )
 }

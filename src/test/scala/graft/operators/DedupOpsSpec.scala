@@ -282,6 +282,34 @@ class DedupOpsSpec extends SparkSpec {
       s"docs $a/$b share a 7-token run but no winnowing fingerprint")
   }
 
+  test("d18 span removal == plain-Scala coverage reference; clean docs unchanged") {
+    val rows = Catalog.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toVector)
+    val grams = rows.map { case (id, ts) =>
+      id -> ts.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toVector
+    }
+    val df8 = grams.flatMap(_._2).groupBy(identity).map { case (g, o) => g -> o.size }
+    val expect = rows.map { case (id, ts) =>
+      val covered = grams.toMap.apply(id).zipWithIndex.collect {
+        case (g, i) if df8(g) > 1 => i to i + 7
+      }.flatten.toSet
+      val kept = ts.indices.filterNot(covered).map(ts)
+      id -> (ts.length.toLong, kept.length.toLong, kept.mkString(" "))
+    }.toMap
+    val got = Catalog.byName("d18_dedup_spans_apply").build(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got === expect)
+    // a doc with no duplicated grams survives verbatim (token-joined)
+    val untouched = expect.collect { case (id, (n, k, txt)) if n == k => (id, txt) }
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (id, txt) =>
+      assert(txt === rows.toMap.apply(id).mkString(" "), s"clean doc $id was rewritten")
+    }
+    assert(expect.values.exists { case (n, k, _) => k < n },
+      "fixture has no covered spans — the apply step would be untested")
+  }
+
   test("d16 reports exactly the docs d09 removes, with true hit counts") {
     val removedByD09 = {
       val all = Catalog.t(spark, sfDir, "documents")
