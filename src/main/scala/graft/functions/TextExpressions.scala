@@ -26,18 +26,29 @@ object TextKernels extends Serializable {
     * shingles joined with a single space; first-occurrence order after
     * dedup (order is irrelevant downstream — sets only).
     */
+  /** The regex `\s` character class ([ \t\n\x0B\f\r]) — the separator set
+    * of BOTH declarative forms (Java regex split) and the DuckDB oracles
+    * (string_split_regex). Character.isWhitespace is NOT equivalent: it
+    * additionally matches U+001C–U+001F and U+2028/U+2029, so a scan
+    * built on it silently diverges from every regex-tokenized mirror on
+    * those characters (pinned in KernelFuzzSpec).
+    */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   def wordShingles(text: UTF8String, n: Int): ArrayData = {
     if (text == null) return null
     val s = text.toString
-    // manual whitespace tokenization == split(trim, "\\s+")
+    // manual whitespace tokenization == split(trim, "\\s+"), empty tokens
+    // skipped (regex \s separator class — see isWs)
     val toks = new java.util.ArrayList[String]()
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && isWs(s.charAt(i))) i += 1
       if (i < len) {
         val start = i
-        while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+        while (i < len && !isWs(s.charAt(i))) i += 1
         toks.add(s.substring(start, i))
       }
     }
@@ -77,10 +88,10 @@ object TextKernels extends Serializable {
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && isWs(s.charAt(i))) i += 1
       if (i < len) {
         val start = i
-        while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+        while (i < len && !isWs(s.charAt(i))) i += 1
         toks.add(s.substring(start, i))
       }
     }
@@ -199,10 +210,10 @@ object TextKernels extends Serializable {
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && isWs(s.charAt(i))) i += 1
       if (i < len) {
         val start = i
-        while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+        while (i < len && !isWs(s.charAt(i))) i += 1
         val tok = UTF8String.fromString(s.substring(start, i))
         val h = org.apache.spark.sql.catalyst.expressions.XXH64
           .hashUnsafeBytes(tok.getBaseObject, tok.getBaseOffset, tok.numBytes(), seed)

@@ -375,6 +375,18 @@ object DedupOps {
   def contaminatedIds(s: SparkSession, d: String): DataFrame =
     contaminationHits(s, d).select("doc_id").distinct()
 
+  /** Positional (0-based) corpus 8-grams and their corpus document-
+    * frequency — the shared base of d14 (duplicate-span coverage) and d18
+    * (span removal): one gram convention, so the report and the rewrite
+    * can never disagree.
+    */
+  private def grams8WithDf(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val grams = t(s, d, "documents").select(col("doc_id"),
+      posexplode(graft.functions.GraftFunctions.word_ngrams(col("text"), 8))
+        .as(Seq("pos", "gram")))
+    (grams, grams.groupBy("gram").agg(count(lit(1)).as("df")))
+  }
+
   /** Local alias to avoid a Catalog init cycle (Catalog.byName forces
     * Catalog.all which includes this module).
     */
@@ -724,11 +736,7 @@ object DedupOps {
     Q("d14_duplicate_spans",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val grams = t(s, d, "documents")
-          .select(col("doc_id"),
-            posexplode(graft.functions.GraftFunctions.word_ngrams(col("text"), 8))
-              .as(Seq("pos", "gram")))
-        val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+        val (grams, dfreq) = grams8WithDf(s, d)
         val w = Window.partitionBy("doc_id").orderBy("pos")
         grams.join(dfreq, "gram")
           .withColumn("dup", col("df") > 1)
@@ -872,15 +880,16 @@ object DedupOps {
     Q("d18_dedup_spans_apply",
       (s, d) => {
         val docs = t(s, d, "documents")
+        // regex-split + empty filter == the kernel's scan tokenization on
+        // EVERY input (the kernels separate on exactly the regex \s class
+        // — isWs in TextKernels), so these positions index the same token
+        // list the 8-grams were built from
         val toksNE = filter(TextOps.tokens(col("text")), t => length(t) > 0)
         val toksP = docs.select(col("doc_id"), posexplode(toksNE).as(Seq("pos", "tok")))
-        val grams = docs.select(col("doc_id"),
-          posexplode(graft.functions.GraftFunctions.word_ngrams(col("text"), 8))
-            .as(Seq("gpos", "gram")))
-        val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+        val (grams, dfreq) = grams8WithDf(s, d)
         val covered = grams.join(dfreq, "gram").where(col("df") > 1)
           .select(col("doc_id"),
-            explode(sequence(col("gpos"), col("gpos") + 7)).as("pos"))
+            explode(sequence(col("pos"), col("pos") + 7)).as("pos"))
           .distinct()
           .withColumn("cov", lit(true))
         toksP.join(covered, Seq("doc_id", "pos"), "left")

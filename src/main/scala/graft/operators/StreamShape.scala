@@ -485,16 +485,25 @@ object StreamShape {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = s.read.parquet(s"$d/events.parquet").schema
         val name = s"x14_mem_${memId.incrementAndGet()}"
         val ckpt = java.nio.file.Files.createTempDirectory("x14ckpt").toString
-        val srcDir = java.nio.file.Files.createTempDirectory("x14src")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          srcDir.resolve("events.parquet"))
+        val srcDir = java.nio.file.Files.createTempDirectory("x14src").toString
+        // stage the fixture as TWO files split by event_id parity (time-
+        // interleaved), so with maxFilesPerTrigger=1 the drain takes two
+        // micro-batches and batch 2's events must MERGE INTO (and fuse)
+        // sessions opened by batch 1 inside the state store — the cross-
+        // batch path this operator exists to pin; a single staged file
+        // would build every session within one batch and never exercise it
+        val ev = s.read.parquet(s"$d/events.parquet")
+        ev.where(col("event_id") % 2 === 0).coalesce(1)
+          .write.parquet(s"$srcDir/f0")
+        ev.where(col("event_id") % 2 === 1).coalesce(1)
+          .write.parquet(s"$srcDir/f1")
+        val schema = ev.schema
         val sq = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
-          .parquet(srcDir.toString)
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
@@ -506,6 +515,9 @@ object StreamShape {
           .option("checkpointLocation", ckpt)
           .start()
         sq.awaitTermination()
+        val fedBatches = sq.recentProgress.count(_.numInputRows > 0)
+        require(fedBatches >= 2,
+          s"x14 drained in $fedBatches micro-batch(es) — the cross-batch session merge was not exercised")
         s.table(name).orderBy("user_id", "session_start")
       },
       Some(s"""WITH marked AS (

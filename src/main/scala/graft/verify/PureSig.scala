@@ -88,17 +88,23 @@ object PureSig {
 
   def xxh64(s: String, seed: Long): Long = xxh64(s.getBytes(StandardCharsets.UTF_8), seed)
 
-  // ---- tokenization (documented semantics: maximal non-whitespace runs) ----
+  // ---- tokenization (documented semantics: maximal runs of characters
+  // outside the regex \s class [ \t\n\x0B\f\r] — NOT
+  // Character.isWhitespace, which additionally matches U+001C–U+001F and
+  // U+2028/U+2029 and would diverge from every regex-split mirror) ----
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   def tokens(s: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     val len = s.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && isWs(s.charAt(i))) i += 1
       if (i < len) {
         val start = i
-        while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+        while (i < len && !isWs(s.charAt(i))) i += 1
         out += s.substring(start, i)
       }
     }

@@ -15,6 +15,10 @@ class KernelFuzzSpec extends AnyFunSuite {
 
   private val piece = Gen.oneOf(
     "the", "and", "données", "x", "zz9", "", " ", "  ", "\t", "\n", ".", "a-b",
+    // U+001C (file separator) and U+2028 (line separator): inside regex-\s
+    // tokens but Character.isWhitespace-true — the chars where a scan
+    // built on isWhitespace diverges from every regex-split mirror
+    "a\u001Cb", "c\u2028d",
     "the", "the") // repeats make duplicate n-grams likely
   private val textGen = Gen.listOf(piece).map(_.mkString(" "))
 

@@ -286,12 +286,15 @@ class DedupOpsSpec extends SparkSpec {
     val rows = Catalog.t(spark, sfDir, "documents")
       .select($"doc_id", $"text").collect()
       .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toVector)
-    val grams = rows.map { case (id, ts) =>
+    // maps hoisted out of the per-doc loops (building them inside would be
+    // O(docs²) allocation)
+    val gramsByDoc: Map[Long, Vector[String]] = rows.map { case (id, ts) =>
       id -> ts.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toVector
-    }
-    val df8 = grams.flatMap(_._2).groupBy(identity).map { case (g, o) => g -> o.size }
+    }.toMap
+    val textByDoc: Map[Long, Vector[String]] = rows.toMap
+    val df8 = gramsByDoc.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
     val expect = rows.map { case (id, ts) =>
-      val covered = grams.toMap.apply(id).zipWithIndex.collect {
+      val covered = gramsByDoc(id).zipWithIndex.collect {
         case (g, i) if df8(g) > 1 => i to i + 7
       }.flatten.toSet
       val kept = ts.indices.filterNot(covered).map(ts)
@@ -304,7 +307,7 @@ class DedupOpsSpec extends SparkSpec {
     val untouched = expect.collect { case (id, (n, k, txt)) if n == k => (id, txt) }
     assert(untouched.nonEmpty)
     untouched.foreach { case (id, txt) =>
-      assert(txt === rows.toMap.apply(id).mkString(" "), s"clean doc $id was rewritten")
+      assert(txt === textByDoc(id).mkString(" "), s"clean doc $id was rewritten")
     }
     assert(expect.values.exists { case (n, k, _) => k < n },
       "fixture has no covered spans — the apply step would be untested")

@@ -15,6 +15,9 @@ class PureSigSpec extends SparkSpec {
 
   private val piece = Gen.oneOf(
     "the", "and", "données", "x", "zz9", "", " ", "  ", "\t", "\n", ".", "a-b",
+    // regex-\s-token-internal but isWhitespace-true chars: both sides must
+    // tokenize these identically (neither may split on them)
+    "a\u001Cb", "c\u2028d",
     "0123456789abcdef0123456789abcdef") // >32 bytes exercises the stripe loop
   private val textGen = Gen.listOf(piece).map(_.mkString(" "))
 
