@@ -929,6 +929,67 @@ object SimilarityOps {
               SELECT vec_id, CAST(SUM(err2) AS BIGINT) AS sq_err_scaled,
                      MAX(q) AS max_code
               FROM rc GROUP BY vec_id ORDER BY vec_id"""),
+      bench = false),
+
+    // PRODUCT QUANTIZATION encode — the other classic ANN compression
+    // (sim14 is scalar): the 64-dim vector splits into 8 subvectors of 8
+    // dims, each encoded as the id of its nearest codeword in a 16-entry
+    // per-subspace codebook → 8 nibbles ≈ 4 bytes per vector, a 64×
+    // compression of the search structure. Codebooks here are the
+    // deterministic corpus sample (the sim03 seed convention — production
+    // trains them with the sim07 Lloyd machinery per subspace); encoding
+    // is a bounded broadcast join (128 codebook rows) + per-(vector,
+    // subspace) argmin, exact floor-scaled L2 so the assignment boundary
+    // is engine-exact.
+    Q("sim15_pq_encode",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val emb = t(s, d, "embeddings")
+        val cb = emb.where(col("vec_id") < 16)
+          .select(col("vec_id").as("code"), col("embedding")).collect()
+          .sortBy(_.getLong(0))
+          .flatMap { r =>
+            val v = r.getSeq[Float](1)
+            (0 until 8).map(j => (r.getLong(0), j, v.slice(j * 8, j * 8 + 8)))
+          }.toSeq.toDF("code", "subspace", "cvec")
+        val sub = emb.select(col("vec_id"),
+          explode(array((0 until 8).map(j =>
+            struct(lit(j).as("subspace"),
+              slice(col("embedding"), j * 8 + 1, 8).as("svec"))): _*)).as("s"))
+          .select(col("vec_id"), col("s.subspace").as("subspace"), col("s.svec").as("svec"))
+        val dist = aggregate(
+          zip_with(col("svec"), col("cvec"), (x, c) =>
+            floor((x.cast(DoubleType) - c.cast(DoubleType))
+              * (x.cast(DoubleType) - c.cast(DoubleType)) * lit(SCALE)).cast(LongType)),
+          lit(0L), (acc, v) => acc + v)
+        val w = Window.partitionBy("vec_id", "subspace").orderBy(col("dist"), col("code"))
+        sub.join(broadcast(cb), Seq("subspace"))
+          .withColumn("dist", dist)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("vec_id", "subspace", "code", "dist")
+          .orderBy("vec_id", "subspace")
+      },
+      Some("""WITH cbv AS (SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < 16),
+                 cb AS (SELECT code, j AS subspace,
+                               embedding[CAST(j*8+1 AS INT):CAST(j*8+8 AS INT)] AS cvec
+                        FROM cbv, LATERAL (SELECT UNNEST(range(0, 8)) AS j)),
+                 sub AS (SELECT vec_id, j AS subspace,
+                                embedding[CAST(j*8+1 AS INT):CAST(j*8+8 AS INT)] AS svec
+                         FROM embeddings, LATERAL (SELECT UNNEST(range(0, 8)) AS j)),
+                 scored AS (
+                   SELECT s.vec_id, s.subspace, c.code,
+                          CAST(list_sum(list_transform(range(1, 9), i ->
+                            CAST(FLOOR((CAST(s.svec[CAST(i AS INT)] AS DOUBLE) - CAST(c.cvec[CAST(i AS INT)] AS DOUBLE))
+                                     * (CAST(s.svec[CAST(i AS INT)] AS DOUBLE) - CAST(c.cvec[CAST(i AS INT)] AS DOUBLE))
+                                     * 1e15) AS BIGINT))) AS BIGINT) AS dist
+                   FROM sub s JOIN cb c USING (subspace))
+              SELECT vec_id, CAST(subspace AS INT) AS subspace, code, dist FROM (
+                SELECT vec_id, subspace, code, dist,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
+                FROM scored) WHERE rn = 1
+              ORDER BY vec_id, subspace"""),
       bench = false)
   )
 

@@ -181,6 +181,36 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("sim15 PQ codes == driver recompute; codebook vectors self-encode at distance 0") {
+    import spark.implicits._
+    val SCALE = SimilarityOps.SCALE
+    val rows = Catalog.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val cb = rows.filter(_._1 < 16).sortBy(_._1).map(_._2)
+    def dist(a: Array[Float], b: Array[Float], j: Int): Long =
+      (0 until 8).map { d =>
+        val x = a(j * 8 + d).toDouble - b(j * 8 + d).toDouble
+        math.floor(x * x * SCALE).toLong
+      }.sum
+    val expect = (for {
+      (id, v) <- rows; j <- 0 until 8
+    } yield {
+      val scored = cb.indices.map(c => (dist(v, cb(c), j), c.toLong))
+      (id, j) -> scored.min
+    }).toMap
+    val got = Catalog.byName("sim15_pq_encode").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(3), r.getLong(2))).toMap
+    assert(got === expect)
+    // a codebook vector encodes at distance 0 in every subspace (its own
+    // subvector is in the codebook; ties resolve to the lowest code)
+    rows.filter(_._1 < 16).foreach { case (id, _) =>
+      (0 until 8).foreach { j =>
+        assert(got((id, j))._1 === 0L, s"codeword $id subspace $j has nonzero self-distance")
+      }
+    }
+  }
+
   test("sim13 takes at most the quota per cell, in deterministic hash order") {
     val assigned = SimilarityOps.assignCells(
       SimilarityOps.withNorm(spark, sfDir),
