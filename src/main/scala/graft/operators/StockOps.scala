@@ -78,6 +78,55 @@ object StockOps {
       .drop("__pid", "__lrn", "__lrk", "__lle", "__off")
   }
 
+  /** Per-KEY running total WITHOUT one-task-per-key windows.
+    *
+    * `Window.partitionBy(key).orderBy(ord)` funnels every row of a key
+    * through ONE task — fine when keys are plentiful, a scale-killer when a
+    * key is a whole corpus shard (t20's `source`: billions of docs per
+    * source at 100 TB). Same cure as [[globalDistributionRanks]] (c19), keyed:
+    *
+    *  1. `repartitionByRange` on (key, ord) — a key's rows span a RUN of
+    *     consecutive range partitions, each bounded by partition size.
+    *     `localCheckpoint` pins the sampled boundaries so every downstream
+    *     branch sees identical partitioning.
+    *  2. One window per (partition, key) — bounded by the range partition
+    *     size, never by the key's total volume — computes the local running
+    *     sum; a map-side-combining groupBy computes (partition, key) totals.
+    *  3. The per-(partition, key) totals collapse to ≤ parts + |keys| rows;
+    *     a window over THAT tiny table (≤ `parts` rows per key) turns them
+    *     into per-key prefix offsets, broadcast-joined back:
+    *     global running total = offset + local running sum.
+    *
+    * Exact integer composition → bit-identical to the single-window
+    * formulation (spec-pinned in StockOpsSpec).
+    */
+  def groupedRunningTotal(
+      df: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valCol: String,
+      outCol: String,
+      parts: Int = 32): org.apache.spark.sql.DataFrame = {
+    val ranged = df.repartitionByRange(parts, col(keyCol), col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val localW = Window.partitionBy(col("__pid"), col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = ranged.withColumn("__lsum", sum(col(valCol)).over(localW))
+    // ≤ parts + |keys| result rows; the partial (map-side) agg means this
+    // branch shuffles per-(partition, key) subtotals, not data
+    val totals = ranged.groupBy(col("__pid"), col(keyCol))
+      .agg(sum(col(valCol)).as("__psum"))
+    val offW = Window.partitionBy(col(keyCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = totals
+      .withColumn("__off", coalesce(sum(col("__psum")).over(offW), lit(0L)))
+      .select(col("__pid"), col(keyCol), col("__off"))
+    withLocal.join(broadcast(offs), Seq("__pid", keyCol))
+      .withColumn(outCol, col("__off") + col("__lsum"))
+      .drop("__pid", "__lsum", "__off")
+  }
+
   val all: Seq[Q] = Seq(
     // Ranking window functions (row_number / rank / dense_rank).
     Q("c01_window_rank",

@@ -642,20 +642,18 @@ object TextOps {
     // SEQUENCE PACKING (concat-and-chunk) — t17's packing-free chunking
     // wastes a partial chunk per document; production pipelines CONCATENATE
     // documents in a deterministic order and cut fixed 128-token sequences
-    // across document boundaries. Packing is inherently sequential, so it
-    // runs WITHIN each source shard (the unit a writer task owns at scale):
-    // a running-total window partitioned BY source gives each doc its token
-    // offset, from which its first/last chunk are pure arithmetic. No
-    // global window; one shuffle on the shard key.
+    // across document boundaries. A per-source running-total window would
+    // put a WHOLE source through one task (billions of docs at 100 TB), so
+    // the offset is computed with the c19 two-phase shape instead
+    // (StockOps.groupedRunningTotal: range partition on (source, doc_id) →
+    // bounded per-(partition, source) running sums → broadcast per-source
+    // prefix offsets), bit-identical to the window form (StockOpsSpec).
     Q("t20_pack_sequences",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("source").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        t(s, d, "documents")
+        val nt = t(s, d, "documents")
           .select(col("doc_id"), col("source"),
             size(tokens(col("text"))).cast(LongType).as("n_toks"))
-          .withColumn("end_tok", sum(col("n_toks")).over(w))
+        StockOps.groupedRunningTotal(nt, "source", "doc_id", "n_toks", "end_tok")
           .withColumn("start_tok", col("end_tok") - col("n_toks"))
           .withColumn("first_chunk", expr("start_tok div 128"))
           .withColumn("last_chunk", expr("(end_tok - 1) div 128"))

@@ -93,7 +93,10 @@ class PlanAuditSpec extends SparkSpec {
     "t15_unigram_score" -> 4, // token agg + tf join + per-doc agg + sort
     "d14_duplicate_spans" -> 4, // gram df agg + membership join + doc window + sort
     "d15_winnowing" -> 3, // doc-partitioned windows + distinct + final sort
-    "t20_pack_sequences" -> 2) // source-partitioned running total + final sort
+    // two-phase grouped running total: (pid,source) local window + the
+    // map-side-combined totals shuffle (subtotal rows, not data) + the
+    // ≤parts-rows-per-source offsets window + final sort
+    "t20_pack_sequences" -> 4)
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

@@ -51,4 +51,46 @@ class StockOpsSpec extends SparkSpec {
     val one = Seq((1, "x")).toDF("k", "v")
     assertSame(one, Seq(col("k")), 4, parts = 4) // percent_rank n==1 → 0.0
   }
+
+  // ——— groupedRunningTotal (the t20 scale shape) ———
+
+  private def naiveRunning(df: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy("key").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("total", sum(col("v")).over(w))
+  }
+
+  private def assertSameRunning(df: org.apache.spark.sql.DataFrame, parts: Int): Unit = {
+    val fast = StockOps.groupedRunningTotal(df, "key", "ord", "v", "total", parts)
+      .select("key", "ord", "v", "total")
+    val slow = naiveRunning(df).select("key", "ord", "v", "total")
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+      s"two-phase grouped running total differs from the per-key window (parts=$parts)")
+  }
+
+  test("groupedRunningTotal matches the per-key window, incl. one DOMINANT key") {
+    import spark.implicits._
+    // one key with 90% of the rows — the exact shape where the naive window
+    // funnels everything through a single task and the two-phase must split
+    // the key across several range partitions
+    val skew = ((1 to 900).map(i => ("hot", i, (i % 13).toLong)) ++
+      (1 to 100).map(i => (s"cold_${i % 7}", i, (i % 5).toLong))).toDF("key", "ord", "v")
+    assertSameRunning(skew, parts = 8)
+    assertSameRunning(skew, parts = 3)
+  }
+
+  test("groupedRunningTotal edges: single key, single row, more parts than rows") {
+    import spark.implicits._
+    assertSameRunning(Seq(("a", 1, 5L)).toDF("key", "ord", "v"), parts = 4)
+    assertSameRunning((1 to 10).map(i => ("only", i, i.toLong)).toDF("key", "ord", "v"),
+      parts = 32)
+  }
+
+  test("t20 documents offsets are bit-identical to the per-source window") {
+    val nt = Catalog.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("v"))
+      .withColumnRenamed("source", "key").withColumnRenamed("doc_id", "ord")
+    assertSameRunning(nt, parts = 8)
+  }
 }
