@@ -854,18 +854,15 @@ object SimilarityOps {
     // sampling over-represents dense regions; per-cell quotas keep every
     // semantic region represented). Selection within a cell is the t21
     // deterministic doc-hash order — no rand(), retry-idempotent. The
-    // assignment is the map-only trained argmax; the quota window is
-    // partitioned BY cell; the oracle replays training in SQL and mirrors
-    // the hash order.
+    // assignment is the map-only trained argmax; the quota is the
+    // two-phase per-key top-k (StockOps.perKeyTopK — a per-cell window
+    // would put a 16th of the corpus through each of 16 tasks at 100 TB);
+    // the oracle replays training in SQL and mirrors the hash order.
     Q("sim13_cell_balanced_sample",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val assigned = assignCells(withNorm(s, d), trainedCentroids(s, d, iters = 2))
-        val w = Window.partitionBy("cell").orderBy(col("skey"), col("vec_id"))
-        assigned
           .withColumn("skey", Catalog.docHash(col("vec_id"), 1000000007L))
-          .withColumn("rk", row_number().over(w))
-          .where(col("rk") <= 4)
+        StockOps.perKeyTopK(assigned, Seq("cell"), Seq(col("skey"), col("vec_id")), 4)
           .select(col("cell"), col("rk"), col("vec_id"), col("skey"))
           .orderBy("cell", "rk")
       },

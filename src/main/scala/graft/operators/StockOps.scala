@@ -127,6 +127,38 @@ object StockOps {
       .drop("__pid", "__lsum", "__off")
   }
 
+  /** Per-KEY top-k WITHOUT one-task-per-key windows (two-phase
+    * TakeOrdered-per-key). `Window.partitionBy(key)` row_number funnels a
+    * key's every row through ONE task — with 16 quantizer cells that is 16
+    * tasks each scanning n/16 rows for a top-4 (sim13's shape). Two phases:
+    *
+    *  1. Local: rank within (key, input-partition-id) — the exchange keys
+    *     on |keys| × parts groups, each bounded by the input partition
+    *     size — and keep only each group's top k.
+    *  2. Final: rank the ≤ k × parts survivors per key — a per-key window
+    *     over a bounded-by-construction row set.
+    *
+    * `orderCols` must be a TOTAL order per key (tie-break on a unique id);
+    * then phase 1 provably retains every global top-k row and the result is
+    * bit-identical to the single-window formulation (StockOpsSpec).
+    */
+  def perKeyTopK(
+      df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column],
+      k: Int,
+      outCol: String = "rk"): org.apache.spark.sql.DataFrame = {
+    val localW = Window.partitionBy(keyCols.map(col) :+ col("__pid"): _*)
+      .orderBy(orderCols: _*)
+    val finalW = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__pid", spark_partition_id())
+      .withColumn("__lrk", row_number().over(localW))
+      .where(col("__lrk") <= k)
+      .withColumn(outCol, row_number().over(finalW))
+      .where(col(outCol) <= k)
+      .drop("__pid", "__lrk")
+  }
+
   val all: Seq[Q] = Seq(
     // Ranking window functions (row_number / rank / dense_rank).
     Q("c01_window_rank",

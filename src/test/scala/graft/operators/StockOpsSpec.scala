@@ -86,6 +86,36 @@ class StockOpsSpec extends SparkSpec {
       parts = 32)
   }
 
+  // ——— perKeyTopK (the sim13 scale shape) ———
+
+  private def assertSameTopK(df: org.apache.spark.sql.DataFrame, k: Int): Unit = {
+    val w = Window.partitionBy("key").orderBy(col("ord"), col("id"))
+    val slow = df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select("key", "rk", "id", "ord")
+    val fast = StockOps.perKeyTopK(df, Seq("key"), Seq(col("ord"), col("id")), k)
+      .select("key", "rk", "id", "ord")
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+      s"two-phase per-key top-$k differs from the per-key window")
+  }
+
+  test("perKeyTopK matches the per-key window, incl. few-key/many-row skew") {
+    import spark.implicits._
+    // 3 keys × many rows — the exact low-cardinality shape the two-phase
+    // form exists for; duplicated ord values force the id tie-break
+    val df = (1 to 1200).map(i => (i % 3, i % 40, i.toLong)).toDF("key", "ord", "id")
+      .repartition(7)
+    assertSameTopK(df, 4)
+    assertSameTopK(df, 1)
+    assertSameTopK(df, 2000) // k > rows-per-key: everything survives, ranks equal
+  }
+
+  test("perKeyTopK edges: single row, k larger than any partition") {
+    import spark.implicits._
+    assertSameTopK(Seq((1, 1, 1L)).toDF("key", "ord", "id"), 4)
+    assertSameTopK((1 to 10).map(i => (1, 11 - i, i.toLong)).toDF("key", "ord", "id")
+      .repartition(32), 3)
+  }
+
   test("t20 documents offsets are bit-identical to the per-source window") {
     val nt = Catalog.t(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"),
