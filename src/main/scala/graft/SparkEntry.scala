@@ -26,5 +26,7 @@ object SparkEntry {
     * SQL-expressible (engine-hash-based LSH/SimHash) → rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Catalog.all.collect { case q if q.oracle.isDefined => q.name -> q.oracle.get }.toMap
+    Catalog.all.collect {
+      case q if q.oracle.isDefined => q.name -> Catalog.alignWs(q.oracle.get)
+    }.toMap
 }

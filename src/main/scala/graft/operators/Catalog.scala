@@ -54,15 +54,39 @@ object Catalog {
     * across engines). The 31-bit pre-mask keeps the product provably
     * inside i64 on BOTH engines (Spark wraps silently on overflow, the
     * DuckDB oracle's BIGINT * raises — they diverge once ids exceed
-    * ~3.47e9 without it), and non-negative input makes pmod == %.
-    * [[sqlDocHash]] is the DuckDB mirror; the overflow-safety argument
-    * lives HERE, once.
+    * ~3.47e9 without it). [[sqlDocHash]] is the DuckDB mirror: `%` there
+    * follows the dividend's sign, so the inner mod is written in the
+    * ((x%m)+m)%m pmod form — the masked value is then non-negative and
+    * < 2^31, the product < 2^31·2654435761 < 2^63, and the outer `%` of a
+    * non-negative value equals pmod. Sign parity (negative ids included)
+    * is spec-pinned in CatalogSpec; the overflow-safety argument lives
+    * HERE, once.
     */
   def docHash(c: Column, m: Long): Column =
     pmod(pmod(c, lit(2147483648L)) * lit(2654435761L), lit(m))
 
   def sqlDocHash(x: String, m: Long): String =
-    s"(($x % 2147483648) * 2654435761) % $m"
+    s"(((($x % 2147483648) + 2147483648) % 2147483648) * 2654435761) % $m"
+
+  /** DuckDB regexes are RE2, whose `\s` is [ \t\n\f\r] — it EXCLUDES \x0B
+    * (vertical tab), which the Java `\s` used by the engine (kernels' isWs,
+    * `split`, PureSig) includes: a \x0B-bearing document would tokenize
+    * differently across engines. Oracle SQL is authored with `\s` for
+    * readability; this rewrite (applied once, in SparkEntry.oracleSql) pins
+    * every oracle regex to the explicit Java-aligned class. The only two
+    * shapes in the catalog are standalone `\s` and the `[^a-z0-9\s]` punct
+    * class; any NEW in-class use must be added here (the require trips on
+    * the tell-tale `[[` a missed one would produce).
+    */
+  def alignWs(sql: String): String = {
+    val cls = " \\t\\n\\x0B\\f\\r" // the Java \s member set, RE2-escaped
+    val out = sql
+      .replace("[^a-z0-9\\s]", s"[^a-z0-9$cls]")
+      .replace("\\s", s"[$cls]")
+    require(!out.contains(s"[[$cls]"),
+      "unhandled in-class \\s in oracle SQL — extend Catalog.alignWs")
+    out
+  }
 
   /** Collision-resistant tag for per-path derived artifacts (bucketed /
     * IVF warehouse database names): SHA-256 of the path, 16 hex chars.

@@ -943,9 +943,16 @@ object SimilarityOps {
         import org.apache.spark.sql.expressions.Window
         import s.implicits._
         val emb = t(s, d, "embeddings")
-        val cb = emb.where(col("vec_id") < 16)
+        val cbRows = emb.where(col("vec_id") < 16)
           .select(col("vec_id").as("code"), col("embedding")).collect()
           .sortBy(_.getLong(0))
+        // fail FAST on a fixture-shape change: fewer than 16 codebook
+        // vectors or a non-64-dim embedding would otherwise yield a
+        // silently degenerate codebook (zip_with pads with null)
+        require(cbRows.length == 16 && cbRows.forall(_.getSeq[Float](1).length == 64),
+          s"sim15 expects 16 codebook vectors (vec_id 0..15) of dim 64; " +
+            s"got ${cbRows.length} rows with dims ${cbRows.map(_.getSeq[Float](1).length).distinct.mkString(",")}")
+        val cb = cbRows
           .flatMap { r =>
             val v = r.getSeq[Float](1)
             (0 until 8).map(j => (r.getLong(0), j, v.slice(j * 8, j * 8 + 8)))

@@ -32,4 +32,31 @@ class CatalogSpec extends SparkSpec {
   test("SparkEntry.entry returns rows on sf0.001") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("docHash == sqlDocHash over negative and boundary ids (sign parity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Spark's % follows the dividend's sign exactly like DuckDB's, so
+    // evaluating the SQL mirror with expr() pins the pmod-vs-% question
+    // the engine-side oracle run can't reach (fixture ids are all >= 0)
+    val ids = Seq(Long.MinValue + 1, -2147483649L, -2147483648L, -1000000007L,
+      -17L, -1L, 0L, 1L, 17L, 2147483647L, 2147483648L, 3000000000L,
+      Long.MaxValue).toDF("id")
+    Seq(1000L, 1000000007L).foreach { m =>
+      val bad = ids
+        .withColumn("engine", Catalog.docHash(col("id"), m))
+        .withColumn("mirror", expr(Catalog.sqlDocHash("id", m)))
+        .where(col("engine") =!= col("mirror") || col("mirror") < 0)
+      assert(bad.isEmpty, s"docHash/sqlDocHash diverge for m=$m: " +
+        bad.collect().mkString(", "))
+    }
+  }
+
+  test("alignWs rewrites oracle regexes to the explicit Java \\s class") {
+    val out = Catalog.alignWs("""string_split_regex(trim(text), '\s+') [^a-z0-9\s]""")
+    assert(out === "string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') " +
+      "[^a-z0-9 \\t\\n\\x0B\\f\\r]")
+    // a NOT-covered in-class form must fail loudly, not silently corrupt
+    intercept[IllegalArgumentException](Catalog.alignWs("""[\s]"""))
+  }
 }
