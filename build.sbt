@@ -16,6 +16,12 @@ run / fork := true
 // machine-read JSON lines on stdout, and the prefix has broken downstream
 // json.load of the bench line every round so far.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and sbt's "[success] Total time" epilogue TRAILS that stdout, so a
+// consumer parsing the LAST stdout line (the driver's bench reader — five
+// rounds of "parsed: null") gets sbt chrome instead of the JSON. Suppress
+// the epilogue: failures still surface via exit status and [error] lines,
+// and the mains' JSON becomes the final stdout line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
