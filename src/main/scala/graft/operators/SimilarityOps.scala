@@ -395,6 +395,99 @@ object SimilarityOps {
           FROM iscored)
         WHERE rk <= 3 ORDER BY qid, rk"""
 
+  // ——— Product quantization (sim15 encode / sim16 ADC search / sim17 recall) ———
+
+  /** Exact floor-scaled squared L2 between two float-array columns, as
+    * Long: Σ_i floor((a_i − b_i)²·1e15). The per-element floor makes the
+    * value engine-exact; [[sqlScaledL2]] is the term-for-term oracle mirror.
+    */
+  def scaledL2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, c) =>
+        floor((x.cast(DoubleType) - c.cast(DoubleType))
+          * (x.cast(DoubleType) - c.cast(DoubleType)) * lit(SCALE)).cast(LongType)),
+      lit(0L), (acc, v) => acc + v)
+
+  def sqlScaledL2(a: String, b: String, dims: Int): String =
+    s"""CAST(list_sum(list_transform(range(1, ${dims + 1}), i ->
+        CAST(FLOOR((CAST($a[CAST(i AS INT)] AS DOUBLE) - CAST($b[CAST(i AS INT)] AS DOUBLE))
+                 * (CAST($a[CAST(i AS INT)] AS DOUBLE) - CAST($b[CAST(i AS INT)] AS DOUBLE))
+                 * 1e15) AS BIGINT))) AS BIGINT)"""
+
+  // PQ geometry: 64 dims → PqSub=8 subspaces × 8 dims, 16 codewords each.
+  val PqSub = 8
+  val PqDim = 8
+  val PqCodes = 16
+
+  /** Per-subspace PQ codebook (code, subspace, cvec): the 16 lowest
+    * vec_ids sliced into 8×8-dim subvectors (the sim03 deterministic seed
+    * convention — production trains per subspace with the sim07 Lloyd
+    * machinery). Bounded 16-row collect, broadcast at use sites; fails
+    * FAST on a fixture-shape change (fewer than 16 vectors or dim ≠ 64
+    * would otherwise silently degenerate — zip_with pads with null).
+    */
+  def pqCodebook(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = t(s, d, "embeddings").where(col("vec_id") < PqCodes)
+      .select(col("vec_id").as("code"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+    require(rows.length == PqCodes && rows.forall(_.getSeq[Float](1).length == PqSub * PqDim),
+      s"PQ expects $PqCodes codebook vectors (vec_id 0..${PqCodes - 1}) of dim ${PqSub * PqDim}; " +
+        s"got ${rows.length} rows with dims ${rows.map(_.getSeq[Float](1).length).distinct.mkString(",")}")
+    rows.flatMap { r =>
+      val v = r.getSeq[Float](1)
+      (0 until PqSub).map(j => (r.getLong(0), j, v.slice(j * PqDim, j * PqDim + PqDim)))
+    }.toSeq.toDF("code", "subspace", "cvec")
+  }
+
+  /** Embedding rows split into the 8 PQ subvectors (vec_id, subspace,
+    * svec) — a map-only explode, 8 narrow rows per vector.
+    */
+  def pqSubvectors(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      explode(array((0 until PqSub).map(j =>
+        struct(lit(j).as("subspace"),
+          slice(col("embedding"), j * PqDim + 1, PqDim).as("svec"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.subspace").as("subspace"), col("s.svec").as("svec"))
+
+  /** PQ codes: per-(vector, subspace) argmin codeword → (vec_id, subspace,
+    * code, dist). sim15's output, reused as sim16's search structure. The
+    * argmin window keys on (vec_id, subspace) — corpus-cardinality keys,
+    * no low-cardinality funnel.
+    */
+  def pqEncoded(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id", "subspace").orderBy(col("dist"), col("code"))
+    pqSubvectors(t(s, d, "embeddings"))
+      .join(broadcast(pqCodebook(s, d)), Seq("subspace"))
+      .withColumn("dist", scaledL2(col("svec"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("vec_id", "subspace", "code", "dist")
+  }
+
+  /** Oracle CTEs for the PQ family: codebook (`cb`), subvectors (`sub`),
+    * all (vector, subspace, codeword) distances (`scored`), and the argmin
+    * codes (`codes`) — shared by sim15/sim16/sim17.
+    */
+  lazy val sqlPqCtes: String =
+    s"""cbv AS (SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < $PqCodes),
+        cb AS (SELECT code, j AS subspace,
+                      embedding[CAST(j*$PqDim+1 AS INT):CAST(j*$PqDim+$PqDim AS INT)] AS cvec
+               FROM cbv, LATERAL (SELECT UNNEST(range(0, $PqSub)) AS j)),
+        sub AS (SELECT vec_id, j AS subspace,
+                       embedding[CAST(j*$PqDim+1 AS INT):CAST(j*$PqDim+$PqDim AS INT)] AS svec
+                FROM embeddings, LATERAL (SELECT UNNEST(range(0, $PqSub)) AS j)),
+        scored AS (
+          SELECT s.vec_id, s.subspace, c.code,
+                 ${sqlScaledL2("s.svec", "c.cvec", PqDim)} AS dist
+          FROM sub s JOIN cb c USING (subspace)),
+        codes AS (
+          SELECT vec_id, subspace, code, dist FROM (
+            SELECT vec_id, subspace, code, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
+            FROM scored) WHERE rn = 1)"""
+
   val all: Seq[Q] = Seq(
     // Brute-force cosine top-k per probe (the exact ANN baseline).
     Q("sim01_topk_cosine",
@@ -939,61 +1032,115 @@ object SimilarityOps {
     // subspace) argmin, exact floor-scaled L2 so the assignment boundary
     // is engine-exact.
     Q("sim15_pq_encode",
+      (s, d) => pqEncoded(s, d).orderBy("vec_id", "subspace"),
+      Some(s"""WITH $sqlPqCtes
+               SELECT vec_id, CAST(subspace AS INT) AS subspace, code, dist
+               FROM codes ORDER BY vec_id, subspace"""),
+      bench = false),
+
+    // PQ ASYMMETRIC-DISTANCE SEARCH — the payoff of sim15's encoding and
+    // the reason PQ exists at 100 TB: a probe precomputes ONE 8×16 table of
+    // exact subspace distances to every codeword (the LUT — probes×128
+    // rows, broadcast), and each database vector's approximate distance is
+    // then 8 integer table lookups summed — the corpus side never touches
+    // floats again. Shape: codes ⋈ broadcast(LUT) on (subspace, code) →
+    // per-(probe, vector) integer sum → two-phase per-probe top-3
+    // (StockOps.perKeyTopK — 10 probes is exactly the low-cardinality
+    // window funnel sim13 eliminated). Every distance is floor-scaled
+    // integer math, so ADC scores are engine-exact.
+    Q("sim16_pq_adc_search",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        import s.implicits._
-        val emb = t(s, d, "embeddings")
-        val cbRows = emb.where(col("vec_id") < 16)
-          .select(col("vec_id").as("code"), col("embedding")).collect()
-          .sortBy(_.getLong(0))
-        // fail FAST on a fixture-shape change: fewer than 16 codebook
-        // vectors or a non-64-dim embedding would otherwise yield a
-        // silently degenerate codebook (zip_with pads with null)
-        require(cbRows.length == 16 && cbRows.forall(_.getSeq[Float](1).length == 64),
-          s"sim15 expects 16 codebook vectors (vec_id 0..15) of dim 64; " +
-            s"got ${cbRows.length} rows with dims ${cbRows.map(_.getSeq[Float](1).length).distinct.mkString(",")}")
-        val cb = cbRows
-          .flatMap { r =>
-            val v = r.getSeq[Float](1)
-            (0 until 8).map(j => (r.getLong(0), j, v.slice(j * 8, j * 8 + 8)))
-          }.toSeq.toDF("code", "subspace", "cvec")
-        val sub = emb.select(col("vec_id"),
-          explode(array((0 until 8).map(j =>
-            struct(lit(j).as("subspace"),
-              slice(col("embedding"), j * 8 + 1, 8).as("svec"))): _*)).as("s"))
-          .select(col("vec_id"), col("s.subspace").as("subspace"), col("s.svec").as("svec"))
-        val dist = aggregate(
-          zip_with(col("svec"), col("cvec"), (x, c) =>
-            floor((x.cast(DoubleType) - c.cast(DoubleType))
-              * (x.cast(DoubleType) - c.cast(DoubleType)) * lit(SCALE)).cast(LongType)),
-          lit(0L), (acc, v) => acc + v)
-        val w = Window.partitionBy("vec_id", "subspace").orderBy(col("dist"), col("code"))
-        sub.join(broadcast(cb), Seq("subspace"))
-          .withColumn("dist", dist)
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select("vec_id", "subspace", "code", "dist")
-          .orderBy("vec_id", "subspace")
+        val lut = pqSubvectors(
+          t(s, d, "embeddings").where(col("vec_id") < 10))
+          .select(col("vec_id").as("qid"), col("subspace"), col("svec").as("qvec"))
+          .join(broadcast(pqCodebook(s, d)), Seq("subspace"))
+          .withColumn("pdist", scaledL2(col("qvec"), col("cvec")))
+          .select("qid", "subspace", "code", "pdist")
+        val adc = pqEncoded(s, d).select("vec_id", "subspace", "code")
+          .join(broadcast(lut), Seq("subspace", "code"))
+          .where(col("vec_id") =!= col("qid"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(col("pdist")).as("adc_dist"))
+        StockOps.perKeyTopK(adc, Seq("qid"), Seq(col("adc_dist"), col("vec_id")), 3)
+          .select("qid", "rk", "vec_id", "adc_dist")
+          .orderBy("qid", "rk")
       },
-      Some("""WITH cbv AS (SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < 16),
-                 cb AS (SELECT code, j AS subspace,
-                               embedding[CAST(j*8+1 AS INT):CAST(j*8+8 AS INT)] AS cvec
-                        FROM cbv, LATERAL (SELECT UNNEST(range(0, 8)) AS j)),
-                 sub AS (SELECT vec_id, j AS subspace,
-                                embedding[CAST(j*8+1 AS INT):CAST(j*8+8 AS INT)] AS svec
-                         FROM embeddings, LATERAL (SELECT UNNEST(range(0, 8)) AS j)),
-                 scored AS (
-                   SELECT s.vec_id, s.subspace, c.code,
-                          CAST(list_sum(list_transform(range(1, 9), i ->
-                            CAST(FLOOR((CAST(s.svec[CAST(i AS INT)] AS DOUBLE) - CAST(c.cvec[CAST(i AS INT)] AS DOUBLE))
-                                     * (CAST(s.svec[CAST(i AS INT)] AS DOUBLE) - CAST(c.cvec[CAST(i AS INT)] AS DOUBLE))
-                                     * 1e15) AS BIGINT))) AS BIGINT) AS dist
-                   FROM sub s JOIN cb c USING (subspace))
-              SELECT vec_id, CAST(subspace AS INT) AS subspace, code, dist FROM (
-                SELECT vec_id, subspace, code, dist,
-                       ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
-                FROM scored) WHERE rn = 1
-              ORDER BY vec_id, subspace"""),
+      Some(s"""WITH $sqlPqCtes,
+                 qsub AS (SELECT vec_id AS qid, subspace, svec FROM sub WHERE vec_id < 10),
+                 lut AS (
+                   SELECT q.qid, c.subspace, c.code,
+                          ${sqlScaledL2("q.svec", "c.cvec", PqDim)} AS pdist
+                   FROM qsub q JOIN cb c USING (subspace)),
+                 adc AS (
+                   SELECT l.qid, k.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+                   FROM codes k JOIN lut l ON l.subspace = k.subspace AND l.code = k.code
+                   WHERE k.vec_id <> l.qid
+                   GROUP BY 1, 2)
+              SELECT qid, CAST(rk AS INT) AS rk, vec_id, adc_dist FROM (
+                SELECT qid, vec_id, adc_dist,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
+                FROM adc) WHERE rk <= 3
+              ORDER BY qid, rk""")),
+
+    // PQ RECALL — the number that says whether 4-byte codes are safe to
+    // serve: recall@3 of sim16's ADC top-3 against the EXACT floor-scaled
+    // L2 top-3 (same metric ADC approximates; the sim04 convention, but
+    // per probe so the oracle reproduces every recall value, not one
+    // average). Truth is corpus × broadcast(10 probes) — the sim01 bounded
+    // brute-force shape — ranked by the same two-phase top-k. Measured:
+    // ~0.1–0.2 on this corpus — the honest cost of SEED codebooks on
+    // near-orthogonal synthetic embeddings (64× compression, distances
+    // concentrate); production lifts it by training the codebooks with the
+    // sim07 Lloyd machinery per subspace, exactly what sim09 demonstrates
+    // for the coarse quantizer. The query exists to surface that number.
+    Q("sim17_pq_recall",
+      (s, d) => {
+        val adcTop = byNameLocal("sim16_pq_adc_search").build(s, d)
+          .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+        val emb = t(s, d, "embeddings")
+        val probes = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val pairs = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
+          .withColumn("l2", scaledL2(col("qvec"), col("embedding")))
+          .select("qid", "vec_id", "l2")
+        val truth = StockOps.perKeyTopK(pairs, Seq("qid"), Seq(col("l2"), col("vec_id")), 3)
+        truth.join(adcTop, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast(DoubleType) / 3)
+          .orderBy("qid")
+      },
+      Some(s"""WITH $sqlPqCtes,
+                 qsub AS (SELECT vec_id AS qid, subspace, svec FROM sub WHERE vec_id < 10),
+                 lut AS (
+                   SELECT q.qid, c.subspace, c.code,
+                          ${sqlScaledL2("q.svec", "c.cvec", PqDim)} AS pdist
+                   FROM qsub q JOIN cb c USING (subspace)),
+                 adc AS (
+                   SELECT l.qid, k.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+                   FROM codes k JOIN lut l ON l.subspace = k.subspace AND l.code = k.code
+                   WHERE k.vec_id <> l.qid
+                   GROUP BY 1, 2),
+                 adc_top AS (
+                   SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
+                     FROM adc) WHERE rk <= 3),
+                 bl2 AS (
+                   SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                          ${sqlScaledL2("a.embedding", "b.embedding", PqSub * PqDim)} AS l2
+                   FROM embeddings a JOIN embeddings b
+                     ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+                 truth AS (
+                   SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2, vec_id) AS rk
+                     FROM bl2) WHERE rk <= 3)
+              SELECT t.qid, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+                     CAST(COUNT(a.vec_id) AS DOUBLE) / 3 AS recall
+              FROM truth t LEFT JOIN adc_top a
+                ON a.qid = t.qid AND a.vec_id = t.vec_id
+              GROUP BY t.qid ORDER BY t.qid"""),
       bench = false)
   )
 

@@ -38,6 +38,7 @@ class PlanAuditSpec extends SparkSpec {
     // exact-baseline shape; sim02/sim03 are the bucketed scale paths
     "sim01_topk_cosine" -> Set("BroadcastNestedLoopJoin"),
     "sim06_hard_negatives" -> Set("BroadcastNestedLoopJoin"),
+    "sim17_pq_recall" -> Set("BroadcastNestedLoopJoin"),
     "d05_embedding_neardup" -> Set("BroadcastNestedLoopJoin"),
     // single-row global aggregates: the one-partition stage IS the answer
     "a12_bool_count" -> Set("SinglePartition"),
