@@ -815,6 +815,70 @@ object TextOps {
                       CAST(COUNT(*) FILTER (is_cont) AS BIGINT) AS n_contaminated,
                       CAST(COUNT(*) FILTER (q_ok) AS BIGINT) AS n_quality
                FROM flags GROUP BY source ORDER BY source"""),
-      bench = false)
+      bench = false),
+
+    // BOILERPLATE EXTRACTION — trafilatura-class main-content stripping:
+    // per LINE of a page, drop anchor-bearing blocks (nav/header/footer)
+    // and low-text-density markup; keep what remains. Thresholds are
+    // integer cross-multiplications (text_len·2 ≥ raw_len, anchor count
+    // = 0) so the keep/drop boundary is engine-exact — no float ratios.
+    // The fixture corpus has no markup, so the page is first synthesized
+    // DETERMINISTICALLY from each document on BOTH engines (tokens →
+    // 10-token lines; every 3rd line wrapped as an anchor-laden nav div,
+    // the rest as <p>; constant header/footer) — the d17 convention:
+    // build the adversarial input from the fixture, then prove the
+    // operator strips exactly the injected boilerplate. The extractor
+    // itself is map-only (one projection, no joins), so at 100 TB it
+    // rides the scan.
+    Q("t24_boilerplate_extract",
+      (s, d) => t(s, d, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("lines", expr(
+          "transform(sequence(0, (size(toks)+9) div 10 - 1), i -> array_join(slice(toks, i*10+1, 10), ' '))"))
+        .withColumn("wrapped", expr(
+          """transform(lines, (l, j) -> CASE WHEN j % 3 = 0
+             THEN concat('<div class="nav"><a href="#">', l, '</a></div>')
+             ELSE concat('<p>', l, '</p>') END)"""))
+        .withColumn("page", concat_ws("\n",
+          lit("""<header><a href="/">home</a> <a href="/about">about</a></header>"""),
+          array_join(col("wrapped"), "\n"),
+          lit("""<footer><a href="/tos">terms</a> copyright 2026</footer>""")))
+        // ——— the operator: everything below consumes ONLY `page` ———
+        .withColumn("plines", split(col("page"), "\n"))
+        .withColumn("n_lines", size(col("plines")))
+        .withColumn("kept", expr(
+          """filter(plines, l -> length(l) = length(replace(l, '<a', ''))
+             AND length(regexp_replace(l, '<[^>]*>', '')) * 2 >= length(l))"""))
+        .withColumn("n_kept", size(col("kept")))
+        .withColumn("content", expr(
+          "array_join(transform(kept, l -> regexp_replace(l, '<[^>]*>', '')), ' ')"))
+        .select("doc_id", "n_lines", "n_kept", "content")
+        .orderBy("doc_id"),
+      Some(s"""WITH dt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                           FROM documents),
+                 ln AS (SELECT doc_id, list_transform(range(0, (len(toks)+9)//10), i ->
+                          array_to_string(toks[CAST(i*10+1 AS INT):CAST(i*10+10 AS INT)], ' ')) AS lines
+                        FROM dt),
+                 wr AS (SELECT doc_id, list_transform(range(0, len(lines)), j ->
+                          CASE WHEN j % 3 = 0
+                          THEN '<div class="nav"><a href="#">' || lines[CAST(j+1 AS INT)] || '</a></div>'
+                          ELSE '<p>' || lines[CAST(j+1 AS INT)] || '</p>' END) AS wrapped
+                        FROM ln),
+                 pg AS (SELECT doc_id,
+                          '<header><a href="/">home</a> <a href="/about">about</a></header>' || chr(10) ||
+                          array_to_string(wrapped, chr(10)) || chr(10) ||
+                          '<footer><a href="/tos">terms</a> copyright 2026</footer>' AS page
+                        FROM wr),
+                 ex AS (SELECT doc_id, string_split(page, chr(10)) AS plines FROM pg),
+                 ke AS (SELECT doc_id, len(plines) AS n_lines,
+                          list_filter(plines, l -> length(l) = length(replace(l, '<a', ''))
+                            AND length(regexp_replace(l, '<[^>]*>', '', 'g')) * 2 >= length(l)) AS kept
+                        FROM ex)
+               SELECT doc_id, CAST(n_lines AS INT) AS n_lines, CAST(len(kept) AS INT) AS n_kept,
+                      -- DuckDB's array_to_string([]) is NULL; Spark's
+                      -- array_join([]) is '' — align on ''
+                      COALESCE(array_to_string(list_transform(kept, l ->
+                        regexp_replace(l, '<[^>]*>', '', 'g')), ' '), '') AS content
+               FROM ke ORDER BY doc_id"""))
   )
 }
