@@ -27,11 +27,26 @@ object Verify {
     * (chunked partitions, pushdown, bisection). totalDifficulty is decoded
     * with BigInteger — independent of the HexToDecimal kernel too.
     */
+  /** x16's reorg scenario — ONE set of constants shared by the driver-side
+    * dump below, the x16 streaming query's source options, and its oracle
+    * SQL, so the three cannot drift apart.
+    */
+  val ReorgAt = 50L
+  val ReorgDepth = 2
+  val ReorgHead = 99L
+
   def dumpSyntheticChain(spark: SparkSession): Unit = {
     import spark.implicits._
     val rpc = new graft.sources.SyntheticRpc(42L, 10000L)
     val logs = (0L to 2999L).flatMap(b => (0 until rpc.logsInBlock(b)).map(i => rpc.logAt(b, i)))
     logs.toDF().coalesce(1).write.mode("overwrite").parquet(s"$ChainDumpDir/logs.parquet")
+    // the delivered event stream of the reorg-mode chain (appends +
+    // removed=true retractions + replacements), straight from SyntheticRpc's
+    // pure functions on the driver — ground truth for x16's streamed path
+    val reorgRpc = new graft.sources.SyntheticRpc(42L, 10000L,
+      reorgAt = ReorgAt, reorgDepth = ReorgDepth)
+    (0L to ReorgHead).flatMap(reorgRpc.deliveredAt).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(s"$ChainDumpDir/reorg_logs.parquet")
     val blocks = (0L to 999L).flatMap(rpc.getBlock).map { b =>
       (b.number, new java.math.BigInteger(b.totalDifficulty.stripPrefix("0x"), 16).longValueExact(),
         b.gasUsed, b.transactions.size)

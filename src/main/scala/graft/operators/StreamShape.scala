@@ -581,6 +581,61 @@ object StreamShape {
                FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
                WHERE blockNumber <= 999
                ORDER BY blockNumber, logIndex"""),
+      bench = false),
+
+    // REORG RETRACTION in the live path — the chain's one reorg signal is
+    // a re-delivered log with removed=true (reference forwards it
+    // verbatim, Converter.java:169; SURVEY §1.4): the reorg-mode
+    // synthetic chain orphans blocks [48,49] when block 50 is read,
+    // re-delivering their logs retracted and then the new canonical
+    // replacements. With maxBlocksPerTrigger=25 the originals land in an
+    // EARLIER micro-batch than their retractions (offset contiguity
+    // guarantees it), so the retraction genuinely crosses batches. The
+    // append-mode stream must preserve retraction rows verbatim; the
+    // consumer-visible rule is pinned by RESOLVING the delivered stream —
+    // net count per full row content (+1 append, −1 retraction; order-
+    // free, so it hash-gates) — against the driver-computed delivery dump
+    // with the same resolution applied: orphaned-block originals net to
+    // zero, replacements and everything else survive.
+    Q("x16_reorg_removal",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = s"x16_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x16ckpt").toString
+        val sq = s.readStream.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", "0").option("head", graft.Verify.ReorgHead.toString)
+          .option("reorgAt", graft.Verify.ReorgAt.toString)
+          .option("reorgDepth", graft.Verify.ReorgDepth.toString)
+          .option("maxBlocksPerTrigger", "25")
+          .load()
+          .select("blockNumber", "logIndex", "address", "data", "removed")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fedBatches = sq.recentProgress.count(_.numInputRows > 0)
+        require(fedBatches >= 3,
+          s"x16 drained in $fedBatches micro-batch(es) — the cross-batch retraction was not exercised")
+        val delivered = s.table(name)
+        require(delivered.where(col("removed")).count() > 0,
+          "x16 stream delivered no removed=true retraction rows")
+        delivered
+          .groupBy("blockNumber", "logIndex", "address", "data")
+          .agg(sum(when(col("removed"), -1L).otherwise(1L)).as("net"))
+          .where(col("net") > 0)
+          .select("blockNumber", "logIndex", "address", "data")
+          .orderBy("blockNumber", "logIndex")
+      },
+      Some(s"""WITH raw AS (
+                 SELECT * FROM '${graft.Verify.ChainDumpDir}/reorg_logs.parquet/*.parquet'),
+               resolved AS (
+                 SELECT blockNumber, logIndex, address, data,
+                        SUM(CASE WHEN removed THEN -1 ELSE 1 END) AS net
+                 FROM raw GROUP BY 1, 2, 3, 4)
+               SELECT blockNumber, logIndex, address, data
+               FROM resolved WHERE net > 0
+               ORDER BY blockNumber, logIndex"""),
       bench = false)
   )
 }

@@ -82,7 +82,9 @@ final class SyntheticRpc(
     head: Long,
     maxResults: Int = Int.MaxValue,
     addressPool: Int = 8,
-    topicPool: Int = 4) extends EthRpc {
+    topicPool: Int = 4,
+    reorgAt: Long = -1L,
+    reorgDepth: Int = 2) extends EthRpc {
 
   // splitmix64 — deterministic, dependency-free
   private def mix(x0: Long): Long = {
@@ -109,36 +111,68 @@ final class SyntheticRpc(
     var total = 0
     var b = start
     while (b <= end) {
-      val k = logsInBlock(b)
-      total += k // the node counts pre-filter rows against its cap
+      val rows = deliveredAt(b)
+      total += rows.size // the node counts pre-filter rows against its cap
       if (total > maxResults)
         throw new TooManyResultsException(s"query returned more than $maxResults results")
-      var i = 0
-      while (i < k) {
-        val log = logAt(b, i)
+      rows.foreach { log =>
         val addrOk = addrSet.isEmpty || addrSet.contains(log.address)
         // reference topic semantics: empty-topics log passes; otherwise
         // topic0 ∈ requested set (LogSubscription.java:36-49)
         val topicOk = topicSet.isEmpty || log.topics.isEmpty || topicSet.contains(log.topics.head)
         if (addrOk && topicOk) out += log
-        i += 1
       }
       b += 1
     }
     out.result()
   }
 
-  def logAt(b: Long, i: Int): EthLog = EthLog(
-    address = hex(h(b, i, 2) & 0xffffffffffL, 40),
-    data = hex(h(b, i, 3), 64),
-    topics = (0 until ((h(b, i, 4) & 3).toInt + 1))
-      .map(j => hex((h(0, (h(b, i, 5) + j) % topicPool, 5) & 0xffffL), 64)),
-    blockNumber = b,
-    transactionHash = hex(h(b, i, 6), 64),
-    transactionIndex = i,
-    blockHash = hex(h(b, 7), 64),
-    logIndex = i,
-    removed = false)
+  def logAt(b: Long, i: Int): EthLog = logAt(b, i, 0L)
+
+  /** variant 0 = the original chain — bit-identical to the historical
+    * logAt (every existing dump/oracle value is unchanged); variant 1 =
+    * the post-reorg canonical replacement of an orphaned block's log
+    * (same (blockNumber, logIndex) key, every hash re-mixed under a
+    * shifted field tag — new address/data/topics/txHash/blockHash).
+    */
+  def logAt(b: Long, i: Int, variant: Long): EthLog = {
+    val v = variant * 100
+    EthLog(
+      address = hex(h(b, i, 2 + v) & 0xffffffffffL, 40),
+      data = hex(h(b, i, 3 + v), 64),
+      topics = (0 until ((h(b, i, 4 + v) & 3).toInt + 1))
+        .map(j => hex((h(0, (h(b, i, 5 + v) + j) % topicPool, 5) & 0xffffL), 64)),
+      blockNumber = b,
+      transactionHash = hex(h(b, i, 6 + v), 64),
+      transactionIndex = i,
+      blockHash = hex(h(b, 7 + v), 64),
+      logIndex = i,
+      removed = false)
+  }
+
+  /** The rows a log reader receives for block `b`. With the reorg mode
+    * off (`reorgAt < 0`, the default) this is exactly the block's own
+    * logs — the historical behavior. With it on, reading block `reorgAt`
+    * additionally delivers, FIRST, the retraction re-copies of the
+    * orphaned blocks' logs (`removed = true` — the reference forwards the
+    * node's flag verbatim, Converter.java:169; SURVEY §1.4 calls it the
+    * only reorg signal), then their post-reorg canonical replacements
+    * (variant 1). This flattens what a WSS push subscription emits at the
+    * reorg instant into the poll window that observes it, keeping getLogs
+    * a pure function of (seed, range).
+    */
+  def deliveredAt(b: Long): Seq[EthLog] = {
+    val own = (0 until logsInBlock(b)).map(i => logAt(b, i))
+    if (reorgAt < 0 || b != reorgAt) own
+    else {
+      val orphaned = math.max(0L, reorgAt - reorgDepth) until reorgAt
+      val retractions = orphaned.flatMap(ob =>
+        (0 until logsInBlock(ob)).map(i => logAt(ob, i).copy(removed = true)))
+      val replacements = orphaned.flatMap(ob =>
+        (0 until logsInBlock(ob)).map(i => logAt(ob, i, 1L)))
+      retractions ++ replacements ++ own
+    }
+  }
 
   override def getBlock(n: Long): Option[EthBlock] =
     if (n > head) None
@@ -315,9 +349,12 @@ final case class EthRpcSpec(
     seed: Long,
     head: Long,
     maxResults: Int,
-    fetchDelayMs: Long) extends Serializable {
+    fetchDelayMs: Long,
+    reorgAt: Long = -1L,
+    reorgDepth: Int = 2) extends Serializable {
   def build(): EthRpc = kind match {
-    case "synthetic" => new SyntheticRpc(seed, head, maxResults)
+    case "synthetic" => new SyntheticRpc(seed, head, maxResults,
+      reorgAt = reorgAt, reorgDepth = reorgDepth)
     case "http" => new HttpRpc(url, fetchDelayMs)
     case other => throw new IllegalArgumentException(s"unknown rpc kind: $other")
   }
@@ -337,6 +374,8 @@ object EthRpcSpec {
       seed = opt("seed", "42").toLong,
       head = opt("head", "10000").toLong,
       maxResults = opt("maxResults", Int.MaxValue.toString).toInt,
-      fetchDelayMs = opt("fetchDelayMs", "0").toLong)
+      fetchDelayMs = opt("fetchDelayMs", "0").toLong,
+      reorgAt = opt("reorgAt", "-1").toLong,
+      reorgDepth = opt("reorgDepth", "2").toInt)
   }
 }
