@@ -109,7 +109,9 @@ object Verify {
     // whole correctness round — cancel its job group and move on.
     val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong * 1000
     // dev aid (mirrors Bench): GRAFT_VERIFY_ONLY=q1,q2 restricts the dump
-    val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    // an empty/blank value means "no filter", not "match nothing"
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
