@@ -289,16 +289,15 @@ object SimilarityOps {
 
   def ivfSearch(s: SparkSession, d: String, cents: Array[(Array[Double], Long)],
       nProbes: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val corpus = withNorm(s, d)
     val probes = probeCells(corpus, cents, nProbes)
-    val w2 = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("vec_id"))
-    assignCells(corpus, cents).join(broadcast(probes), Seq("cell"))
+    // per-probe candidates grow with the corpus (cell members), so the
+    // top-k is the two-phase perKeyTopK, never a per-qid window funnel
+    val scored = assignCells(corpus, cents).join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("cos_sim",
         cosine(scaledDot(col("qvec"), col("embedding")), col("qnorm2"), col("norm2")))
-      .withColumn("rk", row_number().over(w2))
-      .where(col("rk") <= k)
+    StockOps.perKeyTopK(scored, Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), k)
       .select("qid", "vec_id", "cos_sim", "rk")
       .orderBy("qid", "rk")
   }
@@ -491,15 +490,10 @@ object SimilarityOps {
   val all: Seq[Q] = Seq(
     // Brute-force cosine top-k per probe (the exact ANN baseline).
     Q("sim01_topk_cosine",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("vec_id"))
-        probePairs(s, d, 10)
-          .withColumn("rk", row_number().over(w))
-          .where(col("rk") <= 5)
-          .select("qid", "vec_id", "cos_sim", "rk")
-          .orderBy("qid", "rk")
-      },
+      (s, d) => StockOps.perKeyTopK(probePairs(s, d, 10),
+          Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 5)
+        .select("qid", "vec_id", "cos_sim", "rk")
+        .orderBy("qid", "rk"),
       Some(s"""SELECT qid, vec_id, cos_sim, rk FROM (
                  SELECT qid, vec_id, cos_sim,
                         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
@@ -643,13 +637,11 @@ object SimilarityOps {
         // assert exists to catch
         require(raw"PartitionFilters: \[[^\]]*cell".r.findFirstIn(scanPlan).isDefined,
           s"indexed IVF scan lost its static cell partition pruning:\n${scanPlan.take(2000)}")
-        val w2 = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("vec_id"))
-        idx.join(broadcast(probes), Seq("cell"))
+        val scored = idx.join(broadcast(probes), Seq("cell"))
           .where(col("vec_id") =!= col("qid"))
           .withColumn("cos_sim",
             cosine(scaledDot(col("qvec"), col("embedding")), col("qnorm2"), col("norm2")))
-          .withColumn("rk", row_number().over(w2))
-          .where(col("rk") <= 3)
+        StockOps.perKeyTopK(scored, Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
           .select("qid", "vec_id", "cos_sim", "rk")
           .orderBy("qid", "rk")
       },
@@ -662,10 +654,8 @@ object SimilarityOps {
     // so the recall NUMBER itself is cross-engine-verified.
     Q("sim09_recall_trained",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("vec_id"))
-        val truth = probePairs(s, d, 10)
-          .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        val truth = StockOps.perKeyTopK(probePairs(s, d, 10),
+            Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
           .select("qid", "vec_id")
         val ann = byNameLocal("sim08_ann_ivf_trained").build(s, d)
         val hits = ann.select("qid", "vec_id").join(truth, Seq("qid", "vec_id"), "left_semi").count()
@@ -751,12 +741,10 @@ object SimilarityOps {
         val cand = corpusKeys.join(broadcast(probeKeys), Seq("tbl", "key"))
           .where(col("vec_id") =!= col("qid"))
           .select("qid", "vec_id").distinct()
-        val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("vec_id"))
-        cand.join(corpus, "vec_id").join(broadcast(probes), "qid")
+        val scored = cand.join(corpus, "vec_id").join(broadcast(probes), "qid")
           .withColumn("cos_sim",
             cosine(scaledDot(col("qvec"), col("embedding")), col("qnorm2"), col("norm2")))
-          .withColumn("rk", row_number().over(w))
-          .where(col("rk") <= 3)
+        StockOps.perKeyTopK(scored, Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
           .select("qid", "vec_id", "cos_sim", "rk")
           .orderBy("qid", "rk")
       },
@@ -791,16 +779,11 @@ object SimilarityOps {
     // rides either brute-force (bounded probe block, this baseline) or
     // the sim02 LSH path.
     Q("sim06_hard_negatives",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("vec_id"))
-        probePairs(s, d, 10)
-          .where(col("cos_sim").between(0.05, 0.25))
-          .withColumn("rk", row_number().over(w))
-          .where(col("rk") <= 5)
-          .select("qid", "vec_id", "cos_sim", "rk")
-          .orderBy("qid", "rk")
-      },
+      (s, d) => StockOps.perKeyTopK(
+          probePairs(s, d, 10).where(col("cos_sim").between(0.05, 0.25)),
+          Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 5)
+        .select("qid", "vec_id", "cos_sim", "rk")
+        .orderBy("qid", "rk"),
       Some(s"""SELECT qid, vec_id, cos_sim, rk FROM (
                  SELECT qid, vec_id, cos_sim,
                         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
@@ -816,10 +799,8 @@ object SimilarityOps {
     // DuckDB reproduces the recall NUMBERS themselves.
     Q("sim04_ann_recall",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("qid")).orderBy(desc("cos_sim"), col("vec_id"))
-        val brute = probePairs(s, d, 50)
-          .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        val brute = StockOps.perKeyTopK(probePairs(s, d, 50),
+            Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
           .select("qid", "vec_id")
         def recallOf(method: String, ann: DataFrame, nProbes: Int) = {
           val truth = brute.where(col("qid") < nProbes)

@@ -85,11 +85,11 @@ class PlanAuditSpec extends SparkSpec {
     "d07_dedup_apply" -> 3, // cluster resolve + anti-join + final sort
     "k01_salted_agg" -> 3, // salted partial + unsalt + final sort (two-phase by design)
     "r01_asof_join" -> 2, // union repartition + window; no per-row range probe
-    "sim03_ann_ivf" -> 3, // probe window + candidate join + final sort
+    "sim03_ann_ivf" -> 4, // probe window + candidate join + two-phase top-k + sort
     "sim05_kmeans_step" -> 2, // the one two-level kmeans aggregate + sort
     "t10_tfidf_keywords" -> 5, // df agg + tf agg + doc-partitioned rank + sort
     "sim10_semdedup" -> 3, // within-cell self-join + dedup distinct + final sort
-    "sim11_ann_ivf_indexed" -> 4, // probe window + candidate join + rank window + sort
+    "sim11_ann_ivf_indexed" -> 5, // probe window + candidate join + two-phase top-k + sort
     "t18_ngram_novelty" -> 3, // df agg + per-doc agg + final sort
     "t15_unigram_score" -> 4, // token agg + tf join + per-doc agg + sort
     "d14_duplicate_spans" -> 4, // gram df agg + membership join + doc window + sort
@@ -97,7 +97,28 @@ class PlanAuditSpec extends SparkSpec {
     // two-phase grouped running total: (pid,source) local window + the
     // map-side-combined totals shuffle (subtotal rows, not data) + the
     // ≤parts-rows-per-source offsets window + final sort
-    "t20_pack_sequences" -> 4)
+    "t20_pack_sequences" -> 4,
+    // round-5/6 queries (ceilings = measured counts at spec SF)
+    "c32_range_frame" -> 2, // event-type window + final sort
+    "c33_rank_family" -> 2, // event-type window + final sort
+    "d16_contamination_report" -> 3, // shingle semi-join agg + per-source agg + sort
+    "d17_minhash_estimate" -> 8, // sig-pair join + per-pair agg + exact-side join + sort
+    "d18_dedup_spans_apply" -> 4, // gram df + membership + per-doc rebuild + sort
+    "e07_eth_logs_blocks_join" -> 2, // blocks side broadcast; agg + sort only
+    "k03_zorder_layout" -> 2, // z-bucket repartition + extent agg
+    "m05_media_dedup" -> 2, // digest window + final sort
+    "m06_frame_neardup" -> 4, // frame digest equi-join + dedup + sort
+    "p04_data_card" -> 5, // text-copies window + decontam join + source agg + sort
+    "sim12_label_affinity" -> 10, // per-(label,dim) exact sums + label-pair dots + norms
+    "sim13_cell_balanced_sample" -> 3, // perKeyTopK (local+final) + sort
+    "sim14_scalar_quantization" -> 3, // per-dim range agg + per-vec agg + sort
+    "sim15_pq_encode" -> 2, // (vec,subspace) argmin window + sort
+    "sim16_pq_adc_search" -> 5, // encode + ADC agg + perKeyTopK + sort
+    "sim17_pq_recall" -> 10, // sim16 plan + brute-force truth + recall join
+    "t21_train_val_test" -> 2, // split agg + sort
+    "t22_keyword_search" -> 4, // tf agg + df agg + weighted agg + top-k
+    "t23_quality_classifier" -> 1, // map-only score + final sort
+    "t24_boilerplate_extract" -> 1) // map-only extraction + final sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
@@ -110,6 +131,79 @@ class PlanAuditSpec extends SparkSpec {
       s"shuffle budget exceeded (actual vs budget):\n" +
         over.map { case (n, c) => s"  $n: $c > ${shuffleBudgets(n)}" }.mkString("\n") +
         s"\nall counts: ${counts.map { case (n, c) => s"$n=$c" }.mkString(", ")}")
+  }
+
+  // ——— low-cardinality window audit (the t20/sim13 funnel class) ———
+
+  // Fixture columns with BOUNDED domains, plus the probe-set key `qid`: a
+  // window partitioned ONLY on these runs a constant number of tasks no
+  // matter how large the data grows — each task then scans an
+  // ever-growing share of the corpus. The smell the three shape checks
+  // above cannot see. `__pid` (spark_partition_id) and any unbounded
+  // column (doc_id, vec_id, digest, text, user/order keys…) in the
+  // partition spec make a window safe: group size is then bounded by the
+  // input partition or grows sub-linearly.
+  private val boundedDomainCols = Set(
+    "source", "lang", "cell", "label", "split", "method", "event_type",
+    "o_orderpriority", "l_returnflag", "l_linestatus", "tbl", "band",
+    "qid", "subspace")
+
+  // Bounded-by-construction exceptions — each names the mechanism that
+  // bounds the per-key group, not just a hand-wave.
+  private val allowedLowCardWindows: Map[String, String] = Map(
+    "c01_window_rank" -> "stock rank-window SEMANTICS are the subject; the scale path is StockOps.perKeyTopK",
+    "c32_range_frame" -> "stock RANGE-frame semantics are the subject; value frames have no two-phase form",
+    "c33_rank_family" -> "stock percent_rank/cume_dist/ntile semantics; scale path is globalDistributionRanks (c19)",
+    "t20_pack_sequences" -> "groupedRunningTotal offsets window: <= parts rows per source by phase-1 aggregation",
+    "sim13_cell_balanced_sample" -> "perKeyTopK phase 2: <= k*parts rows per cell after phase-1 pruning",
+    "sim01_topk_cosine" -> "perKeyTopK phase 2: <= k*parts rows per qid",
+    "sim02_ann_lsh" -> "perKeyTopK phase 2: <= k*parts rows per qid",
+    "sim03_ann_ivf" -> "perKeyTopK phase 2 + probeCells (<= IvfCells exploded rows per qid)",
+    "sim06_hard_negatives" -> "perKeyTopK phase 2: <= k*parts rows per qid",
+    "sim08_ann_ivf_trained" -> "perKeyTopK phase 2 + probeCells (<= IvfCells rows per qid)",
+    "sim11_ann_ivf_indexed" -> "perKeyTopK phase 2 + probeCells (<= IvfCells rows per qid)",
+    "sim16_pq_adc_search" -> "perKeyTopK phase 2: <= k*parts rows per qid",
+    "sim17_pq_recall" -> "perKeyTopK phase 2 (ADC + brute-force truth): <= k*parts rows per qid")
+
+  private def lowCardWindowKeys(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+    df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.flatMap(_.references.map(_.name).toSeq).distinct
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        w.partitionSpec.flatMap(_.references.map(_.name).toSeq).distinct
+    }.filter(ks => ks.nonEmpty && ks.forall(k => boundedDomainCols(k.takeWhile(_ != '#'))))
+
+  test("no window partitions only on bounded-domain keys") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    Catalog.all.filterNot(q => executesOnBuild(q.name)).foreach { q =>
+      lowCardWindowKeys(q.build(spark, sfDir)).foreach { ks =>
+        if (!allowedLowCardWindows.contains(q.name))
+          offenders += s"${q.name}: Window.partitionBy(${ks.mkString(", ")})"
+      }
+    }
+    assert(offenders.isEmpty,
+      "window funnels (constant task count, per-task work grows with data):\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("the detector catches the pre-fix t20 shape (failing-then-fixed demo)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the exact formulation round 5 shipped: one running-total window per
+    // source — the detector must flag it...
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = Catalog.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("end_tok", sum(col("n_toks")).over(w))
+    assert(lowCardWindowKeys(naive).nonEmpty,
+      "detector missed the per-source running-total window")
+    // ...and the shipped two-phase t20 plan contains ONLY windows the
+    // allowlist explains (the <= parts-rows offsets window)
+    val fixed = Catalog.byName("t20_pack_sequences").build(spark, sfDir)
+    assert(lowCardWindowKeys(fixed).forall(_ == Seq("source")),
+      "t20's two-phase plan grew an unexplained low-card window")
   }
 
   test("filters and column pruning reach the parquet scan") {
