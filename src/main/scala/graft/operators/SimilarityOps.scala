@@ -449,25 +449,101 @@ object SimilarityOps {
           slice(col("embedding"), j * PqDim + 1, PqDim).as("svec"))): _*)).as("s"))
       .select(col("vec_id"), col("s.subspace").as("subspace"), col("s.svec").as("svec"))
 
-  /** PQ codes: per-(vector, subspace) argmin codeword → (vec_id, subspace,
-    * code, dist). sim15's output, reused as sim16's search structure. The
-    * argmin window keys on (vec_id, subspace) — corpus-cardinality keys,
-    * no low-cardinality funnel.
+  /** PQ codes under an ARBITRARY codebook df(code, subspace, cvec): the
+    * per-(vector, subspace) argmin codeword → (vec_id, subspace, code,
+    * dist). The argmin window keys on (vec_id, subspace) —
+    * corpus-cardinality keys, no low-cardinality funnel. Shared by the
+    * seed encode (sim15/16/17) and the trained encode (sim18).
     */
-  def pqEncoded(s: SparkSession, d: String): DataFrame = {
+  def pqEncodedWith(s: SparkSession, d: String, cb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("vec_id", "subspace").orderBy(col("dist"), col("code"))
     pqSubvectors(t(s, d, "embeddings"))
-      .join(broadcast(pqCodebook(s, d)), Seq("subspace"))
+      .join(broadcast(cb), Seq("subspace"))
       .withColumn("dist", scaledL2(col("svec"), col("cvec")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select("vec_id", "subspace", "code", "dist")
   }
 
+  /** sim15's output: codes under the SEED codebook. */
+  def pqEncoded(s: SparkSession, d: String): DataFrame =
+    pqEncodedWith(s, d, pqCodebook(s, d))
+
+  /** `iters` Lloyd refinements of the seed per-subspace codebooks — the
+    * sim07 training loop applied to PQ: assignment is the argmin encode;
+    * the update is ONE distributed exact aggregate (8×16×8 = 1024 rows
+    * regardless of corpus size) collected and re-broadcast. Mean =
+    * floor-scaled integer sum / (n·1e15) in IEEE double (the
+    * centroidsFrom convention, mirrored term-for-term in the oracle); a
+    * codeword with no assignees keeps its previous vector. Memoized per
+    * (sfDir, iters).
+    */
+  def pqTrainedCodebook(s: SparkSession, d: String, iters: Int): DataFrame = {
+    import s.implicits._
+    pqTrainedCache.computeIfAbsent((d, iters), _ => {
+      var cur: Seq[(Long, Int, Seq[Double])] = pqCodebook(s, d).collect().toSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble)))
+      for (_ <- 1 to iters) {
+        val cbDf = cur.toDF("code", "subspace", "cvec")
+        val sums = pqSubvectors(t(s, d, "embeddings"))
+          .join(pqEncodedWith(s, d, cbDf).select("vec_id", "subspace", "code"),
+            Seq("vec_id", "subspace"))
+          .select(col("subspace"), col("code"), posexplode(col("svec")).as(Seq("dim", "x")))
+          .groupBy("subspace", "code", "dim")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("x").cast(DoubleType) * SCALE).cast(DecimalType(38, 0))).as("ssum"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getInt(2)) -> (r.getLong(3), r.getDecimal(4)))
+          .toMap
+        cur = cur.map { case (code, sub, v) =>
+          (code, sub, v.indices.map { dim =>
+            sums.get((sub, code, dim))
+              .map { case (n, ssum) => ssum.doubleValue() / (n * SCALE) }
+              .getOrElse(v(dim))
+          })
+        }
+      }
+      cur
+    }).toDF("code", "subspace", "cvec")
+  }
+  private val pqTrainedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(Long, Int, Seq[Double])]]()
+
+  /** Per-(probe, vector) ADC distances under the seed codebook: the probe
+    * 8×16 LUT (broadcast) + the integer lookup-sum over each vector's
+    * codes — shared by sim16 (search) and sim19 (rerank candidates).
+    */
+  def pqAdcScores(s: SparkSession, d: String): DataFrame = {
+    val lut = pqSubvectors(t(s, d, "embeddings").where(col("vec_id") < 10))
+      .select(col("vec_id").as("qid"), col("subspace"), col("svec").as("qvec"))
+      .join(broadcast(pqCodebook(s, d)), Seq("subspace"))
+      .withColumn("pdist", scaledL2(col("qvec"), col("cvec")))
+      .select("qid", "subspace", "code", "pdist")
+    pqEncoded(s, d).select("vec_id", "subspace", "code")
+      .join(broadcast(lut), Seq("subspace", "code"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("pdist")).as("adc_dist"))
+  }
+
+  /** Exact full-vector scaled-L2 top-3 per probe (the sim01 bounded
+    * brute-force shape) — the ground truth shared by sim17 and sim19.
+    */
+  def pqL2Truth(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val pairs = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .withColumn("l2", scaledL2(col("qvec"), col("embedding")))
+      .select("qid", "vec_id", "l2")
+    StockOps.perKeyTopK(pairs, Seq("qid"), Seq(col("l2"), col("vec_id")), 3)
+      .select("qid", "vec_id")
+  }
+
   /** Oracle CTEs for the PQ family: codebook (`cb`), subvectors (`sub`),
     * all (vector, subspace, codeword) distances (`scored`), and the argmin
-    * codes (`codes`) — shared by sim15/sim16/sim17.
+    * codes (`codes`) — shared by sim15/sim16/sim17/sim18/sim19.
     */
   lazy val sqlPqCtes: String =
     s"""cbv AS (SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < $PqCodes),
@@ -486,6 +562,82 @@ object SimilarityOps {
             SELECT vec_id, subspace, code, dist,
                    ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
             FROM scored) WHERE rn = 1)"""
+
+  /** ADC machinery as oracle CTEs (probe LUTs + per-(probe, vector) ADC
+    * sums over the seed codes) — shared by sim16/sim17/sim19.
+    */
+  lazy val sqlPqAdcCtes: String =
+    s"""$sqlPqCtes,
+        qsub AS (SELECT vec_id AS qid, subspace, svec FROM sub WHERE vec_id < 10),
+        lut AS (
+          SELECT q.qid, c.subspace, c.code,
+                 ${sqlScaledL2("q.svec", "c.cvec", PqDim)} AS pdist
+          FROM qsub q JOIN cb c USING (subspace)),
+        adc AS (
+          SELECT l.qid, k.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+          FROM codes k JOIN lut l ON l.subspace = k.subspace AND l.code = k.code
+          WHERE k.vec_id <> l.qid
+          GROUP BY 1, 2)"""
+
+  /** Exact full-vector L2 truth top-3 per probe — shared by sim17/sim19. */
+  lazy val sqlPqTruthCtes: String =
+    s"""bl2 AS (
+          SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                 ${sqlScaledL2("a.embedding", "b.embedding", PqSub * PqDim)} AS l2
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+        truth AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2, vec_id) AS rk
+            FROM bl2) WHERE rk <= 3)"""
+
+  /** One oracle-side PQ Lloyd iteration `i`: per-(subspace, code, dim)
+    * exact sums under the previous codes (`pqs$i`), the updated long-form
+    * codebook with empty codewords keeping their vector (`cbl$i`), the
+    * re-scored distances as an exact integer SUM over join rows (`scoredt$i`
+    * — integer addition is order-free, so the grouped form equals the
+    * engine's in-order list fold), and the new argmin codes (`codest$i`).
+    */
+  private def sqlPqIter(i: Int): String = {
+    val prevCodes = if (i == 1) "codes" else s"codest${i - 1}"
+    val prevCbl = if (i == 1) "cbl0" else s"cbl${i - 1}"
+    s"""pqs$i AS (
+          SELECT s.subspace, k.code, dm.dim AS dim, COUNT(*) AS n,
+                 SUM(CAST(FLOOR(CAST(s.svec[CAST(dm.dim+1 AS INT)] AS DOUBLE) * 1e15) AS DECIMAL(38,0))) AS ssum
+          FROM sub s JOIN $prevCodes k USING (vec_id, subspace),
+               LATERAL (SELECT UNNEST(range(0, $PqDim)) AS dim) dm
+          GROUP BY 1, 2, 3),
+        cbl$i AS (
+          SELECT p.code, p.subspace, p.dim,
+                 COALESCE(CAST(q.ssum AS DOUBLE) / (q.n * 1e15), p.cval) AS cval
+          FROM $prevCbl p LEFT JOIN pqs$i q
+            ON q.subspace = p.subspace AND q.code = p.code AND q.dim = p.dim),
+        scoredt$i AS (
+          SELECT s.vec_id, s.subspace, c.code,
+                 CAST(SUM(CAST(FLOOR((CAST(s.svec[CAST(c.dim+1 AS INT)] AS DOUBLE) - c.cval)
+                          * (CAST(s.svec[CAST(c.dim+1 AS INT)] AS DOUBLE) - c.cval)
+                          * 1e15) AS BIGINT)) AS BIGINT) AS dist
+          FROM sub s JOIN cbl$i c USING (subspace)
+          GROUP BY 1, 2, 3),
+        codest$i AS (
+          SELECT vec_id, subspace, code, dist FROM (
+            SELECT vec_id, subspace, code, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
+            FROM scoredt$i) WHERE rn = 1)"""
+  }
+
+  /** Raw seed codebook → TRAINED (two Lloyd iterations) codes `codest2` —
+    * the replayed per-subspace training trajectory, sim18's oracle.
+    */
+  lazy val sqlPqTrainedCtes: String =
+    s"""$sqlPqCtes,
+        cbl0 AS (
+          SELECT code, subspace, dm.dim AS dim,
+                 CAST(cvec[CAST(dm.dim+1 AS INT)] AS DOUBLE) AS cval
+          FROM cb, LATERAL (SELECT UNNEST(range(0, $PqDim)) AS dim) dm),
+        ${sqlPqIter(1)},
+        ${sqlPqIter(2)}"""
 
   val all: Seq[Q] = Seq(
     // Brute-force cosine top-k per probe (the exact ANN baseline).
@@ -1030,33 +1182,11 @@ object SimilarityOps {
     // window funnel sim13 eliminated). Every distance is floor-scaled
     // integer math, so ADC scores are engine-exact.
     Q("sim16_pq_adc_search",
-      (s, d) => {
-        val lut = pqSubvectors(
-          t(s, d, "embeddings").where(col("vec_id") < 10))
-          .select(col("vec_id").as("qid"), col("subspace"), col("svec").as("qvec"))
-          .join(broadcast(pqCodebook(s, d)), Seq("subspace"))
-          .withColumn("pdist", scaledL2(col("qvec"), col("cvec")))
-          .select("qid", "subspace", "code", "pdist")
-        val adc = pqEncoded(s, d).select("vec_id", "subspace", "code")
-          .join(broadcast(lut), Seq("subspace", "code"))
-          .where(col("vec_id") =!= col("qid"))
-          .groupBy("qid", "vec_id")
-          .agg(sum(col("pdist")).as("adc_dist"))
-        StockOps.perKeyTopK(adc, Seq("qid"), Seq(col("adc_dist"), col("vec_id")), 3)
-          .select("qid", "rk", "vec_id", "adc_dist")
-          .orderBy("qid", "rk")
-      },
-      Some(s"""WITH $sqlPqCtes,
-                 qsub AS (SELECT vec_id AS qid, subspace, svec FROM sub WHERE vec_id < 10),
-                 lut AS (
-                   SELECT q.qid, c.subspace, c.code,
-                          ${sqlScaledL2("q.svec", "c.cvec", PqDim)} AS pdist
-                   FROM qsub q JOIN cb c USING (subspace)),
-                 adc AS (
-                   SELECT l.qid, k.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
-                   FROM codes k JOIN lut l ON l.subspace = k.subspace AND l.code = k.code
-                   WHERE k.vec_id <> l.qid
-                   GROUP BY 1, 2)
+      (s, d) => StockOps.perKeyTopK(pqAdcScores(s, d),
+          Seq("qid"), Seq(col("adc_dist"), col("vec_id")), 3)
+        .select("qid", "rk", "vec_id", "adc_dist")
+        .orderBy("qid", "rk"),
+      Some(s"""WITH $sqlPqAdcCtes
               SELECT qid, CAST(rk AS INT) AS rk, vec_id, adc_dist FROM (
                 SELECT qid, vec_id, adc_dist,
                        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
@@ -1078,48 +1208,103 @@ object SimilarityOps {
       (s, d) => {
         val adcTop = byNameLocal("sim16_pq_adc_search").build(s, d)
           .select(col("qid"), col("vec_id"), lit(1).as("hit"))
-        val emb = t(s, d, "embeddings")
-        val probes = emb.where(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        val pairs = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
-          .withColumn("l2", scaledL2(col("qvec"), col("embedding")))
-          .select("qid", "vec_id", "l2")
-        val truth = StockOps.perKeyTopK(pairs, Seq("qid"), Seq(col("l2"), col("vec_id")), 3)
-        truth.join(adcTop, Seq("qid", "vec_id"), "left")
+        pqL2Truth(s, d).join(adcTop, Seq("qid", "vec_id"), "left")
           .groupBy("qid")
           .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
           .withColumn("recall", col("n_hit").cast(DoubleType) / 3)
           .orderBy("qid")
       },
-      Some(s"""WITH $sqlPqCtes,
-                 qsub AS (SELECT vec_id AS qid, subspace, svec FROM sub WHERE vec_id < 10),
-                 lut AS (
-                   SELECT q.qid, c.subspace, c.code,
-                          ${sqlScaledL2("q.svec", "c.cvec", PqDim)} AS pdist
-                   FROM qsub q JOIN cb c USING (subspace)),
-                 adc AS (
-                   SELECT l.qid, k.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
-                   FROM codes k JOIN lut l ON l.subspace = k.subspace AND l.code = k.code
-                   WHERE k.vec_id <> l.qid
-                   GROUP BY 1, 2),
+      Some(s"""WITH $sqlPqAdcCtes,
                  adc_top AS (
                    SELECT qid, vec_id FROM (
                      SELECT qid, vec_id,
                             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
                      FROM adc) WHERE rk <= 3),
-                 bl2 AS (
-                   SELECT a.vec_id AS qid, b.vec_id AS vec_id,
-                          ${sqlScaledL2("a.embedding", "b.embedding", PqSub * PqDim)} AS l2
-                   FROM embeddings a JOIN embeddings b
-                     ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
-                 truth AS (
-                   SELECT qid, vec_id FROM (
-                     SELECT qid, vec_id,
-                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2, vec_id) AS rk
-                     FROM bl2) WHERE rk <= 3)
+                 $sqlPqTruthCtes
               SELECT t.qid, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
                      CAST(COUNT(a.vec_id) AS DOUBLE) / 3 AS recall
               FROM truth t LEFT JOIN adc_top a
+                ON a.qid = t.qid AND a.vec_id = t.vec_id
+              GROUP BY t.qid ORDER BY t.qid"""),
+      bench = false),
+
+    // PQ TRAINING — sim18 closes the quantizer-quality loop the way sim09
+    // does for IVF: two Lloyd refinements of the per-subspace codebooks
+    // (assignment = the argmin encode; update = ONE 1024-row exact
+    // aggregate per iteration) and the per-subspace total distortion under
+    // seed vs trained codebooks — the number that shows training the
+    // codebooks pays. Distortions are exact DECIMAL(38,0) sums of the
+    // floor-scaled integer distances (they exceed int64 at corpus scale);
+    // the oracle replays both iterations in SQL (long-form codebook +
+    // grouped integer distance sums — order-free, so the grouped form
+    // equals the engine's list fold).
+    Q("sim18_pq_train",
+      (s, d) => {
+        val seed = pqEncoded(s, d).groupBy("subspace")
+          .agg(sum(col("dist").cast(DecimalType(38, 0))).as("seed_distortion"))
+        val trained = pqEncodedWith(s, d, pqTrainedCodebook(s, d, iters = 2))
+          .groupBy("subspace")
+          .agg(sum(col("dist").cast(DecimalType(38, 0))).as("trained_distortion"))
+        seed.join(trained, "subspace").orderBy("subspace")
+      },
+      Some(s"""WITH $sqlPqTrainedCtes
+              SELECT CAST(subspace AS INT) AS subspace,
+                     CAST(sd.seedd AS DECIMAL(38,0)) AS seed_distortion,
+                     CAST(td.traind AS DECIMAL(38,0)) AS trained_distortion
+              FROM (SELECT subspace, SUM(CAST(dist AS DECIMAL(38,0))) AS seedd
+                    FROM codes GROUP BY 1) sd
+              JOIN (SELECT subspace, SUM(CAST(dist AS DECIMAL(38,0))) AS traind
+                    FROM codest2 GROUP BY 1) td USING (subspace)
+              ORDER BY subspace"""),
+      bench = false),
+
+    // PQ SERVING DONE RIGHT — the standard two-stage pipeline: ADC over
+    // the compressed codes SHORTLISTS (top-20 — cheap, integer lookups),
+    // then the shortlist alone is re-ranked with exact full-vector
+    // distances (touches 20 float vectors per probe instead of the
+    // corpus). Recall@3 vs the same exact truth as sim17 — rerank recovers
+    // most of what raw ADC loses (sim17's number), at 1/100th the float
+    // reads of brute force. Candidate and final top-k are both two-phase
+    // perKeyTopK.
+    Q("sim19_pq_adc_rerank",
+      (s, d) => {
+        val cand = StockOps.perKeyTopK(pqAdcScores(s, d),
+            Seq("qid"), Seq(col("adc_dist"), col("vec_id")), 20)
+          .select("qid", "vec_id")
+        val emb = t(s, d, "embeddings")
+        val probes = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val rr = cand.join(emb, "vec_id").join(broadcast(probes), "qid")
+          .withColumn("l2", scaledL2(col("qvec"), col("embedding")))
+          .select("qid", "vec_id", "l2")
+        val top = StockOps.perKeyTopK(rr, Seq("qid"), Seq(col("l2"), col("vec_id")), 3)
+          .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+        pqL2Truth(s, d).join(top, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast(DoubleType) / 3)
+          .orderBy("qid")
+      },
+      Some(s"""WITH $sqlPqAdcCtes,
+                 cand AS (
+                   SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
+                     FROM adc) WHERE rk <= 20),
+                 rr AS (
+                   SELECT c.qid, c.vec_id,
+                          ${sqlScaledL2("a.embedding", "b.embedding", PqSub * PqDim)} AS l2
+                   FROM cand c JOIN embeddings a ON a.vec_id = c.qid
+                               JOIN embeddings b ON b.vec_id = c.vec_id),
+                 rr_top AS (
+                   SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2, vec_id) AS rk
+                     FROM rr) WHERE rk <= 3),
+                 $sqlPqTruthCtes
+              SELECT t.qid, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+                     CAST(COUNT(a.vec_id) AS DOUBLE) / 3 AS recall
+              FROM truth t LEFT JOIN rr_top a
                 ON a.qid = t.qid AND a.vec_id = t.vec_id
               GROUP BY t.qid ORDER BY t.qid"""),
       bench = false)

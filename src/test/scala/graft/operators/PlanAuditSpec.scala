@@ -39,6 +39,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim01_topk_cosine" -> Set("BroadcastNestedLoopJoin"),
     "sim06_hard_negatives" -> Set("BroadcastNestedLoopJoin"),
     "sim17_pq_recall" -> Set("BroadcastNestedLoopJoin"),
+    "sim19_pq_adc_rerank" -> Set("BroadcastNestedLoopJoin"),
     "d05_embedding_neardup" -> Set("BroadcastNestedLoopJoin"),
     // single-row global aggregates: the one-partition stage IS the answer
     "a12_bool_count" -> Set("SinglePartition"),
@@ -163,7 +164,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim08_ann_ivf_trained" -> "perKeyTopK phase 2 + probeCells (<= IvfCells rows per qid)",
     "sim11_ann_ivf_indexed" -> "perKeyTopK phase 2 + probeCells (<= IvfCells rows per qid)",
     "sim16_pq_adc_search" -> "perKeyTopK phase 2: <= k*parts rows per qid",
-    "sim17_pq_recall" -> "perKeyTopK phase 2 (ADC + brute-force truth): <= k*parts rows per qid")
+    "sim17_pq_recall" -> "perKeyTopK phase 2 (ADC + brute-force truth): <= k*parts rows per qid",
+    "sim19_pq_adc_rerank" -> "perKeyTopK phase 2 (candidates, rerank, truth): <= k*parts rows per qid")
 
   private def lowCardWindowKeys(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
     df.queryExecution.sparkPlan.collect {
