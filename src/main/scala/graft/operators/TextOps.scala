@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Catalog._
@@ -39,6 +39,105 @@ object TextOps {
 
   private[operators] def sqlCountIn(words: Seq[String]): String =
     s"CAST(len(list_filter(toks, w -> list_contains([${words.map(w => s"'$w'").mkString(",")}], w))) AS INT)"
+
+  // ——— BPE vocabulary training (t25) ———
+
+  /** Marker char (U+0001) bracketing each BPE symbol in the working
+    * representation: symbols [ab, c] are held as M+"ab"+M+M+"c"+M. With
+    * every symbol boundary carrying the marker, a plain
+    * leftmost-non-overlapping `replace` of M+"a"+M+M+"b"+M by M+"ab"+M
+    * merges exactly the full-symbol pair occurrences (a substring of a
+    * LONGER symbol like "xa" can never match: its bracket is missing),
+    * and both engines' `replace` scan left-to-right non-overlapping,
+    * which IS the BPE merge rule. Tokens are non-whitespace so a
+    * space-joined view of the symbols (for pair counting via the
+    * positional `word_ngrams` kernel) is unambiguous.
+    */
+  private val BM = "\u0001"
+  val BpeIters = 6
+
+  /** The (count, bracketed-symbol-string) vocabulary BPE trains on: ONE
+    * corpus scan → distinct whitespace tokens with frequencies, each
+    * seeded as its character symbols. The marker-char guard is defensive
+    * (a marker-bearing token would corrupt the representation) and a
+    * no-op on the ASCII fixture; mirrored in the oracle.
+    */
+  def bpeWords(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) > 0 && !col("tok").contains(BM))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("sym", regexp_replace(col("tok"), "(.)", s"$BM$$1$BM"))
+      .select("cnt", "sym")
+
+  /** `iters` BPE merge rounds over the vocabulary. Per round: a
+    * distributed frequency-weighted count of adjacent symbol pairs
+    * (map-side combined, O(vocab) not O(corpus)), a ONE-row argmax collect
+    * (count desc, pair asc — deterministic), and a map-only symbol-string
+    * rewrite. Returns the learned merge table — the trained artifact,
+    * driver-sized by construction like [[SimilarityOps.trainedCentroids]].
+    */
+  def bpeMerges(s: SparkSession, d: String, iters: Int): DataFrame = {
+    import s.implicits._
+    var words = bpeWords(s, d).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (i <- 1 to iters) {
+      val spaceForm = trim(replace(col("sym"), lit(BM + BM), lit(" ")), BM)
+      val best = words
+        .select(col("cnt"),
+          explode(graft.functions.GraftFunctions.word_ngrams(spaceForm, 2)).as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("n"))
+        .orderBy(desc("n"), col("pair")).limit(1).collect()
+      require(best.nonEmpty, s"BPE round $i found no adjacent pair — degenerate vocabulary")
+      val pair = best(0).getString(0)
+      val Array(l, r) = pair.split(" ", 2)
+      merges += ((i, l, r, l + r, best(0).getLong(1)))
+      words = words.withColumn("sym",
+        replace(col("sym"), lit(BM + l + BM + BM + r + BM), lit(BM + l + r + BM)))
+    }
+    merges.toSeq.toDF("iter", "lhs", "rhs", "merged", "n").orderBy("iter")
+  }
+
+  /** One oracle-side BPE round: weighted pair counts over the previous
+    * vocabulary, the argmax pair, and the merged rewrite (the 1-row
+    * CROSS JOIN is the scalar-broadcast mechanism, c16 pattern).
+    */
+  private def sqlBpeIter(i: Int): String = {
+    val prev = if (i == 1) "words0" else s"words${i - 1}"
+    s"""pairs$i AS (
+          SELECT pr AS pair, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+            SELECT cnt, UNNEST(list_transform(range(1, len(arr)), j ->
+                     arr[CAST(j AS INT)] || ' ' || arr[CAST(j+1 AS INT)])) AS pr
+            FROM (SELECT cnt, string_split(trim(sym, chr(1)), chr(1) || chr(1)) AS arr
+                  FROM $prev))
+          GROUP BY pr),
+        best$i AS (SELECT $i AS iter, pair, n FROM pairs$i ORDER BY n DESC, pair LIMIT 1),
+        words$i AS (
+          SELECT w.cnt,
+                 replace(w.sym,
+                   chr(1) || string_split(b.pair, ' ')[1] || chr(1) || chr(1) || string_split(b.pair, ' ')[2] || chr(1),
+                   chr(1) || replace(b.pair, ' ', '') || chr(1)) AS sym
+          FROM $prev w CROSS JOIN best$i b)"""
+  }
+
+  /** The full `iters`-round training trajectory replayed as a CTE chain. */
+  def sqlBpe(iters: Int): String =
+    s"""WITH w0 AS (
+          SELECT tok, COUNT(*) AS cnt FROM (
+            SELECT UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> length(t) > 0 AND NOT contains(t, chr(1)))) AS tok
+            FROM documents)
+          GROUP BY tok),
+        words0 AS (
+          SELECT cnt, regexp_replace(tok, '(.)', chr(1) || '\\1' || chr(1), 'g') AS sym
+          FROM w0),
+        ${(1 to iters).map(sqlBpeIter).mkString(",\n")},
+        allbest AS (${(1 to iters).map(i => s"SELECT * FROM best$i").mkString(" UNION ALL ")})
+        SELECT CAST(iter AS INT) AS iter,
+               string_split(pair, ' ')[1] AS lhs,
+               string_split(pair, ' ')[2] AS rhs,
+               replace(pair, ' ', '') AS merged, n
+        FROM allbest ORDER BY iter"""
 
   val all: Seq[Q] = Seq(
     // Token counting: whitespace tokens + a BPE-ish regex token count.
@@ -879,6 +978,21 @@ object TextOps {
                       -- array_join([]) is '' — align on ''
                       COALESCE(array_to_string(list_transform(kept, l ->
                         regexp_replace(l, '<[^>]*>', '', 'g')), ' '), '') AS content
-               FROM ke ORDER BY doc_id"""))
+               FROM ke ORDER BY doc_id""")),
+
+    // BPE VOCABULARY TRAINING — the tokenizer-training loop itself, run
+    // the way it scales: the corpus is scanned ONCE into a (word, count)
+    // vocabulary; each of the 6 merge rounds is then (1) a distributed
+    // frequency-weighted pair count over the VOCABULARY (map-side
+    // combined — O(vocab) per round, not O(corpus)), (2) a one-ROW argmax
+    // collect (count desc, pair asc), (3) a map-only symbol rewrite via
+    // marker-bracketed `replace` (see [[bpeWords]]). All counts are exact
+    // integers; tie-breaks are binary string compares — the whole
+    // trajectory is engine-exact, and the oracle replays every round as a
+    // CTE chain (the sqlPqIter convention). Output = the learned merge
+    // table, the artifact a tokenizer build ships.
+    Q("t25_bpe_train",
+      (s, d) => bpeMerges(s, d, BpeIters),
+      Some(sqlBpe(BpeIters)))
   )
 }

@@ -128,6 +128,38 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("t25 merge table == an independent plain-Scala BPE trainer") {
+    // Reference implementation from first principles: word frequencies,
+    // then 6 rounds of (weighted adjacent-pair count → argmax by (count
+    // desc, "l r" asc) → leftmost-non-overlapping merge in every word).
+    // Shares NO code with the operator (no marker brackets, no replace).
+    val wc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    Catalog.t(spark, sfDir, "documents").select($"text").collect().foreach { r =>
+      r.getString(0).split("\\s+").filter(t => t.nonEmpty && !t.contains('\u0001'))
+        .foreach(tok => wc(tok) += 1L)
+    }
+    var vocab: Seq[(List[String], Long)] =
+      wc.toSeq.map { case (tok, n) => tok.map(_.toString).toList -> n }
+    def mergeList(xs: List[String], l: String, r: String): List[String] = xs match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: mergeList(rest, l, r)
+      case a :: rest => a :: mergeList(rest, l, r)
+      case Nil => Nil
+    }
+    val expected = (1 to TextOps.BpeIters).map { i =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, n) =>
+        syms.zip(syms.tail).foreach(p => counts(p) += n)
+      }
+      val ((l, r), n) = counts.toSeq.minBy { case ((l, r), n) => (-n, s"$l $r") }
+      vocab = vocab.map { case (syms, cnt) => mergeList(syms, l, r) -> cnt }
+      (i, l, r, l + r, n)
+    }
+    val got = Catalog.byName("t25_bpe_train").build(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got === expected)
+  }
+
   test("t21 split is a deterministic partition with the 80/10/10 hash rule") {
     val docs = Catalog.t(spark, sfDir, "documents")
       .select($"doc_id", $"source").collect()
