@@ -510,22 +510,28 @@ object SimilarityOps {
   private val pqTrainedCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(Long, Int, Seq[Double])]]()
 
-  /** Per-(probe, vector) ADC distances under the seed codebook: the probe
-    * 8×16 LUT (broadcast) + the integer lookup-sum over each vector's
-    * codes — shared by sim16 (search) and sim19 (rerank candidates).
+  /** The 10 probes' per-(subspace, codeword) ADC lookup tables under the
+    * seed codebook (qid, subspace, code, pdist) — 8×16 integer rows per
+    * probe, broadcast at every use site. Shared by the full-corpus scan
+    * (sim16/sim19 via [[pqAdcScores]]) and the IVF-pruned scan (sim20).
     */
-  def pqAdcScores(s: SparkSession, d: String): DataFrame = {
-    val lut = pqSubvectors(t(s, d, "embeddings").where(col("vec_id") < 10))
+  def pqAdcLut(s: SparkSession, d: String): DataFrame =
+    pqSubvectors(t(s, d, "embeddings").where(col("vec_id") < 10))
       .select(col("vec_id").as("qid"), col("subspace"), col("svec").as("qvec"))
       .join(broadcast(pqCodebook(s, d)), Seq("subspace"))
       .withColumn("pdist", scaledL2(col("qvec"), col("cvec")))
       .select("qid", "subspace", "code", "pdist")
+
+  /** Per-(probe, vector) ADC distances under the seed codebook: the probe
+    * 8×16 LUT (broadcast) + the integer lookup-sum over each vector's
+    * codes — shared by sim16 (search) and sim19 (rerank candidates).
+    */
+  def pqAdcScores(s: SparkSession, d: String): DataFrame =
     pqEncoded(s, d).select("vec_id", "subspace", "code")
-      .join(broadcast(lut), Seq("subspace", "code"))
+      .join(broadcast(pqAdcLut(s, d)), Seq("subspace", "code"))
       .where(col("vec_id") =!= col("qid"))
       .groupBy("qid", "vec_id")
       .agg(sum(col("pdist")).as("adc_dist"))
-  }
 
   /** Exact full-vector scaled-L2 top-3 per probe (the sim01 bounded
     * brute-force shape) — the ground truth shared by sim17 and sim19.
@@ -563,16 +569,23 @@ object SimilarityOps {
                    ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY dist, code) AS rn
             FROM scored) WHERE rn = 1)"""
 
-  /** ADC machinery as oracle CTEs (probe LUTs + per-(probe, vector) ADC
-    * sums over the seed codes) — shared by sim16/sim17/sim19.
+  /** The probe ADC lookup tables as oracle CTEs (`qsub`, `lut`) — the
+    * [[pqAdcLut]] mirror, shared by the full-corpus `adc` below and
+    * sim20's IVF-pruned variant.
     */
-  lazy val sqlPqAdcCtes: String =
+  lazy val sqlPqLutCtes: String =
     s"""$sqlPqCtes,
         qsub AS (SELECT vec_id AS qid, subspace, svec FROM sub WHERE vec_id < 10),
         lut AS (
           SELECT q.qid, c.subspace, c.code,
                  ${sqlScaledL2("q.svec", "c.cvec", PqDim)} AS pdist
-          FROM qsub q JOIN cb c USING (subspace)),
+          FROM qsub q JOIN cb c USING (subspace))"""
+
+  /** ADC machinery as oracle CTEs (probe LUTs + per-(probe, vector) ADC
+    * sums over the seed codes) — shared by sim16/sim17/sim19.
+    */
+  lazy val sqlPqAdcCtes: String =
+    s"""$sqlPqLutCtes,
         adc AS (
           SELECT l.qid, k.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
           FROM codes k JOIN lut l ON l.subspace = k.subspace AND l.code = k.code
@@ -1305,6 +1318,101 @@ object SimilarityOps {
               SELECT t.qid, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
                      CAST(COUNT(a.vec_id) AS DOUBLE) / 3 AS recall
               FROM truth t LEFT JOIN rr_top a
+                ON a.qid = t.qid AND a.vec_id = t.vec_id
+              GROUP BY t.qid ORDER BY t.qid"""),
+      bench = false),
+
+    // IVF-PQ — the two quantizers COMPOSED, the architecture a 100 TB ANN
+    // serving tier actually runs: the coarse quantizer prunes the search
+    // to each probe's IvfProbe best cells (touches ~probe/cells of the
+    // corpus, the sim03 candidate shape), and ONLY those candidates' PQ
+    // codes are scanned with the probe's broadcast 8×16 integer LUT — the
+    // compressed-domain read is ~4 bytes/vector over a pruned slice, so
+    // cost per query is (cells·dim) centroid scores + (corpus·probe/cells)
+    // integer lookup-sums, float vectors touched: zero. Every stage is an
+    // equi-join or broadcast (cell id; (qid, subspace, code)); the final
+    // top-k is the two-phase perKeyTopK. Deterministic integer math end to
+    // end, so DuckDB replays coarse assignment, probing, encode, and the
+    // pruned ADC sum exactly.
+    Q("sim20_ivfpq_search",
+      (s, d) => {
+        val corpus = withNorm(s, d)
+        val cents = ivfCentroids(corpus)
+        val cand = assignCells(corpus, cents).select(col("vec_id"), col("cell"))
+          .join(broadcast(probeCells(corpus, cents, nProbes = 10).select("qid", "cell")),
+            Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id")
+        val adc = pqEncoded(s, d).select("vec_id", "subspace", "code")
+          .join(cand, "vec_id")
+          .join(broadcast(pqAdcLut(s, d)), Seq("qid", "subspace", "code"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(col("pdist")).as("adc_dist"))
+        StockOps.perKeyTopK(adc, Seq("qid"), Seq(col("adc_dist"), col("vec_id")), 3)
+          .select("qid", "rk", "vec_id", "adc_dist")
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH $sqlIvfAssignCtes,
+                 pcells AS (
+                   SELECT vec_id AS qid, cell FROM (
+                     SELECT vec_id, cell,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+                     FROM cscores WHERE vec_id < 10) WHERE rn <= $IvfProbe),
+                 icand AS (
+                   SELECT p.qid, s.vec_id FROM pcells p JOIN assigned s ON s.cell = p.cell
+                   WHERE s.vec_id <> p.qid),
+                 $sqlPqLutCtes,
+                 adci AS (
+                   SELECT c.qid, c.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+                   FROM icand c JOIN codes k ON k.vec_id = c.vec_id
+                                JOIN lut l ON l.qid = c.qid AND l.subspace = k.subspace
+                                          AND l.code = k.code
+                   GROUP BY 1, 2)
+              SELECT qid, CAST(rk AS INT) AS rk, vec_id, adc_dist FROM (
+                SELECT qid, vec_id, adc_dist,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
+                FROM adci) WHERE rk <= 3
+              ORDER BY qid, rk""")),
+
+    // IVF-PQ recall@3 vs the exact full-vector L2 truth — the number that
+    // prices the COMPOSED approximation (cell pruning losses stack on code
+    // quantization losses; sim17 prices ADC alone). Per probe, so the
+    // oracle reproduces every value, not one average.
+    Q("sim21_ivfpq_recall",
+      (s, d) => {
+        val top = byNameLocal("sim20_ivfpq_search").build(s, d)
+          .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+        pqL2Truth(s, d).join(top, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast(DoubleType) / 3)
+          .orderBy("qid")
+      },
+      Some(s"""WITH $sqlIvfAssignCtes,
+                 pcells AS (
+                   SELECT vec_id AS qid, cell FROM (
+                     SELECT vec_id, cell,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+                     FROM cscores WHERE vec_id < 10) WHERE rn <= $IvfProbe),
+                 icand AS (
+                   SELECT p.qid, s.vec_id FROM pcells p JOIN assigned s ON s.cell = p.cell
+                   WHERE s.vec_id <> p.qid),
+                 $sqlPqLutCtes,
+                 adci AS (
+                   SELECT c.qid, c.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+                   FROM icand c JOIN codes k ON k.vec_id = c.vec_id
+                                JOIN lut l ON l.qid = c.qid AND l.subspace = k.subspace
+                                          AND l.code = k.code
+                   GROUP BY 1, 2),
+                 iv_top AS (
+                   SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
+                     FROM adci) WHERE rk <= 3),
+                 $sqlPqTruthCtes
+              SELECT t.qid, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+                     CAST(COUNT(a.vec_id) AS DOUBLE) / 3 AS recall
+              FROM truth t LEFT JOIN iv_top a
                 ON a.qid = t.qid AND a.vec_id = t.vec_id
               GROUP BY t.qid ORDER BY t.qid"""),
       bench = false)

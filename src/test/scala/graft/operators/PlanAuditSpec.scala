@@ -40,6 +40,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim06_hard_negatives" -> Set("BroadcastNestedLoopJoin"),
     "sim17_pq_recall" -> Set("BroadcastNestedLoopJoin"),
     "sim19_pq_adc_rerank" -> Set("BroadcastNestedLoopJoin"),
+    "sim21_ivfpq_recall" -> Set("BroadcastNestedLoopJoin"),
     "d05_embedding_neardup" -> Set("BroadcastNestedLoopJoin"),
     // single-row global aggregates: the one-partition stage IS the answer
     "a12_bool_count" -> Set("SinglePartition"),
@@ -119,7 +120,11 @@ class PlanAuditSpec extends SparkSpec {
     "t21_train_val_test" -> 2, // split agg + sort
     "t22_keyword_search" -> 4, // tf agg + df agg + weighted agg + top-k
     "t23_quality_classifier" -> 1, // map-only score + final sort
-    "t24_boilerplate_extract" -> 1) // map-only extraction + final sort
+    "t24_boilerplate_extract" -> 1, // map-only extraction + final sort
+    "sim19_pq_adc_rerank" -> 10, // ADC + shortlist topk + rerank topk + truth + recall join
+    "sim20_ivfpq_search" -> 7, // encode + cell-candidate join + pruned ADC agg + perKeyTopK + sort
+    "sim21_ivfpq_recall" -> 12, // sim20 plan + brute-force truth + recall join
+    "t25_bpe_train" -> 1) // per-round aggs run inside build; emitted merge table is 6 rows + sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
@@ -165,7 +170,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim11_ann_ivf_indexed" -> "perKeyTopK phase 2 + probeCells (<= IvfCells rows per qid)",
     "sim16_pq_adc_search" -> "perKeyTopK phase 2: <= k*parts rows per qid",
     "sim17_pq_recall" -> "perKeyTopK phase 2 (ADC + brute-force truth): <= k*parts rows per qid",
-    "sim19_pq_adc_rerank" -> "perKeyTopK phase 2 (candidates, rerank, truth): <= k*parts rows per qid")
+    "sim19_pq_adc_rerank" -> "perKeyTopK phase 2 (candidates, rerank, truth): <= k*parts rows per qid",
+    "sim20_ivfpq_search" -> "perKeyTopK phase 2 + probeCells (<= IvfCells rows per qid) + pqEncodedWith argmin on (vec_id, subspace) — corpus-cardinality keys",
+    "sim21_ivfpq_recall" -> "sim20's windows + brute-force truth perKeyTopK phase 2: <= k*parts rows per qid")
 
   private def lowCardWindowKeys(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
     df.queryExecution.sparkPlan.collect {

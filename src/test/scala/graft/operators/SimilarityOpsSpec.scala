@@ -228,4 +228,47 @@ class SimilarityOpsSpec extends SparkSpec {
     // balanced: every non-empty cell is represented
     assert(got.keys.map(_._1).toSet === assigned.map(_._2).toSet)
   }
+
+  test("sim20 == full-corpus ADC restricted to the IVF candidate set") {
+    // Cross-implementation identity: the pruned search must return exactly
+    // the top-3 of sim16's full ADC scores over the (qid, vec_id) pairs
+    // that share a probed cell — pruning may lose recall vs TRUTH but must
+    // never change a surviving pair's score or the order within survivors.
+    val corpus = SimilarityOps.withNorm(spark, sfDir)
+    val cents = SimilarityOps.ivfCentroids(corpus)
+    val cellOf = SimilarityOps.assignCells(corpus, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probed: Map[Long, Set[Int]] =
+      SimilarityOps.probeCells(corpus, cents, nProbes = 10)
+        .select("qid", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1).map { case (q, cs) => q -> cs.map(_._2).toSet }
+    val fullAdc = SimilarityOps.pqAdcScores(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = fullAdc.toSeq
+      .filter { case ((q, v), _) => probed(q).contains(cellOf(v)) }
+      .groupBy(_._1._1).toSeq.flatMap { case (q, scored) =>
+        scored.map { case ((_, v), s) => (s, v) }.sorted.take(3).zipWithIndex
+          .map { case ((s, v), i) => (q, i + 1, v, s) }
+      }.sortBy(r => (r._1, r._2))
+    val got = Catalog.byName("sim20_ivfpq_search").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+    assert(got.map(_._1).distinct.length === 10) // every probe answered
+  }
+
+  test("sim21 recall == |sim20 top-3 ∩ exact truth| / 3, per probe") {
+    val truth = SimilarityOps.pqL2Truth(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val top = Catalog.byName("sim20_ivfpq_search").build(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val expect = top.groupBy(_._1).map { case (q, ps) =>
+      q -> ps.count(truth.contains) / 3.0
+    }
+    val got = Catalog.byName("sim21_ivfpq_recall").build(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got === expect)
+    got.values.foreach(r => assert(r >= 0.0 && r <= 1.0))
+  }
 }
