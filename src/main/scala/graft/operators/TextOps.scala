@@ -75,27 +75,36 @@ object TextOps {
     * (map-side combined, O(vocab) not O(corpus)), a ONE-row argmax collect
     * (count desc, pair asc — deterministic), and a map-only symbol-string
     * rewrite. Returns the learned merge table — the trained artifact,
-    * driver-sized by construction like [[SimilarityOps.trainedCentroids]].
+    * driver-sized by construction like [[SimilarityOps.trainedCentroids]],
+    * and memoized the same way (t25 trains it, t26 applies it).
     */
+  def bpeTrainedMerges(s: SparkSession, d: String,
+      iters: Int): Seq[(Int, String, String, String, Long)] =
+    bpeCache.computeIfAbsent((d, iters), _ => {
+      var words = bpeWords(s, d).localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      for (i <- 1 to iters) {
+        val spaceForm = trim(replace(col("sym"), lit(BM + BM), lit(" ")), BM)
+        val best = words
+          .select(col("cnt"),
+            explode(graft.functions.GraftFunctions.word_ngrams(spaceForm, 2)).as("pair"))
+          .groupBy("pair").agg(sum(col("cnt")).as("n"))
+          .orderBy(desc("n"), col("pair")).limit(1).collect()
+        require(best.nonEmpty, s"BPE round $i found no adjacent pair — degenerate vocabulary")
+        val pair = best(0).getString(0)
+        val Array(l, r) = pair.split(" ", 2)
+        merges += ((i, l, r, l + r, best(0).getLong(1)))
+        words = words.withColumn("sym",
+          replace(col("sym"), lit(BM + l + BM + BM + r + BM), lit(BM + l + r + BM)))
+      }
+      merges.toSeq
+    })
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Seq[(Int, String, String, String, Long)]]()
+
   def bpeMerges(s: SparkSession, d: String, iters: Int): DataFrame = {
     import s.implicits._
-    var words = bpeWords(s, d).localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    for (i <- 1 to iters) {
-      val spaceForm = trim(replace(col("sym"), lit(BM + BM), lit(" ")), BM)
-      val best = words
-        .select(col("cnt"),
-          explode(graft.functions.GraftFunctions.word_ngrams(spaceForm, 2)).as("pair"))
-        .groupBy("pair").agg(sum(col("cnt")).as("n"))
-        .orderBy(desc("n"), col("pair")).limit(1).collect()
-      require(best.nonEmpty, s"BPE round $i found no adjacent pair — degenerate vocabulary")
-      val pair = best(0).getString(0)
-      val Array(l, r) = pair.split(" ", 2)
-      merges += ((i, l, r, l + r, best(0).getLong(1)))
-      words = words.withColumn("sym",
-        replace(col("sym"), lit(BM + l + BM + BM + r + BM), lit(BM + l + r + BM)))
-    }
-    merges.toSeq.toDF("iter", "lhs", "rhs", "merged", "n").orderBy("iter")
+    bpeTrainedMerges(s, d, iters).toDF("iter", "lhs", "rhs", "merged", "n").orderBy("iter")
   }
 
   /** One oracle-side BPE round: weighted pair counts over the previous
@@ -120,9 +129,12 @@ object TextOps {
           FROM $prev w CROSS JOIN best$i b)"""
   }
 
-  /** The full `iters`-round training trajectory replayed as a CTE chain. */
-  def sqlBpe(iters: Int): String =
-    s"""WITH w0 AS (
+  /** The training CTE chain (vocabulary + every merge round's pair counts,
+    * argmax, and rewrite) — shared by the t25 trajectory dump and t26's
+    * apply, which replays the same chain to obtain the merge table.
+    */
+  def sqlBpeCtes(iters: Int): String =
+    s"""w0 AS (
           SELECT tok, COUNT(*) AS cnt FROM (
             SELECT UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
                      t -> length(t) > 0 AND NOT contains(t, chr(1)))) AS tok
@@ -131,7 +143,11 @@ object TextOps {
         words0 AS (
           SELECT cnt, regexp_replace(tok, '(.)', chr(1) || '\\1' || chr(1), 'g') AS sym
           FROM w0),
-        ${(1 to iters).map(sqlBpeIter).mkString(",\n")},
+        ${(1 to iters).map(sqlBpeIter).mkString(",\n")}"""
+
+  /** The full `iters`-round training trajectory replayed as a CTE chain. */
+  def sqlBpe(iters: Int): String =
+    s"""WITH ${sqlBpeCtes(iters)},
         allbest AS (${(1 to iters).map(i => s"SELECT * FROM best$i").mkString(" UNION ALL ")})
         SELECT CAST(iter AS INT) AS iter,
                string_split(pair, ' ')[1] AS lhs,
@@ -993,6 +1009,65 @@ object TextOps {
     // table, the artifact a tokenizer build ships.
     Q("t25_bpe_train",
       (s, d) => bpeMerges(s, d, BpeIters),
-      Some(sqlBpe(BpeIters)))
+      Some(sqlBpe(BpeIters))),
+
+    // BPE TOKENIZATION (apply) — t25's trained merge table applied to the
+    // corpus, the tokenize step every training pipeline runs after the
+    // tokenizer build. The merge table is a 6-row DRIVER ARTIFACT (the
+    // trainedCentroids convention), so application is a map-only chain of
+    // 6 literal marker-bracketed `replace`s per token followed by ONE
+    // per-doc aggregate. Counting needs no parsing: stripping the markers
+    // from a merged symbol string returns the original token, so
+    // n_bpe = (len(sym) − len(tok)) / 2 — summed per doc before the single
+    // exact division. compression (chars per BPE token) is one IEEE
+    // division of two exact integers. The oracle replays the training
+    // chain (shared sqlBpeCtes) and the same 6 rewrites as 1-row CROSS
+    // JOINs. Docs with zero tokens have nothing to tokenize and are
+    // absent on both engines.
+    Q("t26_bpe_apply",
+      (s, d) => {
+        val sym0 = regexp_replace(col("tok"), "(.)", s"$BM$$1$BM")
+        val symN = bpeTrainedMerges(s, d, BpeIters).foldLeft(sym0) {
+          case (c, (_, l, r, m, _)) => replace(c, lit(BM + l + BM + BM + r + BM), lit(BM + m + BM))
+        }
+        t(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .where(length(col("tok")) > 0 && !col("tok").contains(BM))
+          .withColumn("sym", symN)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(length(col("tok"))).as("n_chars"),
+            ((sum(length(col("sym"))) - sum(length(col("tok")))) / lit(2))
+              .cast(LongType).as("n_bpe"))
+          .withColumn("compression",
+            col("n_chars").cast(DoubleType) / col("n_bpe").cast(DoubleType))
+          .orderBy("doc_id")
+      },
+      Some {
+        val rewrites = (1 to BpeIters).map { i =>
+          s"""dt$i AS (
+                SELECT d.doc_id, d.tok,
+                       replace(d.sym,
+                         chr(1) || string_split(b.pair, ' ')[1] || chr(1) || chr(1) || string_split(b.pair, ' ')[2] || chr(1),
+                         chr(1) || replace(b.pair, ' ', '') || chr(1)) AS sym
+                FROM dt${i - 1} d CROSS JOIN best$i b)"""
+        }.mkString(",\n")
+        s"""WITH ${sqlBpeCtes(BpeIters)},
+              dt0 AS (
+                SELECT doc_id, tok, regexp_replace(tok, '(.)', chr(1) || '\\1' || chr(1), 'g') AS sym
+                FROM (SELECT doc_id,
+                             UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> length(t) > 0 AND NOT contains(t, chr(1)))) AS tok
+                      FROM documents)),
+              $rewrites
+            SELECT doc_id,
+                   COUNT(*) AS n_tokens,
+                   CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
+                   CAST((SUM(length(sym)) - SUM(length(tok))) / 2 AS BIGINT) AS n_bpe,
+                   CAST(SUM(length(tok)) AS DOUBLE)
+                     / CAST(CAST((SUM(length(sym)) - SUM(length(tok))) / 2 AS BIGINT) AS DOUBLE) AS compression
+            FROM dt$BpeIters
+            GROUP BY doc_id ORDER BY doc_id"""
+      })
   )
 }

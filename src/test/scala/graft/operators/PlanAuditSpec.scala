@@ -124,7 +124,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim19_pq_adc_rerank" -> 10, // ADC + shortlist topk + rerank topk + truth + recall join
     "sim20_ivfpq_search" -> 7, // encode + cell-candidate join + pruned ADC agg + perKeyTopK + sort
     "sim21_ivfpq_recall" -> 12, // sim20 plan + brute-force truth + recall join
-    "t25_bpe_train" -> 1) // per-round aggs run inside build; emitted merge table is 6 rows + sort
+    "t25_bpe_train" -> 1, // per-round aggs run inside build; emitted merge table is 6 rows + sort
+    "t26_bpe_apply" -> 2) // map-only merge rewrites + per-doc agg + final sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

@@ -160,6 +160,48 @@ class TextOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("t26 per-doc BPE token counts == an independent plain-Scala tokenizer") {
+    // Train independently (the t25 reference trainer), then tokenize each
+    // doc by applying the merges in order to its words and counting
+    // symbols — no marker brackets, no replace, no length arithmetic.
+    def mergeList(xs: List[String], l: String, r: String): List[String] = xs match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: mergeList(rest, l, r)
+      case a :: rest => a :: mergeList(rest, l, r)
+      case Nil => Nil
+    }
+    val docs = Catalog.t(spark, sfDir, "documents").select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+")
+        .filter(t => t.nonEmpty && !t.contains('\u0001')).toList)
+    val wc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach(_._2.foreach(tok => wc(tok) += 1L))
+    var vocab: Seq[(List[String], Long)] =
+      wc.toSeq.map { case (tok, n) => tok.map(_.toString).toList -> n }
+    val merges = (1 to TextOps.BpeIters).map { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, n) => syms.zip(syms.tail).foreach(p => counts(p) += n) }
+      val ((l, r), _) = counts.toSeq.minBy { case ((l, r), n) => (-n, s"$l $r") }
+      vocab = vocab.map { case (syms, cnt) => mergeList(syms, l, r) -> cnt }
+      (l, r)
+    }
+    def encode(tok: String): Int =
+      merges.foldLeft(tok.map(_.toString).toList) {
+        case (syms, (l, r)) => mergeList(syms, l, r)
+      }.length
+    val expected = docs.filter(_._2.nonEmpty).map { case (id, toks) =>
+      val nBpe = toks.map(encode).sum.toLong
+      val nChars = toks.map(_.length).sum.toLong
+      (id, toks.length.toLong, nChars, nBpe, nChars.toDouble / nBpe)
+    }.sortBy(_._1).toSeq
+    val got = Catalog.byName("t26_bpe_apply").build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got === expected)
+    // merging can only shorten: every doc has n_bpe <= n_chars and >= n_tokens
+    got.foreach { case (id, nt, nc, nb, _) =>
+      assert(nb <= nc && nb >= nt, s"doc $id: n_bpe $nb outside [$nt, $nc]")
+    }
+  }
+
   test("t21 split is a deterministic partition with the 80/10/10 hash rule") {
     val docs = Catalog.t(spark, sfDir, "documents")
       .select($"doc_id", $"source").collect()
