@@ -39,7 +39,13 @@ object SimilarityOps {
     * pair.
     */
   def withNorm(s: SparkSession, d: String): DataFrame =
-    t(s, d, "embeddings").withColumn("norm2", scaledNorm2(col("embedding")))
+    withNormOf(t(s, d, "embeddings"))
+
+  /** The norm2 column on an arbitrary embeddings-shaped frame — shared by
+    * the table reader above and x17's streaming micro-batches.
+    */
+  def withNormOf(df: DataFrame): DataFrame =
+    df.withColumn("norm2", scaledNorm2(col("embedding")))
 
   val sqlNorm2 =
     "CAST(list_sum(list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e15) AS BIGINT))) AS BIGINT)"
@@ -236,6 +242,38 @@ object SimilarityOps {
         .option("path", s"$loc/corpus_ivf").saveAsTable(s"$db.corpus_ivf")
       db
     })
+
+  /** Serve a bounded query-vector batch against the PERSISTED trained IVF
+    * index: probe cells per query, a statically cell-pruned index scan
+    * (require()d into PartitionFilters — losing the pruning is the
+    * regression this assert exists to catch), exact cosine on cell-mates,
+    * two-phase top-3. One implementation for the batch query (sim11) and
+    * the per-micro-batch streaming serve (x17), so the tie-breaks and the
+    * pruning guarantee can never diverge between them. `queries` must
+    * carry (vec_id, embedding, norm2); only rows with vec_id < nProbes are
+    * served (the probe-set convention every sim oracle shares).
+    */
+  def serveIvfIndexed(s: SparkSession, d: String, queries: DataFrame, nProbes: Int): DataFrame = {
+    val db = ensureIvfIndex(s, d)
+    val cents = s.table(s"$db.ivf_centroids").collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getSeq[Double](1).toArray, r.getLong(2)))
+    val probes = probeCells(queries, cents, nProbes)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val idx = s.table(s"$db.corpus_ivf")
+      .where(col("cell").isin(cells.map(Int.box): _*))
+      .select("vec_id", "embedding", "norm2", "cell")
+    val scanPlan = idx.queryExecution.executedPlan.toString
+    require(raw"PartitionFilters: \[[^\]]*cell".r.findFirstIn(scanPlan).isDefined,
+      s"indexed IVF scan lost its static cell partition pruning:\n${scanPlan.take(2000)}")
+    val scored = idx.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim",
+        cosine(scaledDot(col("qvec"), col("embedding")), col("qnorm2"), col("norm2")))
+    StockOps.perKeyTopK(scored, Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
+      .select("qid", "vec_id", "cos_sim", "rk")
+      .orderBy("qid", "rk")
+  }
 
   /** Oracle CTEs shared by sim03/sim05: exact scaled scores of every vector
     * against the 16 centroid vectors and the resulting argmax cell
@@ -784,32 +822,7 @@ object SimilarityOps {
     // proportionally more. Same oracle as sim08 — the index must change
     // WHERE bytes are read, never the answer.
     Q("sim11_ann_ivf_indexed",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val db = ensureIvfIndex(s, d)
-        val cents = s.table(s"$db.ivf_centroids").collect()
-          .sortBy(_.getInt(0))
-          .map(r => (r.getSeq[Double](1).toArray, r.getLong(2)))
-        val probes = probeCells(withNorm(s, d), cents, nProbes = 10)
-        val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
-        val idx = s.table(s"$db.corpus_ivf")
-          .where(col("cell").isin(cells.map(Int.box): _*))
-          .select("vec_id", "embedding", "norm2", "cell")
-        val scanPlan = idx.queryExecution.executedPlan.toString
-        // the filter must be INSIDE the scan's PartitionFilters list — an
-        // empty "PartitionFilters: []" plus a post-scan Filter would mean
-        // every cell directory is read, which is the regression this
-        // assert exists to catch
-        require(raw"PartitionFilters: \[[^\]]*cell".r.findFirstIn(scanPlan).isDefined,
-          s"indexed IVF scan lost its static cell partition pruning:\n${scanPlan.take(2000)}")
-        val scored = idx.join(broadcast(probes), Seq("cell"))
-          .where(col("vec_id") =!= col("qid"))
-          .withColumn("cos_sim",
-            cosine(scaledDot(col("qvec"), col("embedding")), col("qnorm2"), col("norm2")))
-        StockOps.perKeyTopK(scored, Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
-          .select("qid", "vec_id", "cos_sim", "rk")
-          .orderBy("qid", "rk")
-      },
+      (s, d) => serveIvfIndexed(s, d, withNorm(s, d), nProbes = 10),
       Some(sqlTrainedSearchSql)),
 
     // Recall@3 of the TRAINED IVF path vs exact brute force — the number

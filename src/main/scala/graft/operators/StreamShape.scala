@@ -636,6 +636,51 @@ object StreamShape {
                SELECT blockNumber, logIndex, address, data
                FROM resolved WHERE net > 0
                ORDER BY blockNumber, logIndex"""),
+      bench = false),
+
+    // STREAMING ANN SERVING — the online half of the sim11 index story:
+    // query vectors ARRIVE as a stream (staged as two files →
+    // maxFilesPerTrigger=1 forces ≥2 micro-batches) and each micro-batch
+    // is served via foreachBatch through the SAME serveIvfIndexed path as
+    // the batch query — probe cells, statically cell-pruned index scan
+    // (the pruning require() runs per batch), exact cosine, two-phase
+    // top-3 — appending answers to a parquet sink. Per-query results are
+    // independent, so the union over micro-batches must equal the batch
+    // search over all 10 probes: the oracle is sim11's, replaying the
+    // 2-iteration training + search in SQL. The index is built BEFORE the
+    // stream starts (a serving tier boots with its index), and the serve
+    // cost per batch is probes × pruned cells — corpus writes never touch
+    // the query path.
+    Q("x17_stream_ann_serve",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ckpt = java.nio.file.Files.createTempDirectory("x17ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x17src").toString
+        val out = java.nio.file.Files.createTempDirectory("x17out").toString
+        SimilarityOps.ensureIvfIndex(s, d)
+        val q = s.read.parquet(s"$d/embeddings.parquet").where(col("vec_id") < 10)
+        q.where(col("vec_id") < 5).coalesce(1).write.parquet(s"$srcDir/f0")
+        q.where(col("vec_id") >= 5).coalesce(1).write.parquet(s"$srcDir/f1")
+        val sq = s.readStream.schema(q.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty)
+              SimilarityOps.serveIvfIndexed(s, d, SimilarityOps.withNormOf(batch), nProbes = 10)
+                .write.mode("append").parquet(out)
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fedBatches = sq.recentProgress.count(_.numInputRows > 0)
+        require(fedBatches >= 2,
+          s"x17 served in $fedBatches micro-batch(es) — the per-batch serve path was not exercised")
+        s.read.parquet(out).orderBy("qid", "rk")
+      },
+      Some(SimilarityOps.sqlTrainedSearchSql),
       bench = false)
   )
 }
