@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import Catalog._
 
 /** Skew-mitigation utilities for cluster-scale joins and aggregations.
@@ -130,5 +130,44 @@ object SkewOps {
                    MIN(user_id & 65535) AS u_min, MAX(user_id & 65535) AS u_max,
                    MIN(event_id & 65535) AS e_min, MAX(event_id & 65535) AS e_max
             FROM z GROUP BY 1 ORDER BY 1"""
-      }))
+      }),
+
+    // COMPACTION PLAN — the other constant data-layout chore of a 100 TB
+    // lakehouse: bin-pack many small document payloads into target-sized
+    // output files per source partition. Greedy fill in doc_id order:
+    // file_no = (cumulative bytes BEFORE the doc) div target — each file
+    // is filled to the 64 KiB target and may overrun by at most one doc,
+    // the standard size-based assignment. The running total is the
+    // two-phase groupedRunningTotal (range repartition → local prefix
+    // sums → broadcast offsets — t20's scale shape, never one task per
+    // source), and the emitted MANIFEST (one row per planned file:
+    // doc count, bytes, doc-id span) is what a compactor executes with a
+    // partitionBy((source, file_no)) write.
+    Q("k04_compaction_plan",
+      (s, d) => {
+        val target = 65536L
+        val sized = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            octet_length(col("text")).cast(LongType).as("bytes"))
+        StockOps.groupedRunningTotal(sized, "source", "doc_id", "bytes", "end_b")
+          .withColumn("file_no", expr(s"(end_b - bytes) div $target"))
+          .groupBy("source", "file_no")
+          .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).as("bytes"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("source", "file_no")
+      },
+      Some("""WITH sized AS (
+                -- DuckDB octet_length is BLOB-only; strlen is the VARCHAR
+                -- byte length (Spark-side octet_length)
+                SELECT doc_id, source, CAST(strlen(text) AS BIGINT) AS bytes
+                FROM documents),
+              c AS (
+                SELECT doc_id, source, bytes,
+                       CAST(SUM(bytes) OVER (PARTITION BY source ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_b
+                FROM sized)
+              SELECT source, (end_b - bytes) // 65536 AS file_no,
+                     COUNT(*) AS n_docs, CAST(SUM(bytes) AS BIGINT) AS bytes,
+                     MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+              FROM c GROUP BY 1, 2 ORDER BY source, file_no""")))
 }

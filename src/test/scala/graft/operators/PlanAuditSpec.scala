@@ -125,7 +125,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim20_ivfpq_search" -> 7, // encode + cell-candidate join + pruned ADC agg + perKeyTopK + sort
     "sim21_ivfpq_recall" -> 12, // sim20 plan + brute-force truth + recall join
     "t25_bpe_train" -> 1, // per-round aggs run inside build; emitted merge table is 6 rows + sort
-    "t26_bpe_apply" -> 2) // map-only merge rewrites + per-doc agg + final sort
+    "t26_bpe_apply" -> 2, // map-only merge rewrites + per-doc agg + final sort
+    "k04_compaction_plan" -> 5) // t20's two-phase prefix sum + manifest agg + final sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
@@ -162,6 +163,7 @@ class PlanAuditSpec extends SparkSpec {
     "c32_range_frame" -> "stock RANGE-frame semantics are the subject; value frames have no two-phase form",
     "c33_rank_family" -> "stock percent_rank/cume_dist/ntile semantics; scale path is globalDistributionRanks (c19)",
     "t20_pack_sequences" -> "groupedRunningTotal offsets window: <= parts rows per source by phase-1 aggregation",
+    "k04_compaction_plan" -> "groupedRunningTotal offsets window: <= parts rows per source by phase-1 aggregation",
     "sim13_cell_balanced_sample" -> "perKeyTopK phase 2: <= k*parts rows per cell after phase-1 pruning",
     "sim01_topk_cosine" -> "perKeyTopK phase 2: <= k*parts rows per qid",
     "sim02_ann_lsh" -> "perKeyTopK phase 2: <= k*parts rows per qid",

@@ -60,4 +60,35 @@ class SkewOpsSpec extends SparkSpec {
     // every event lands in exactly one bucket
     assert(rows.map(_.getLong(1)).sum === Catalog.t(spark, sfDir, "events").count())
   }
+
+  test("k04 manifest == driver-side greedy fill; files are contiguous and near-target") {
+    val target = 65536L
+    val docs = Catalog.t(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).getBytes("UTF-8").length.toLong))
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      var before = 0L
+      ds.sortBy(_._1).map { case (id, _, b) =>
+        val f = before / target; before += b; (src, f, id, b)
+      }.groupBy(_._2).toSeq.map { case (f, xs) =>
+        (src, f, xs.length.toLong, xs.map(_._4).sum, xs.map(_._3).min, xs.map(_._3).max)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = Catalog.byName("k04_compaction_plan").build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got === expect)
+    // greedy-fill properties: file numbers are dense from 0, doc-id spans
+    // never overlap within a source, and every file except a source's last
+    // is filled to at least the target minus its largest straddling doc
+    got.groupBy(_._1).foreach { case (src, fs) =>
+      val ordered = fs.sortBy(_._2)
+      assert(ordered.map(_._2) === ordered.indices.map(_.toLong), s"$src: file numbers not dense")
+      ordered.sliding(2).foreach {
+        case Seq(a, b) => assert(a._6 < b._5, s"$src: files ${a._2} and ${b._2} overlap")
+        case _ =>
+      }
+    }
+    assert(got.map(_._3).sum === docs.length.toLong)
+  }
 }
