@@ -101,7 +101,7 @@ object Catalog {
   lazy val all: Seq[Q] =
     RelationalQueries.all ++ StockOps.all ++ StreamShape.all ++
       TextOps.all ++ DedupOps.all ++ SimilarityOps.all ++ EngineOps.all ++
-      MultimodalOps.all ++ TemporalOps.all ++ SkewOps.all
+      MultimodalOps.all ++ TemporalOps.all ++ SkewOps.all ++ GraphOps.all
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

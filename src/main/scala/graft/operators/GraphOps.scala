@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+import Catalog._
+
+/** Graph analytics over a document LINK graph — the web-graph side of a
+  * training-data pipeline (PageRank-class source quality, degree audits).
+  * The fixture corpus has no hyperlinks, so the graph is first DERIVED
+  * deterministically from the fixture (the t24/d17 convention): every doc
+  * emits exactly [[OutDeg]] out-links whose targets are the multiplicative
+  * id-mix of the (doc, slot) pair over the doc-id domain — same formula,
+  * term-for-term, in the oracle.
+  *
+  * Scale shape: the graph lives as an EDGE TABLE (src, dst); each PageRank
+  * iteration is one equi-join (edges ⋈ masses on src — both sides shuffle
+  * on the join key) plus one map-side-combined aggregate on dst. That is
+  * the canonical Pregel-as-relational-ops layout: at 100 TB nothing is ever
+  * materialized per-node on the driver, and a real deployment would
+  * checkpoint the mass table every few iterations to truncate lineage
+  * (the d06 connected-components convention — see DedupOps).
+  *
+  * All arithmetic is INTEGER (mass units of 1e-6 rank): contributions are
+  * floor-divided by the constant out-degree and damped by integer
+  * cross-multiplication (85/100), so both engines compute bit-identical
+  * trajectories — no float accumulation order to diverge on. All operands
+  * are non-negative, so DuckDB's floor `//` equals Spark's truncating
+  * `div` on every division.
+  */
+object GraphOps {
+
+  /** Out-degree of every node (links per doc — constant by construction). */
+  val OutDeg = 3
+
+  /** Initial mass per node: 1.0 rank in 1e-6 units. */
+  val Scale = 1000000L
+
+  /** Damping: mass' = 0.15·Scale + 0.85·(incoming contributions), in exact
+    * integer cross-multiplication form.
+    */
+  private val DampNum = 85L
+  private val BaseMass = 150000L // (100-85)/100 * Scale
+
+  /** The derived edge table: (src, dst) with multiplicity, OutDeg rows per
+    * doc. dst = md5("src#slot") taken as a 60-bit integer, mod n. A
+    * multiplicative mix ([[Catalog.docHash]]) is NOT usable here: it is
+    * linear mod n, and over the contiguous doc-id domain a linear map is a
+    * BIJECTION per slot — every node would get exactly in-degree OutDeg
+    * and both graph queries would degenerate to constants (observed: even
+    * a two-round mix leaves a piecewise-linear {2,3,4} profile with no
+    * zero-in-degree node). md5 is the catalog's cross-engine pseudorandom
+    * primitive (d14's fingerprints): 15 hex chars < 2^60 fit i64 exactly
+    * on both engines, and the resulting in-degree profile is genuinely
+    * binomial — including in-degree-0 nodes, which keep the left-join +
+    * coalesce base-mass path honest.
+    */
+  def linkEdges(docs: DataFrame, n: Long): DataFrame =
+    docs.select(col("doc_id").as("src"),
+        explode(sequence(lit(0L), lit(OutDeg - 1L))).as("slot"))
+      .withColumn("dst", pmod(
+        conv(substring(md5(concat_ws("#",
+          col("src").cast(StringType), col("slot").cast(StringType))
+          .cast(BinaryType)), 1, 15), 16, 10).cast(LongType),
+        lit(n)))
+      .select("src", "dst")
+
+  /** Oracle twin of [[linkEdges]] — the modulus is the same node count,
+    * computed in-SQL as a scalar subquery (no driver artifact needed).
+    * All operands are non-negative, so DuckDB's sign-following `%` equals
+    * pmod.
+    */
+  private val sqlN = "(SELECT COUNT(*) FROM documents)"
+  private val sqlEdges =
+    s"""e AS (SELECT doc_id AS src,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                       % $sqlN AS dst
+              FROM documents, UNNEST([0, 1, 2]) AS t(k))"""
+
+  /** One PageRank step: every edge carries mass(src) div OutDeg; a node's
+    * next mass is BaseMass + (DampNum · Σ incoming) div 100. Nodes with no
+    * in-edges keep the base mass (left join + coalesce).
+    */
+  def pagerankStep(docs: DataFrame, edges: DataFrame, mass: DataFrame): DataFrame = {
+    val in = edges.join(mass.withColumnRenamed("doc_id", "src"), "src")
+      .select(col("dst").as("doc_id"), expr(s"mass div $OutDeg").as("c"))
+      .groupBy("doc_id").agg(sum("c").as("s"))
+    docs.select("doc_id").join(in, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (lit(BaseMass) + expr(s"$DampNum * coalesce(s, 0L) div 100")).as("mass"))
+  }
+
+  private def sqlIter(i: Int): String =
+    s"""g$i AS (SELECT e.dst AS doc_id, SUM(m.mass // $OutDeg) AS s
+                FROM e JOIN m${i - 1} m ON m.doc_id = e.src GROUP BY e.dst),
+        m$i AS (SELECT d.doc_id,
+                       CAST($BaseMass + ($DampNum * COALESCE(g.s, 0)) // 100 AS BIGINT) AS mass
+                FROM documents d LEFT JOIN g$i g USING (doc_id))"""
+
+  /** Node count: one bounded driver-side COUNT (a 1-value artifact, the
+    * trainedCentroids convention) — it parameterizes the edge modulus.
+    */
+  private def nodeCount(s: SparkSession, d: String): Long =
+    t(s, d, "documents").count()
+
+  val all: Seq[Q] = Seq(
+    // PAGERANK — 3 damped integer-mass iterations over the derived link
+    // graph; output is the full (doc_id, mass) rank table. The oracle
+    // replays every iteration as a CTE chain (the t25/sim18 replayed-
+    // training convention).
+    Q("g01_link_pagerank",
+      (s, d) => {
+        val n = nodeCount(s, d)
+        val docs = t(s, d, "documents")
+        val edges = linkEdges(docs, n)
+        val m0 = docs.select(col("doc_id"), lit(Scale).as("mass"))
+        val m3 = (1 to 3).foldLeft(m0)((m, _) => pagerankStep(docs, edges, m))
+        m3.select(col("doc_id"), col("mass").cast(LongType).as("mass"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $sqlEdges,
+               m0 AS (SELECT doc_id, CAST($Scale AS BIGINT) AS mass FROM documents),
+               ${sqlIter(1)},
+               ${sqlIter(2)},
+               ${sqlIter(3)}
+             SELECT doc_id, mass FROM m3 ORDER BY doc_id""")),
+
+    // DEGREE AUDIT — the first thing run on any new graph: per-node
+    // in-degree (zero-in-degree nodes included via left join), folded to
+    // the in-degree HISTOGRAM. Two map-side-combined aggregates; the
+    // histogram is O(max-degree) rows no matter the corpus size.
+    Q("g02_degree_histogram",
+      (s, d) => {
+        val n = nodeCount(s, d)
+        val docs = t(s, d, "documents")
+        val deg = linkEdges(docs, n).groupBy(col("dst").as("doc_id"))
+          .agg(count(lit(1)).as("in_deg"))
+        docs.select("doc_id").join(deg, Seq("doc_id"), "left")
+          .select(coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+          .groupBy("in_deg").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("in_deg")
+      },
+      Some(
+        s"""WITH $sqlEdges,
+               deg AS (SELECT e.dst AS doc_id, COUNT(*) AS in_deg FROM e GROUP BY e.dst),
+               nd AS (SELECT COALESCE(g.in_deg, 0) AS in_deg
+                      FROM documents d LEFT JOIN deg g USING (doc_id))
+             SELECT CAST(in_deg AS BIGINT) AS in_deg, COUNT(*) AS n_nodes
+             FROM nd GROUP BY in_deg ORDER BY in_deg"""))
+  )
+}

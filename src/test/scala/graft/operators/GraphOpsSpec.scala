@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+
+  private def docs = Catalog.t(spark, sfDir, "documents")
+  private lazy val n = docs.count()
+
+  test("linkEdges emits exactly OutDeg edges per node, all targets in-domain") {
+    val e = GraphOps.linkEdges(docs, n).cache()
+    assert(e.count() == GraphOps.OutDeg * n)
+    val perSrc = e.groupBy("src").count().agg(min("count"), max("count")).head()
+    assert(perSrc.getLong(0) == GraphOps.OutDeg && perSrc.getLong(1) == GraphOps.OutDeg)
+    val dom = e.agg(min("dst"), max("dst")).head()
+    assert(dom.getLong(0) >= 0 && dom.getLong(1) < n)
+  }
+
+  test("degree histogram accounts for every node and every edge") {
+    val h = Catalog.byName("g02_degree_histogram").build(spark, sfDir).collect()
+    assert(h.map(_.getLong(1)).sum == n) // nodes partition into degree classes
+    assert(h.map(r => r.getLong(0) * r.getLong(1)).sum == GraphOps.OutDeg * n) // Σ deg = |E|
+    // the md5 edge mix must produce a non-degenerate profile (the linear
+    // mix regression: a bijective map gives ONE class at OutDeg)
+    assert(h.length > 3, s"degenerate in-degree profile: ${h.mkString(",")}")
+  }
+
+  test("pagerank: zero-in-degree nodes sit at the base mass; all masses above it") {
+    val pr = Catalog.byName("g01_link_pagerank").build(spark, sfDir)
+    val zeroIn = docs.select(col("doc_id"))
+      .join(GraphOps.linkEdges(docs, n).select(col("dst").as("doc_id")), Seq("doc_id"), "left_anti")
+    val zeroMasses = pr.join(zeroIn, "doc_id").select("mass").distinct().collect()
+    assert(zeroMasses.nonEmpty, "fixture has no zero-in-degree node — mix degenerated")
+    assert(zeroMasses.forall(_.getLong(0) == 150000L))
+    val mn = pr.agg(min("mass")).head().getLong(0)
+    assert(mn >= 150000L)
+  }
+
+  test("pagerank mass is conserved up to floor loss") {
+    // every division floors, so total mass can only leak downward — and by
+    // less than (OutDeg + 100) units per node per iteration
+    val total = Catalog.byName("g01_link_pagerank").build(spark, sfDir)
+      .agg(sum("mass")).head().getLong(0)
+    assert(total <= n * GraftScale)
+    assert(total > n * GraftScale * 9 / 10)
+  }
+  private val GraftScale = GraphOps.Scale
+
+  test("pagerank build is deterministic across runs") {
+    val a = Catalog.byName("g01_link_pagerank").build(spark, sfDir).collect()
+    val b = Catalog.byName("g01_link_pagerank").build(spark, sfDir).collect()
+    assert(a.sameElements(b))
+  }
+}
