@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -707,7 +708,88 @@ object StockOps {
                      CAST(NTILE(4) OVER w AS INT) AS nt
               FROM events
               WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
-              ORDER BY event_id"""))
+              ORDER BY event_id""")),
+
+    // COUNT-MIN SKETCH — the streaming-scale frequency estimator: d=4 hash
+    // rows × w=64 counters, built as ONE map-side-combined aggregate over
+    // (row, bucket) — the sketch is 256 cells of state no matter how many
+    // events flow through, which is the whole point at 100 TB (sketches
+    // merge; exact per-key counts don't fit). The estimate for a key is
+    // the MIN over its 4 row counters (each an overestimate under
+    // collisions). Emitted per key: true count vs CMS estimate vs
+    // overcount — the spec pins est >= true pointwise. Hash rows use the
+    // catalog's overflow-safe masked multiply with 4 distinct public
+    // multipliers (xxhash/murmur constants); every product < 2^31·3.27e9
+    // stays in i64 on both engines.
+    Q("c34_countmin_heavy",
+      (s, d) => {
+        val mults = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+        val w = 64L
+        val rows = mults.zipWithIndex.map { case (m, r) =>
+          struct(lit(r.toLong).as("r"), lit(m).as("mul"))
+        }
+        def withBuckets(df: DataFrame): DataFrame = df
+          .withColumn("h", explode(array(rows: _*)))
+          .withColumn("bucket",
+            pmod(pmod(col("user_id"), lit(2147483648L)) * col("h.mul"), lit(w)))
+          .select(col("user_id"), col("h.r").as("r"), col("bucket"))
+        val sketch = withBuckets(t(s, d, "events").select(col("user_id")))
+          .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+        val keys = withBuckets(t(s, d, "events").select("user_id").distinct())
+        val est = keys.join(sketch, Seq("r", "bucket"))
+          .groupBy("user_id").agg(min("cnt").as("n_est"))
+        val tru = t(s, d, "events").groupBy("user_id").agg(count(lit(1)).as("n_true"))
+        tru.join(est, "user_id")
+          .select(col("user_id"), col("n_true"), col("n_est"),
+            (col("n_est") - col("n_true")).as("overcount"))
+          .orderBy("user_id")
+      },
+      Some("""WITH mult AS (SELECT * FROM (VALUES (0, 2654435761), (1, 2246822519),
+                                                  (2, 3266489917), (3, 668265263)) m(r, mul)),
+                 sk AS (SELECT r,
+                               ((((user_id % 2147483648) + 2147483648) % 2147483648) * mul) % 64 AS bucket,
+                               COUNT(*) AS cnt
+                        FROM events, mult GROUP BY 1, 2),
+                 keys AS (SELECT DISTINCT user_id FROM events),
+                 est AS (SELECT k.user_id, MIN(sk.cnt) AS n_est
+                         FROM keys k, mult m
+                         JOIN sk ON sk.r = m.r
+                           AND sk.bucket = ((((k.user_id % 2147483648) + 2147483648) % 2147483648) * m.mul) % 64
+                         GROUP BY k.user_id),
+                 tru AS (SELECT user_id, COUNT(*) AS n_true FROM events GROUP BY user_id)
+              SELECT user_id, n_true, n_est, n_est - n_true AS overcount
+              FROM tru JOIN est USING (user_id) ORDER BY user_id""")),
+
+    // SCD TYPE-2 INTERVALS — the changelog→dimension-history build every
+    // warehouse runs: per user, COMPRESS consecutive rows with an
+    // unchanged state (keep only change points — lag over a unique
+    // (ts, event_id) order), then close each surviving row's validity
+    // interval with the next change's timestamp (lead; NULL = current).
+    // Two window passes over the same high-cardinality user_id key (key
+    // count scales with the data — 15/150/1500 across the fixture SFs —
+    // so this is NOT the bounded-domain funnel shape), one shuffle
+    // shared by both.
+    Q("c35_scd2_intervals",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("state"))
+          .withColumn("prev", lag(col("state"), 1).over(w))
+          .where(col("prev").isNull || col("prev") =!= col("state"))
+          .withColumn("valid_from", col("ts"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .withColumn("version", row_number().over(w))
+          .select("user_id", "state", "valid_from", "valid_to", "version")
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH o AS (SELECT user_id, ts, event_id, event_type AS state,
+                                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                         FROM events),
+                 c AS (SELECT * FROM o WHERE prev IS NULL OR prev <> state)
+              SELECT user_id, state, ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+                     CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+              FROM c ORDER BY user_id, version"""))
   )
 
   /** Per-JVM, per-sfDir bucketed warehouse for c31: lineitem and orders

@@ -123,4 +123,40 @@ class StockOpsSpec extends SparkSpec {
       .withColumnRenamed("source", "key").withColumnRenamed("doc_id", "ord")
     assertSameRunning(nt, parts = 8)
   }
+
+  // ——— c34 Count-Min sketch invariants ———
+
+  test("c34: CMS estimate dominates the true count; each hash row covers the stream") {
+    val out = Catalog.byName("c34_countmin_heavy").build(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("n_est") >= r.getAs[Long]("n_true")),
+      "a Count-Min estimate fell below the true count — impossible by construction")
+    // the keys are ALL distinct user_ids, so Σ true == stream size
+    val total = Catalog.t(spark, sfDir, "events").count()
+    assert(out.map(_.getAs[Long]("n_true")).sum == total)
+  }
+
+  // ——— c35 SCD2 interval invariants ———
+
+  test("c35: per-user intervals are chained, versions contiguous, states change") {
+    val rows = Catalog.byName("c35_scd2_intervals").build(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("version"))
+      assert(sorted.map(_.getAs[Int]("version")).toSeq == (1 to rs.length),
+        s"user $u: versions not contiguous")
+      // exactly one open (current) interval, and it is the last one
+      assert(sorted.init.forall(_.getAs[java.sql.Timestamp]("valid_to") != null) &&
+        sorted.last.getAs[java.sql.Timestamp]("valid_to") == null,
+        s"user $u: open interval is not exactly the last version")
+      // intervals chain: this row's valid_to == next row's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("valid_to") == b.getAs[java.sql.Timestamp]("valid_from"),
+            s"user $u: interval chain broken at version ${b.getAs[Int]("version")}")
+          assert(a.getAs[String]("state") != b.getAs[String]("state"),
+            s"user $u: consecutive intervals share a state — run compression failed")
+        case _ => ()
+      }
+    }
+  }
 }
