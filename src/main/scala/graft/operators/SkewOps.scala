@@ -169,5 +169,39 @@ object SkewOps {
               SELECT source, (end_b - bytes) // 65536 AS file_no,
                      COUNT(*) AS n_docs, CAST(SUM(bytes) AS BIGINT) AS bytes,
                      MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-              FROM c GROUP BY 1, 2 ORDER BY source, file_no""")))
+              FROM c GROUP BY 1, 2 ORDER BY source, file_no""")),
+
+    // ZONE-MAP PRUNING — the file-skipping math that makes a 100 TB range
+    // scan read 3% of its files: per layout file (1000-row event_id
+    // ranges — the k04-style ingest order, under which ts is near-sorted
+    // so its per-file extents are TIGHT), the min/max zone map of ts, the
+    // skip/scan DECISION for a fixed January window (skip iff the window
+    // misses [min,max] entirely — the conservative file-stats test every
+    // parquet/iceberg reader runs), and the actual per-file match count.
+    // The emitted report carries its own proof: every pruned file shows
+    // n_match = 0 (spec-pinned), so scanning only unpruned files returns
+    // exactly the full answer. At sf0.001 the single file spans the whole
+    // month (nothing prunes); at sf0.1 ~90% of files skip.
+    Q("k05_zone_map_prune",
+      (s, d) => {
+        val lo = to_timestamp(lit("2024-01-10 00:00:00"))
+        val hi = to_timestamp(lit("2024-01-13 00:00:00"))
+        t(s, d, "events")
+          .withColumn("file_id", expr("event_id div 1000"))
+          .groupBy("file_id")
+          .agg(count(lit(1)).as("n_rows"),
+            min("ts").as("ts_min"), max("ts").as("ts_max"),
+            count_if(col("ts").between(lo, hi)).as("n_match"))
+          .withColumn("pruned", col("ts_max") < lo || col("ts_min") > hi)
+          .select("file_id", "n_rows", "ts_min", "ts_max", "pruned", "n_match")
+          .orderBy("file_id")
+      },
+      Some("""SELECT event_id // 1000 AS file_id, COUNT(*) AS n_rows,
+                     MIN(ts) AS ts_min, MAX(ts) AS ts_max,
+                     (MAX(ts) < TIMESTAMP '2024-01-10 00:00:00'
+                      OR MIN(ts) > TIMESTAMP '2024-01-13 00:00:00') AS pruned,
+                     CAST(COUNT(*) FILTER (ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                                            AND TIMESTAMP '2024-01-13 00:00:00') AS BIGINT) AS n_match
+              FROM events GROUP BY 1 ORDER BY 1"""))
+  )
 }

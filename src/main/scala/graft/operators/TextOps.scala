@@ -1068,6 +1068,67 @@ object TextOps {
                      / CAST(CAST((SUM(length(sym)) - SUM(length(tok))) / 2 AS BIGINT) AS DOUBLE) AS compression
             FROM dt$BpeIters
             GROUP BY doc_id ORDER BY doc_id"""
-      })
+      }),
+
+    // C4-STYLE HEURISTIC CLEANUP — the classic web-corpus page filter
+    // (line-level: keep lines with ≥5 words ending in terminal
+    // punctuation; page-level: ≥3 surviving lines, no '{', no
+    // "lorem ipsum"). The fixture corpus has no pages, so the page is
+    // synthesized DETERMINISTICALLY from each doc on BOTH engines (the
+    // t24 convention): tokens → 10-token lines, every 2nd line given a
+    // terminal '.', a code line ("function() {") injected into every 7th
+    // doc and a lorem line into every 11th — then the filter must drop
+    // exactly the injected noise. Every rule is an integer/string
+    // predicate (word counts, last-char tests, substring containment) —
+    // no floats anywhere — and the operator itself is map-only: at
+    // 100 TB it rides the scan.
+    Q("t27_c4_filters",
+      (s, d) => t(s, d, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("lines", expr(
+          "transform(sequence(0, (size(toks)+9) div 10 - 1), i -> array_join(slice(toks, i*10+1, 10), ' '))"))
+        .withColumn("lines", expr(
+          "transform(lines, (l, j) -> CASE WHEN j % 2 = 0 THEN concat(l, '.') ELSE l END)"))
+        .withColumn("lines", expr(
+          "CASE WHEN doc_id % 7 = 0 THEN concat(lines, array('function() {')) ELSE lines END"))
+        .withColumn("lines", expr(
+          "CASE WHEN doc_id % 11 = 0 THEN concat(lines, array('lorem ipsum dolor sit amet.')) ELSE lines END"))
+        .withColumn("page", array_join(col("lines"), "\n"))
+        // ——— the filter: everything below consumes ONLY `page` ———
+        .withColumn("plines", split(col("page"), "\n"))
+        .withColumn("kept", expr(
+          "filter(plines, l -> size(split(l, ' ')) >= 5 AND substring(l, -1, 1) IN ('.', '!', '?'))"))
+        .withColumn("n_lines", size(col("plines")).cast(LongType))
+        .withColumn("n_kept", size(col("kept")).cast(LongType))
+        .withColumn("has_brace", col("page").contains("{"))
+        .withColumn("has_lorem", col("page").contains("lorem ipsum"))
+        .withColumn("keep", col("n_kept") >= 3 && !col("has_brace") && !col("has_lorem"))
+        .select("doc_id", "n_lines", "n_kept", "has_brace", "has_lorem", "keep")
+        .orderBy("doc_id"),
+      Some(s"""WITH dt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                           FROM documents),
+                 ln AS (SELECT doc_id, list_transform(range(0, (len(toks)+9)//10), i ->
+                          array_to_string(toks[CAST(i*10+1 AS INT):CAST(i*10+10 AS INT)], ' ')) AS lines
+                        FROM dt),
+                 p1 AS (SELECT doc_id, list_transform(range(0, len(lines)), j ->
+                          CASE WHEN j % 2 = 0 THEN lines[CAST(j+1 AS INT)] || '.'
+                          ELSE lines[CAST(j+1 AS INT)] END) AS lines FROM ln),
+                 p2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+                          THEN list_append(lines, 'function() {') ELSE lines END AS lines FROM p1),
+                 p3 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+                          THEN list_append(lines, 'lorem ipsum dolor sit amet.') ELSE lines END AS lines FROM p2),
+                 pg AS (SELECT doc_id, array_to_string(lines, chr(10)) AS page FROM p3),
+                 ke AS (SELECT doc_id, page, string_split(page, chr(10)) AS plines,
+                          list_filter(string_split(page, chr(10)), l ->
+                            len(string_split(l, ' ')) >= 5 AND (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?')) AS kept
+                        FROM pg)
+               SELECT doc_id,
+                      CAST(len(plines) AS BIGINT) AS n_lines,
+                      CAST(len(kept) AS BIGINT) AS n_kept,
+                      contains(page, '{') AS has_brace,
+                      contains(page, 'lorem ipsum') AS has_lorem,
+                      (len(kept) >= 3 AND NOT contains(page, '{')
+                       AND NOT contains(page, 'lorem ipsum')) AS keep
+               FROM ke ORDER BY doc_id"""))
   )
 }

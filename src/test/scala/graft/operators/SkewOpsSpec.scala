@@ -91,4 +91,25 @@ class SkewOpsSpec extends SparkSpec {
     }
     assert(got.map(_._3).sum === docs.length.toLong)
   }
+
+  test("k05: pruned files contain zero matches; scanned files cover the full answer") {
+    import org.apache.spark.sql.functions._
+    val out = Catalog.byName("k05_zone_map_prune").build(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.filter(_.getAs[Boolean]("pruned")).foreach { r =>
+      assert(r.getAs[Long]("n_match") == 0L,
+        s"file ${r.getAs[Long]("file_id")} pruned but holds ${r.getAs[Long]("n_match")} matches")
+    }
+    // sum of per-file matches == the direct predicate count (nothing lost)
+    val direct = Catalog.t(spark, sfDir, "events")
+      .where(col("ts").between(
+        to_timestamp(lit("2024-01-10 00:00:00")), to_timestamp(lit("2024-01-13 00:00:00"))))
+      .count()
+    assert(out.map(_.getAs[Long]("n_match")).sum == direct)
+    // zone maps are consistent: min <= max, row counts positive
+    out.foreach { r =>
+      assert(!r.getAs[java.sql.Timestamp]("ts_min").after(r.getAs[java.sql.Timestamp]("ts_max")))
+      assert(r.getAs[Long]("n_rows") > 0)
+    }
+  }
 }

@@ -217,4 +217,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got === expect)
     assert(got.values.sum === docs.length.toLong, "splits must partition the corpus")
   }
+
+  test("t27: the C4 filter drops exactly the injected noise classes") {
+    val out = Catalog.byName("t27_c4_filters").build(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // the brace/lorem flags must fire on EXACTLY the docs the synthesis
+      // injected them into — the filter found the noise, all of it, and
+      // nothing else
+      assert(r.getAs[Boolean]("has_brace") == (id % 7 == 0), s"doc $id brace flag")
+      assert(r.getAs[Boolean]("has_lorem") == (id % 11 == 0), s"doc $id lorem flag")
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_lines"))
+      if (r.getAs[Boolean]("keep"))
+        assert(id % 7 != 0 && id % 11 != 0 && r.getAs[Long]("n_kept") >= 3)
+    }
+    // the filter must neither pass nor drop everything at the spec SF
+    val kept = out.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < out.length, s"degenerate keep rate $kept/${out.length}")
+  }
 }
