@@ -681,6 +681,100 @@ object StreamShape {
         s.read.parquet(out).orderBy("qid", "rk")
       },
       Some(SimilarityOps.sqlTrainedSearchSql),
+      bench = false),
+
+    // WATERMARK LATE-DATA ACCOUNTING — the one event-time contract the
+    // other streaming entries never pin: what happens to data that
+    // arrives AFTER the watermark has evicted its window. Micro-batch
+    // eviction LAGS one commit (probed empirically: rows arriving in the
+    // batch right after their on-time peers still find live state and
+    // merge), so the fixture is staged as THREE files with forced arrival
+    // order (modification times — FileStreamSource sorts on them):
+    // batch 1 = the on-time evens, batch 2 = the single global-max-ts row
+    // (a pure watermark carrier — its own window never closes), batch 3 =
+    // the odd rows, now TWO commits behind. Spark's TWO-WATERMARK rule
+    // (probed on this exact staging): batch 3 drops late input against
+    // the PREVIOUS trigger's watermark (max even ts − 30 min — the one
+    // its last eviction ran with) while evicting against the current one
+    // (global max − 30 min), so odd groups under the old watermark are
+    // dropped at the state store but odds in the one-trigger GAP between
+    // the two watermarks still find live state and merge. The oracle
+    // replays exactly that: evens plus gap-window odds, cut at the final
+    // watermark. The drop metric counts post-shuffle window GROUPS (one
+    // state-input row per window), pinned exactly against the batch-
+    // computed distinct-late-window count. Boundary conventions (< vs <=,
+    // ms-truncated watermarks) cannot bite: window ends are round hours
+    // and both watermarks carry random microseconds.
+    Q("x18_stream_late_data",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = s"x18_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x18ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x18src").toString
+        val ev = s.read.parquet(s"$d/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        // the watermark carrier: THE row holding the global max ts
+        // (min event_id on ties) — a 1-row bounded driver lookup
+        val maxId = ev.orderBy(col("ts").desc, col("event_id")).limit(1)
+          .head().getAs[Long]("event_id")
+        ev.where(col("event_id") % 2 === 0 && col("event_id") =!= maxId)
+          .coalesce(1).write.parquet(s"$srcDir/f0")
+        ev.where(col("event_id") === maxId).coalesce(1).write.parquet(s"$srcDir/f1")
+        ev.where(col("event_id") % 2 === 1 && col("event_id") =!= maxId)
+          .coalesce(1).write.parquet(s"$srcDir/f2")
+        val now = System.currentTimeMillis()
+        def touch(sub: String, t: Long): Unit =
+          new java.io.File(s"$srcDir/$sub").listFiles().foreach(_.setLastModified(t))
+        touch("f0", now - 240000L); touch("f1", now - 120000L); touch("f2", now)
+        val sq = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .select(date_format(col("window.start"), fmtSec).as("win_start"),
+            col("n"), col("total"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fedBatches = sq.recentProgress.count(_.numInputRows > 0)
+        require(fedBatches >= 3,
+          s"x18 drained in $fedBatches micro-batch(es) — the two-commit late-arrival path was not exercised")
+        // exact late-drop accounting: batch 3 filters against the PREVIOUS
+        // trigger's watermark = (ms-truncated) max on-time ts − 30 min;
+        // a late window GROUP is dropped iff its window end has passed it
+        val wm1Ms = ev.where(col("event_id") % 2 === 0 && col("event_id") =!= maxId)
+          .agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000L - 1800000L
+        val expectedDrops = ev
+          .where(col("event_id") % 2 === 1 && col("event_id") =!= maxId)
+          .where(unix_micros(date_trunc("hour", col("ts"))) / 1000L + 3600000L <= wm1Ms)
+          .select(date_trunc("hour", col("ts"))).distinct().count()
+        val dropped = sq.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+        require(dropped == expectedDrops,
+          s"watermark dropped $dropped window groups; staged semantics predict $expectedDrops")
+        require(dropped > 0, "nothing was dropped by the watermark — late path not exercised")
+        s.table(name).orderBy("win_start")
+      },
+      Some(s"""WITH am AS (SELECT event_id FROM events ORDER BY ts DESC, event_id LIMIT 1),
+                 wm1 AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events
+                         WHERE event_id % 2 = 0
+                           AND event_id <> (SELECT event_id FROM am)),
+                 wmf AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events),
+                 contrib AS (
+                   SELECT ts, value FROM events
+                   WHERE event_id <> (SELECT event_id FROM am)
+                     AND (event_id % 2 = 0
+                          OR date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm1))),
+                 agg AS (SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n,
+                                ${sqlDsum("value")} AS total
+                         FROM contrib GROUP BY 1)
+               SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, n, total
+               FROM agg WHERE ws + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
+               ORDER BY win_start"""),
       bench = false)
   )
 }
