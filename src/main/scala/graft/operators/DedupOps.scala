@@ -923,6 +923,41 @@ object DedupOps {
                      CAST(COUNT(*) FILTER (NOT cov) AS BIGINT) AS n_kept,
                      COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (NOT cov), '') AS clean_text
               FROM kept GROUP BY doc_id ORDER BY doc_id"""),
+      bench = false),
+
+    // SOFT DEDUP — the weighting alternative to d07's hard drop: instead
+    // of deleting near-duplicates, every document is down-WEIGHTED by its
+    // cluster size (weight = 1/|cluster|), so each duplicate cluster
+    // contributes exactly one document's worth of training mass and no
+    // content is lost. Cluster resolution reuses d06b's connected
+    // components over the exact-Jaccard pair graph (hash-green end to
+    // end); docs outside every cluster are singletons (weight 1). Weights
+    // are scaled INTEGER parts-per-million (1e6 div size) so the
+    // per-source rollup is an exact integer sum — no float accumulation
+    // order to diverge on. The rollup emits per source: raw doc count vs
+    // effective (deduped) mass — the number a data card reports.
+    Q("d19_soft_dedup_weights",
+      (s, d) => {
+        val clusters = byNameLocal("d06b_dedup_clusters_exact").build(s, d)
+        val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("csize"))
+        val weighted = t(s, d, "documents").select("doc_id", "source")
+          .join(clusters, Seq("doc_id"), "left")
+          .join(sizes, Seq("cluster"), "left")
+          .withColumn("csize", coalesce(col("csize"), lit(1L)))
+          .withColumn("w_ppm", expr("1000000 div csize"))
+        weighted.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("w_ppm").as("effective_ppm"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE $sqlClusterCtes,
+                 csizes AS (SELECT cluster, COUNT(*) AS csize FROM clusters GROUP BY 1),
+                 dw AS (SELECT d.doc_id, d.source, COALESCE(z.csize, 1) AS csize
+                        FROM documents d
+                        LEFT JOIN clusters c ON d.doc_id = c.doc_id
+                        LEFT JOIN csizes z ON c.cluster = z.cluster)
+               SELECT source, COUNT(*) AS n_docs,
+                      CAST(SUM(1000000 // csize) AS BIGINT) AS effective_ppm
+               FROM dw GROUP BY source ORDER BY source"""),
       bench = false)
   )
 }

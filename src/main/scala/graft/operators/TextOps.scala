@@ -1129,6 +1129,38 @@ object TextOps {
                       contains(page, 'lorem ipsum') AS has_lorem,
                       (len(kept) >= 3 AND NOT contains(page, '{')
                        AND NOT contains(page, 'lorem ipsum')) AS keep
-               FROM ke ORDER BY doc_id"""))
+               FROM ke ORDER BY doc_id""")),
+
+    // GLOBAL QUALITY-QUARTILE FILTER — "keep the best 25% of the corpus"
+    // with a GLOBAL ranking, the selection move quality-pruning pipelines
+    // run after scoring. A naive global NTILE is one ORDER BY over the
+    // whole corpus through a single task; this uses the c19 two-phase
+    // machinery (range repartition → per-partition ranks → broadcast
+    // prefix offsets — globalDistributionRanks), so the global quartile
+    // boundary is computed with NO single-partition stage and is
+    // bit-identical to the window form (c19's spec pins the helper). The
+    // score is an exact integer (1000·stopword-hits + token count) with
+    // doc_id tie-break, so the quartile edge is engine-exact; the oracle
+    // affords the plain global window.
+    Q("t28_quality_quartile",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val scored = t(s, d, "documents")
+          .withColumn("score",
+            (countIn(col("text"), stopwords) * 1000L + size(toks).cast(LongType)).as("score"))
+          .select("doc_id", "score")
+        StockOps.globalDistributionRanks(scored, Seq(col("score").desc, col("doc_id")), 4)
+          .where(col("ntile") === 1)
+          .select("doc_id", "score")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH scored AS (
+                 SELECT doc_id,
+                        CAST(${sqlCountIn(stopwords)} * 1000 + len(toks) AS BIGINT) AS score
+                 FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents)),
+                 rk AS (SELECT doc_id, score,
+                               NTILE(4) OVER (ORDER BY score DESC, doc_id) AS nt
+                        FROM scored)
+               SELECT doc_id, score FROM rk WHERE nt = 1 ORDER BY doc_id"""))
   )
 }

@@ -339,4 +339,20 @@ class DedupOpsSpec extends SparkSpec {
       assert(sigs.size === 1, "duplicate texts got different simhashes")
     }
   }
+
+  test("d19: soft-dedup mass equals the cluster-derived expectation") {
+    import org.apache.spark.sql.functions._
+    val out = Catalog.byName("d19_soft_dedup_weights").build(spark, sfDir).collect()
+    val nDocs = Catalog.t(spark, sfDir, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs, "sources must partition the corpus")
+    // recompute the global effective mass from the cluster table directly:
+    // every size-k cluster contributes k · (1e6 div k), singletons 1e6
+    val sizes = Catalog.byName("d06b_dedup_clusters_exact").build(spark, sfDir)
+      .groupBy("cluster").count().collect().map(_.getLong(1))
+    val clustered = sizes.sum
+    val expected = sizes.map(k => k * (1000000L / k)).sum + (nDocs - clustered) * 1000000L
+    assert(out.map(_.getAs[Long]("effective_ppm")).sum == expected)
+    // weighting must strictly shrink mass wherever a cluster exists
+    assert(out.forall(r => r.getAs[Long]("effective_ppm") <= r.getAs[Long]("n_docs") * 1000000L))
+  }
 }

@@ -127,7 +127,16 @@ class PlanAuditSpec extends SparkSpec {
     "sim21_ivfpq_recall" -> 12, // sim20 plan + brute-force truth + recall join
     "t25_bpe_train" -> 1, // per-round aggs run inside build; emitted merge table is 6 rows + sort
     "t26_bpe_apply" -> 2, // map-only merge rewrites + per-doc agg + final sort
-    "k04_compaction_plan" -> 5) // t20's two-phase prefix sum + manifest agg + final sort
+    "k04_compaction_plan" -> 5, // t20's two-phase prefix sum + manifest agg + final sort
+    // round-6 continuation queries (ceilings = measured at spec SF)
+    "g01_link_pagerank" -> 7, // 3 iterations × (edge join + dst agg partials collapse) + final sort
+    "g02_degree_histogram" -> 3, // in-degree agg + histogram agg + final sort
+    "c34_countmin_heavy" -> 4, // sketch agg + distinct keys + est agg + true-count join
+    "c35_scd2_intervals" -> 2, // one user_id window shared by both passes + final sort
+    "k05_zone_map_prune" -> 2, // per-file zone agg + final sort
+    "t27_c4_filters" -> 1, // map-only page filter + final sort
+    "t28_quality_quartile" -> 2, // c19 range repartition + final sort; NO SinglePartition
+    "d19_soft_dedup_weights" -> 6) // d02 pair graph + CC iterations + size join + source agg
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

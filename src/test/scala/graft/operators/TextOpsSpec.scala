@@ -236,4 +236,20 @@ class TextOpsSpec extends SparkSpec {
     val kept = out.count(_.getAs[Boolean]("keep"))
     assert(kept > 0 && kept < out.length, s"degenerate keep rate $kept/${out.length}")
   }
+
+  test("t28: the two-phase quartile equals the driver-sorted top quarter exactly") {
+    val got = Catalog.byName("t28_quality_quartile").build(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSet
+    // independent driver-side recompute: sort all scores (desc, doc_id
+    // tie-break), take NTILE bucket 1 = first ceil(n/4) rows
+    val all = Catalog.byName("t02_quality_score").build(spark, sfDir)
+      .collect().map { r =>
+        (r.getAs[Long]("doc_id"),
+          r.getAs[Number]("n_stop").longValue() * 1000L + r.getAs[Number]("n_tokens").longValue())
+      }
+    val n = all.length
+    val q1 = n / 4 + (if (n % 4 > 0) 1 else 0)
+    val expect = all.sortBy { case (id, sc) => (-sc, id) }.take(q1).toSet
+    assert(got == expect, "global quartile selection diverged from the sorted truth")
+  }
 }
