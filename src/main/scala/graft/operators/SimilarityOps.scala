@@ -1428,7 +1428,57 @@ object SimilarityOps {
               FROM truth t LEFT JOIN iv_top a
                 ON a.qid = t.qid AND a.vec_id = t.vec_id
               GROUP BY t.qid ORDER BY t.qid"""),
-      bench = false)
+      bench = false),
+
+    // FILTERED ANN — the metadata-constrained search every production
+    // vector store serves ("nearest neighbors WITHIN my class"): sim03's
+    // IVF path with a PRE-FILTER on the candidate set — each probe only
+    // scores cell-mates sharing its label, so the filter cuts work
+    // instead of post-filtering a too-short result list (the classic
+    // filtered-ANN failure: top-k then filter returns < k). Same
+    // scale shape as sim03 (map-only cell argmax, one equi-join on cell,
+    // two-phase per-probe top-k); the label predicate rides the candidate
+    // join. The filter drops ~90% of candidates (10 labels), so matched
+    // cells must still hold class-mates — recall under filtering is the
+    // oracle's own statement, since the oracle applies the identical
+    // filter to the identical cell prune.
+    Q("sim22_filtered_ann",
+      (s, d) => {
+        val corpus = withNorm(s, d)
+        val cents = ivfCentroids(corpus)
+        val qlabels = corpus.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+        val probes = probeCells(corpus, cents, 10).join(qlabels, "qid")
+        val scored = assignCells(corpus, cents).join(broadcast(probes), Seq("cell"))
+          .where(col("vec_id") =!= col("qid") && col("label") === col("qlabel"))
+          .withColumn("cos_sim",
+            cosine(scaledDot(col("qvec"), col("embedding")), col("qnorm2"), col("norm2")))
+        StockOps.perKeyTopK(scored, Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
+          .select("qid", "vec_id", "cos_sim", "rk")
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH $sqlIvfAssignCtes,
+                 pcells AS (
+                   SELECT vec_id AS qid, cell FROM (
+                     SELECT vec_id, cell,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+                     FROM cscores WHERE vec_id < 10) WHERE rn <= $IvfProbe),
+                 fcand AS (
+                   SELECT p.qid, s.vec_id
+                   FROM pcells p JOIN assigned s ON s.cell = p.cell
+                   JOIN embeddings eq ON eq.vec_id = p.qid
+                   JOIN embeddings ec ON ec.vec_id = s.vec_id
+                   WHERE s.vec_id <> p.qid AND ec.label = eq.label),
+                 fscored AS (
+                   SELECT fcand.qid, fcand.vec_id,
+                          $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                   FROM fcand JOIN nv a ON a.vec_id = fcand.qid
+                              JOIN nv b ON b.vec_id = fcand.vec_id)
+               SELECT qid, vec_id, cos_sim, rk FROM (
+                 SELECT qid, vec_id, cos_sim,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+                 FROM fscored)
+               WHERE rk <= 3 ORDER BY qid, rk"""))
   )
 
   /** Local alias to avoid a Catalog init cycle. */

@@ -185,7 +185,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim17_pq_recall" -> "perKeyTopK phase 2 (ADC + brute-force truth): <= k*parts rows per qid",
     "sim19_pq_adc_rerank" -> "perKeyTopK phase 2 (candidates, rerank, truth): <= k*parts rows per qid",
     "sim20_ivfpq_search" -> "perKeyTopK phase 2 + probeCells (<= IvfCells rows per qid) + pqEncodedWith argmin on (vec_id, subspace) — corpus-cardinality keys",
-    "sim21_ivfpq_recall" -> "sim20's windows + brute-force truth perKeyTopK phase 2: <= k*parts rows per qid")
+    "sim21_ivfpq_recall" -> "sim20's windows + brute-force truth perKeyTopK phase 2: <= k*parts rows per qid",
+    "sim22_filtered_ann" -> "perKeyTopK phase 2 + probeCells (<= IvfCells rows per qid)")
 
   private def lowCardWindowKeys(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
     df.queryExecution.sparkPlan.collect {

@@ -271,4 +271,23 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got === expect)
     got.values.foreach(r => assert(r >= 0.0 && r <= 1.0))
   }
+
+  test("sim22: every filtered-ANN result shares its probe's label and beats post-filtering") {
+    import org.apache.spark.sql.functions._
+    val labels = Catalog.t(spark, sfDir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Catalog.byName("sim22_filtered_ann").build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("vec_id")) == labels(r.getAs[Long]("qid")),
+        s"probe ${r.getAs[Long]("qid")} got a cross-label neighbor")
+    }
+    // pre-filtering must fill k for every probe wherever the filtered
+    // candidate space allows — the failure mode post-filtering hits; with
+    // 10 labels over 16 cells the fixture always has >= 3 class-mates in
+    // the probed cells (verified here, not assumed)
+    val perProbe = rows.groupBy(_.getAs[Long]("qid")).view.mapValues(_.length)
+    perProbe.foreach { case (q, n) => assert(n == 3, s"probe $q returned $n < 3 results") }
+  }
 }
