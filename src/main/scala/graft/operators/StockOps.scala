@@ -723,42 +723,10 @@ object StockOps {
     // stays in i64 on both engines.
     Q("c34_countmin_heavy",
       (s, d) => {
-        val mults = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
-        val w = 64L
-        val rows = mults.zipWithIndex.map { case (m, r) =>
-          struct(lit(r.toLong).as("r"), lit(m).as("mul"))
-        }
-        def withBuckets(df: DataFrame): DataFrame = df
-          .withColumn("h", explode(array(rows: _*)))
-          .withColumn("bucket",
-            pmod(pmod(col("user_id"), lit(2147483648L)) * col("h.mul"), lit(w)))
-          .select(col("user_id"), col("h.r").as("r"), col("bucket"))
-        val sketch = withBuckets(t(s, d, "events").select(col("user_id")))
-          .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
-        val keys = withBuckets(t(s, d, "events").select("user_id").distinct())
-        val est = keys.join(sketch, Seq("r", "bucket"))
-          .groupBy("user_id").agg(min("cnt").as("n_est"))
-        val tru = t(s, d, "events").groupBy("user_id").agg(count(lit(1)).as("n_true"))
-        tru.join(est, "user_id")
-          .select(col("user_id"), col("n_true"), col("n_est"),
-            (col("n_est") - col("n_true")).as("overcount"))
-          .orderBy("user_id")
+        val sketch = cmsSketch(t(s, d, "events").select(col("user_id")))
+        cmsCompare(t(s, d, "events"), sketch)
       },
-      Some("""WITH mult AS (SELECT * FROM (VALUES (0, 2654435761), (1, 2246822519),
-                                                  (2, 3266489917), (3, 668265263)) m(r, mul)),
-                 sk AS (SELECT r,
-                               ((((user_id % 2147483648) + 2147483648) % 2147483648) * mul) % 64 AS bucket,
-                               COUNT(*) AS cnt
-                        FROM events, mult GROUP BY 1, 2),
-                 keys AS (SELECT DISTINCT user_id FROM events),
-                 est AS (SELECT k.user_id, MIN(sk.cnt) AS n_est
-                         FROM keys k, mult m
-                         JOIN sk ON sk.r = m.r
-                           AND sk.bucket = ((((k.user_id % 2147483648) + 2147483648) % 2147483648) * m.mul) % 64
-                         GROUP BY k.user_id),
-                 tru AS (SELECT user_id, COUNT(*) AS n_true FROM events GROUP BY user_id)
-              SELECT user_id, n_true, n_est, n_est - n_true AS overcount
-              FROM tru JOIN est USING (user_id) ORDER BY user_id""")),
+      Some(sqlCms)),
 
     // SCD TYPE-2 INTERVALS — the changelog→dimension-history build every
     // warehouse runs: per user, COMPRESS consecutive rows with an
@@ -791,6 +759,67 @@ object StockOps {
                      CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
               FROM c ORDER BY user_id, version"""))
   )
+
+  /** Count-Min sketch machinery, shared by c34 (batch) and x19 (streaming
+    * merge): d=4 hash rows (distinct public multipliers over the masked
+    * multiplicative mix) × w=64 counters. Sketches are pure counter
+    * tables, so partial sketches from any partition of the stream MERGE
+    * by addition — the property x19 exercises across micro-batches.
+    */
+  val CmsMults: Seq[Long] = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+  val CmsWidth = 64L
+
+  /** The CMS oracle (shared verbatim by c34 and x19 — sketch merge is
+    * addition, so the streamed union must land on the same estimates).
+    * lazy: referenced eagerly by `val all`, which initializes first.
+    */
+  lazy val sqlCms: String =
+    """WITH mult AS (SELECT * FROM (VALUES (0, 2654435761), (1, 2246822519),
+                                           (2, 3266489917), (3, 668265263)) m(r, mul)),
+          sk AS (SELECT r,
+                        ((((user_id % 2147483648) + 2147483648) % 2147483648) * mul) % 64 AS bucket,
+                        COUNT(*) AS cnt
+                 FROM events, mult GROUP BY 1, 2),
+          keys AS (SELECT DISTINCT user_id FROM events),
+          est AS (SELECT k.user_id, MIN(sk.cnt) AS n_est
+                  FROM keys k, mult m
+                  JOIN sk ON sk.r = m.r
+                    AND sk.bucket = ((((k.user_id % 2147483648) + 2147483648) % 2147483648) * m.mul) % 64
+                  GROUP BY k.user_id),
+          tru AS (SELECT user_id, COUNT(*) AS n_true FROM events GROUP BY user_id)
+       SELECT user_id, n_true, n_est, n_est - n_true AS overcount
+       FROM tru JOIN est USING (user_id) ORDER BY user_id"""
+
+  /** (user_id, r, bucket) rows: each input row exploded over the d hash
+    * rows. Every product stays in i64: masked value < 2^31, mul < 3.27e9.
+    */
+  def cmsBuckets(df: DataFrame): DataFrame = {
+    val rows = CmsMults.zipWithIndex.map { case (m, r) =>
+      struct(lit(r.toLong).as("r"), lit(m).as("mul"))
+    }
+    df.withColumn("h", explode(array(rows: _*)))
+      .withColumn("bucket",
+        pmod(pmod(col("user_id"), lit(2147483648L)) * col("h.mul"), lit(CmsWidth)))
+      .select(col("user_id"), col("h.r").as("r"), col("bucket"))
+  }
+
+  /** The sketch: one map-side-combined aggregate to d×w counter cells. */
+  def cmsSketch(df: DataFrame): DataFrame =
+    cmsBuckets(df).groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Per-key true count vs min-over-rows CMS estimate from the GIVEN
+    * sketch (which may be a merged union of partials).
+    */
+  def cmsCompare(events: DataFrame, sketch: DataFrame): DataFrame = {
+    val keys = cmsBuckets(events.select("user_id").distinct())
+    val est = keys.join(sketch, Seq("r", "bucket"))
+      .groupBy("user_id").agg(min("cnt").as("n_est"))
+    val tru = events.groupBy("user_id").agg(count(lit(1)).as("n_true"))
+    tru.join(est, "user_id")
+      .select(col("user_id"), col("n_true"), col("n_est"),
+        (col("n_est") - col("n_true")).as("overcount"))
+      .orderBy("user_id")
+  }
 
   /** Per-JVM, per-sfDir bucketed warehouse for c31: lineitem and orders
     * written `bucketBy(8, l_orderkey)` + in-bucket sorted into a temp-dir

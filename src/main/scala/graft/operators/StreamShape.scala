@@ -775,6 +775,51 @@ object StreamShape {
                SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, n, total
                FROM agg WHERE ws + INTERVAL 1 HOUR <= (SELECT w FROM wmf)
                ORDER BY win_start"""),
+      bench = false),
+
+    // STREAMING SKETCH MERGE — the property that makes Count-Min the
+    // streaming-scale frequency estimator: partial sketches ADD. Each
+    // micro-batch builds its own d×w partial sketch via foreachBatch
+    // (c34's exact machinery — StockOps.cmsSketch) and appends it to a
+    // sketch store; after the drain the partials are merged by addition
+    // and queried. Because merge is exact counter addition, the streamed
+    // union must land on bit-identical estimates to the one-shot batch
+    // sketch — so x19 shares c34's oracle verbatim. At 100 TB this is the
+    // shape that works when exact per-key counts don't fit: per-batch
+    // state is d×w cells regardless of stream volume, and partials merge
+    // associatively from any number of executors or days.
+    Q("x19_stream_cms_merge",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ckpt = java.nio.file.Files.createTempDirectory("x19ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x19src").toString
+        val store = java.nio.file.Files.createTempDirectory("x19sketch").toString
+        val ev = s.read.parquet(s"$d/events.parquet").select("event_id", "user_id")
+        ev.where(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/f0")
+        ev.where(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/f1")
+        val sq = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty)
+              StockOps.cmsSketch(batch.select("user_id"))
+                .write.mode("append").parquet(store)
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fedBatches = sq.recentProgress.count(_.numInputRows > 0)
+        require(fedBatches >= 2,
+          s"x19 drained in $fedBatches micro-batch(es) — the sketch merge was not exercised")
+        val merged = s.read.parquet(store)
+          .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+        StockOps.cmsCompare(Catalog.t(s, d, "events"), merged)
+      },
+      Some(StockOps.sqlCms),
       bench = false)
   )
 }
