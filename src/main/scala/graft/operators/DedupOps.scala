@@ -958,6 +958,55 @@ object DedupOps {
                SELECT source, COUNT(*) AS n_docs,
                       CAST(SUM(1000000 // csize) AS BIGINT) AS effective_ppm
                FROM dw GROUP BY source ORDER BY source"""),
-      bench = false)
+      bench = false),
+
+    // CORPUS-LEVEL LINE DEDUP (C4/RefinedWeb's "dedup at the line level
+    // across the corpus"): every page line that occurs elsewhere in the
+    // corpus is removed EXCEPT its first occurrence, and documents are
+    // rebuilt from the survivors. Fixture docs are single-line, so pages
+    // are synthesized the t24 way (deterministic 10-token lines, identical
+    // formula in the oracle) — the operator consumes only (doc_id, pos,
+    // line). First occurrence = the minimum of the line's occurrence keys
+    // occ = doc_id·2^16 + pos (exact integer; pos < 2^16 holds by
+    // construction — ≤ ceil(tokens/10) lines per doc and the longest
+    // fixture doc is 100 tokens; a real corpus would widen the shift).
+    // Scale shape: one explode, ONE map-side-combined aggregate on the
+    // line text (min(occ) — never a window over the corpus), an equi-join
+    // back on the line, and a per-doc sort+rebuild (the d18 convention).
+    // Hot lines (boilerplate repeated millions of times) cost one combine
+    // cell each, not a shuffle of their occurrence list.
+    Q("d20_line_dedup",
+      (s, d) => {
+        val occ = t(s, d, "documents")
+          .withColumn("toks", split(trim(col("text")), "\\s+"))
+          .withColumn("lines", expr(
+            "transform(sequence(0, (size(toks)+9) div 10 - 1), i -> array_join(slice(toks, i*10+1, 10), ' '))"))
+          .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+          .withColumn("occ", col("doc_id") * lit(65536L) + col("pos"))
+        val first = occ.groupBy("line").agg(min("occ").as("canon"))
+        occ.join(first, "line")
+          .withColumn("kept", col("occ") === col("canon"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_lines"),
+            count_if(col("kept")).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(when(col("kept"), struct(col("pos"), col("line"))))),
+              x => x("line")), " ").as("content"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                          FROM documents),
+                 ln AS (SELECT doc_id, list_transform(range(0, (len(toks)+9)//10), i ->
+                          array_to_string(toks[CAST(i*10+1 AS INT):CAST(i*10+10 AS INT)], ' ')) AS lines
+                        FROM dt),
+                 oc AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos, lines[CAST(j AS INT)] AS line,
+                               doc_id * 65536 + (j - 1) AS occ
+                        FROM ln, LATERAL (SELECT UNNEST(range(1, len(lines) + 1)) AS j)),
+                 fo AS (SELECT line, MIN(occ) AS canon FROM oc GROUP BY line)
+               SELECT doc_id, COUNT(*) AS n_lines,
+                      CAST(COUNT(*) FILTER (occ = canon) AS BIGINT) AS n_kept,
+                      COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (occ = canon), '') AS content
+               FROM oc JOIN fo USING (line)
+               GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

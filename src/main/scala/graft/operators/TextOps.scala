@@ -1161,6 +1161,61 @@ object TextOps {
                  rk AS (SELECT doc_id, score,
                                NTILE(4) OVER (ORDER BY score DESC, doc_id) AS nt
                         FROM scored)
-               SELECT doc_id, score FROM rk WHERE nt = 1 ORDER BY doc_id"""))
+               SELECT doc_id, score FROM rk WHERE nt = 1 ORDER BY doc_id""")),
+
+    // GOPHER QUALITY RULES (Rae et al.'s repetition-free doc filter, the
+    // curation heuristic set MassiveText shipped): per document — word
+    // count in [50, 100000], mean word length in [3, 10], symbol-to-word
+    // ratio ('#' and '...') ≤ 0.1, ≥ 80% of words contain an alphabetic
+    // character, and ≥ 2 distinct required stopwords present. Every rule
+    // is an exact integer cross-multiplication (10·sum_len vs n etc. — no
+    // ratio floats to diverge on); total token chars is
+    // length(array_join(toks, '')) (no per-element lambda in the hot
+    // path); symbol counts are the replace-difference convention. Map-only
+    // over `text` — embarrassingly parallel at any corpus size, and the
+    // signal columns (not just the verdict) are emitted so downstream
+    // mixing can re-threshold without a rescan.
+    Q("t29_gopher_rules",
+      (s, d) => {
+        val reqStops = Seq("the", "and", "of", "to", "a")
+        t(s, d, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("n_words", size(col("toks")).cast(LongType))
+          .withColumn("sum_len", length(array_join(col("toks"), "")).cast(LongType))
+          .withColumn("n_alpha", expr("size(filter(toks, t -> t rlike '[a-zA-Z]'))").cast(LongType))
+          .withColumn("n_sym",
+            (length(col("text")) - length(replace(col("text"), lit("#"), lit(""))) +
+              expr("(length(text) - length(replace(text, '...', ''))) div 3")).cast(LongType))
+          .withColumn("n_stop",
+            size(array_intersect(array_distinct(col("toks")),
+              array(reqStops.map(lit): _*))).cast(LongType))
+          .withColumn("pass",
+            col("n_words") >= 50 && col("n_words") <= 100000 &&
+              col("sum_len") >= col("n_words") * 3 && col("sum_len") <= col("n_words") * 10 &&
+              col("n_sym") * 10 <= col("n_words") &&
+              col("n_alpha") * 5 >= col("n_words") * 4 &&
+              col("n_stop") >= 2)
+          .select("doc_id", "n_words", "sum_len", "n_alpha", "n_sym", "n_stop", "pass")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dt AS (SELECT doc_id, text,
+                                 string_split_regex(trim(text), '\s+') AS toks
+                          FROM documents),
+                 sg AS (SELECT doc_id,
+                               CAST(len(toks) AS BIGINT) AS n_words,
+                               CAST(length(array_to_string(toks, '')) AS BIGINT) AS sum_len,
+                               CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+                               CAST(length(text) - length(replace(text, '#', ''))
+                                    + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_sym,
+                               CAST(len(list_intersect(list_distinct(toks),
+                                    ['the','and','of','to','a'])) AS BIGINT) AS n_stop
+                        FROM dt)
+               SELECT doc_id, n_words, sum_len, n_alpha, n_sym, n_stop,
+                      (n_words BETWEEN 50 AND 100000
+                       AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+                       AND n_sym * 10 <= n_words
+                       AND n_alpha * 5 >= n_words * 4
+                       AND n_stop >= 2) AS pass
+               FROM sg ORDER BY doc_id"""))
   )
 }
