@@ -147,6 +147,61 @@ object GraphOps {
                nd AS (SELECT COALESCE(g.in_deg, 0) AS in_deg
                       FROM documents d LEFT JOIN deg g USING (doc_id))
              SELECT CAST(in_deg AS BIGINT) AS in_deg, COUNT(*) AS n_nodes
-             FROM nd GROUP BY in_deg ORDER BY in_deg"""))
+             FROM nd GROUP BY in_deg ORDER BY in_deg""")),
+
+    // TRIANGLE COUNT — the standard graph-health/community signal, in the
+    // shape that scales: the undirected simple graph (distinct least/
+    // greatest pairs, self-loops dropped) is ORIENTED from lower to higher
+    // (degree, id) — a total order, so the oriented graph is acyclic and
+    // every triangle appears exactly once as (a→b, b→c, a→c). Degree
+    // orientation is the classical wedge bound (Chiba–Nishizeki): each
+    // wedge pivot has out-degree ≤ O(√m), so the wedge join is O(m·α)
+    // instead of Σdeg² — the difference between feasible and not on a
+    // power-law web graph. Dataflow: two map-side-combined aggregates
+    // (dedup, degrees), one equi-join to orient, one equi-join on the
+    // pivot to build wedges, one SEMI-join to close them — no driver
+    // state, no windows. Output = per-node triangle participation.
+    Q("g03_triangle_count",
+      (s, d) => {
+        val n = nodeCount(s, d)
+        val docs = t(s, d, "documents")
+        val und = linkEdges(docs, n).where(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .distinct()
+        val deg = und.select(col("u").as("node"))
+          .unionAll(und.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("dg"))
+        val lower = col("dgu") < col("dgv") ||
+          (col("dgu") === col("dgv") && col("u") < col("v"))
+        val o = und
+          .join(deg.select(col("node").as("u"), col("dg").as("dgu")), "u")
+          .join(deg.select(col("node").as("v"), col("dg").as("dgv")), "v")
+          .select(when(lower, col("u")).otherwise(col("v")).as("a"),
+            when(lower, col("v")).otherwise(col("u")).as("b"))
+        val wedge = o.as("o1").join(o.as("o2"), col("o1.b") === col("o2.a"))
+          .select(col("o1.a").as("a"), col("o1.b").as("b"), col("o2.b").as("c"))
+        val tri = wedge.join(
+          o.select(col("a").as("ta"), col("b").as("tc")),
+          col("a") === col("ta") && col("c") === col("tc"), "left_semi")
+        tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $sqlEdges,
+               und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                       FROM e WHERE src <> dst),
+               deg AS (SELECT node, COUNT(*) AS dg
+                       FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+                       GROUP BY node),
+               o AS (SELECT CASE WHEN (du.dg, u) < (dv.dg, v) THEN u ELSE v END AS a,
+                            CASE WHEN (du.dg, u) < (dv.dg, v) THEN v ELSE u END AS b
+                     FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+               tri AS (SELECT o1.a, o1.b, o2.b AS c FROM o o1 JOIN o o2 ON o2.a = o1.b
+                       WHERE EXISTS (SELECT 1 FROM o o3 WHERE o3.a = o1.a AND o3.b = o2.b))
+             SELECT doc_id, COUNT(*) AS n_tri
+             FROM (SELECT UNNEST([a, b, c]) AS doc_id FROM tri)
+             GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -757,7 +757,85 @@ object StockOps {
               SELECT user_id, state, ts AS valid_from,
                      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
                      CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
-              FROM c ORDER BY user_id, version"""))
+              FROM c ORDER BY user_id, version""")),
+
+    // BLOOM-FILTER SEMI-JOIN — the runtime-filter pattern every engine
+    // (Spark's own InjectRuntimeFilter included) uses to prune a big probe
+    // side before the real join: the build side (BUILDING-segment
+    // customers) is folded into an m=16384-bit, k=3 Bloom filter; probe
+    // rows (orders) whose 3 bit positions are not all set can NEVER join
+    // and are dropped at the scan. Here the filter itself stays a
+    // DISTINCT-positions TABLE (≤ m rows regardless of build size) and
+    // membership is a BROADCAST equi-join on the position — fully
+    // distributed, no driver bitset. Hashes are the catalog's md5→60-bit
+    // convention (engine-identical); Bloom guarantees no false NEGATIVES,
+    // so the emitted per-status false-positive count (bloom-pass minus
+    // exact semi-join pass) prices the filter: ~0 at sf0.01, rising with
+    // fill factor at sf0.1 — exactly the saturation curve a planner
+    // consults when sizing m.
+    Q("c36_bloom_semijoin",
+      (s, d) => {
+        val m = 16384L
+        def bpos(key: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column = pmod(
+          conv(substring(md5(concat_ws("#",
+            key.cast(StringType), lit(i).cast(StringType)).cast(BinaryType)), 1, 15), 16, 10)
+            .cast(LongType), lit(m))
+        val bk = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("k"))
+        val bloomPos = bk.select(explode(array(
+          bpos(col("k"), 0), bpos(col("k"), 1), bpos(col("k"), 2))).as("pos")).distinct()
+        val probe = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+          .withColumn("ps", array_distinct(array(
+            bpos(col("o_custkey"), 0), bpos(col("o_custkey"), 1), bpos(col("o_custkey"), 2))))
+          .withColumn("npos", size(col("ps")))
+        val passed = probe
+          .select(col("o_orderkey"), col("o_orderstatus"), col("npos"),
+            explode(col("ps")).as("pos"))
+          .join(broadcast(bloomPos), "pos")
+          .groupBy("o_orderkey")
+          .agg(first(col("o_orderstatus")).as("o_orderstatus"),
+            first(col("npos")).as("npos"), count(lit(1)).as("nhit"))
+          .where(col("nhit") === col("npos"))
+        val exact = t(s, d, "orders")
+          .join(broadcast(bk), col("o_custkey") === col("k"), "left_semi")
+        t(s, d, "orders").groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"))
+          .join(passed.groupBy("o_orderstatus").agg(count(lit(1)).as("n_bloom_pass")),
+            Seq("o_orderstatus"), "left")
+          .join(exact.groupBy("o_orderstatus").agg(count(lit(1)).as("n_exact")),
+            Seq("o_orderstatus"), "left")
+          .select(col("o_orderstatus"),
+            col("n_orders"),
+            coalesce(col("n_bloom_pass"), lit(0L)).as("n_bloom_pass"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            (coalesce(col("n_bloom_pass"), lit(0L)) -
+              coalesce(col("n_exact"), lit(0L))).as("n_false_pos"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH bk AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+                 bp AS (SELECT DISTINCT
+                          CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+                            % 16384 AS pos
+                        FROM bk, UNNEST([0, 1, 2]) t(i)),
+                 pp AS (SELECT o_orderkey, o_orderstatus, o_custkey,
+                          CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+                            % 16384 AS pos
+                        FROM orders, UNNEST([0, 1, 2]) t(i)),
+                 mk AS (SELECT pp.*, (bp.pos IS NOT NULL) AS hit
+                        FROM pp LEFT JOIN bp USING (pos)),
+                 ag AS (SELECT o_orderkey, MIN(o_orderstatus) AS o_orderstatus, MIN(o_custkey) AS ck,
+                               COUNT(DISTINCT pos) AS npos,
+                               COUNT(DISTINCT pos) FILTER (hit) AS nhit
+                        FROM mk GROUP BY o_orderkey),
+                 fl AS (SELECT o_orderstatus, (nhit = npos) AS bpass,
+                               EXISTS (SELECT 1 FROM bk WHERE bk.k = ag.ck) AS epass
+                        FROM ag)
+              SELECT o_orderstatus, COUNT(*) AS n_orders,
+                     CAST(COUNT(*) FILTER (bpass) AS BIGINT) AS n_bloom_pass,
+                     CAST(COUNT(*) FILTER (epass) AS BIGINT) AS n_exact,
+                     CAST(COUNT(*) FILTER (bpass) - COUNT(*) FILTER (epass) AS BIGINT) AS n_false_pos
+              FROM fl GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Count-Min sketch machinery, shared by c34 (batch) and x19 (streaming
