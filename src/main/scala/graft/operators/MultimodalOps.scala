@@ -226,6 +226,54 @@ object MultimodalOps {
               FROM fr a JOIN fr b ON a.digest = b.digest AND a.doc_id < b.doc_id
               GROUP BY 1, 2 HAVING COUNT(*) >= 4
               ORDER BY 1, 2"""),
+      bench = false),
+
+    // SCENE-CUT DETECTION — the video-curation primitive (segment a clip
+    // into shots before frame sampling): adjacent m03 frames whose COARSE
+    // feature changes mark a cut. Raw digests are useless for this (every
+    // adjacent fixture frame differs — verified); real detectors compare
+    // quantized perceptual features, so the feature here is the frame's
+    // integer intensity sum bucketed div 128 (the StubImageCodec
+    // convention: ASCII payload ⇒ byte sum == char-code sum, exact on
+    // both engines). The lag window is partitioned per media item — a
+    // HIGH-cardinality key (the c35 shape, not the bounded-domain
+    // funnel); everything else is map-only. Output per clip: frames,
+    // cuts, scenes (= cuts+1) — the fixture spreads 0–7 cuts.
+    Q("m07_scene_cuts",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+        t(s, d, "documents")
+          .withColumn("n", length(col("text")))
+          .where(col("n") >= 64)
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0L), least(floor((col("n") - 1) / 32).cast(LongType), lit(7L))),
+              i => col("text").substr((i * 32 + 1).cast(IntegerType), lit(16))))
+              .as(Seq("frame_idx", "fr")))
+          .withColumn("bkt", expr(
+            "aggregate(transform(sequence(1, 16), i -> ascii(substring(fr, i, 1))), 0, (a, x) -> a + x) div 128"))
+          .withColumn("pb", lag(col("bkt"), 1).over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            count_if(col("pb").isNotNull && col("bkt") =!= col("pb")).as("n_cuts"))
+          .withColumn("n_scenes", col("n_cuts") + 1)
+          .orderBy("doc_id")
+      },
+      Some("""WITH x AS (
+                SELECT doc_id, UNNEST(range(0, LEAST((length(text) - 1) // 32, 7) + 1)) AS frame_idx, text
+                FROM documents WHERE length(text) >= 64),
+              f AS (SELECT doc_id, frame_idx,
+                           list_sum(list_transform(range(1, 17),
+                             i -> ascii(substring(text, CAST(frame_idx * 32 + 1 AS INT), 16)[i]))) // 128 AS bkt
+                    FROM x),
+              l AS (SELECT doc_id, bkt,
+                           LAG(bkt) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pb
+                    FROM f)
+              SELECT doc_id, COUNT(*) AS n_frames,
+                     CAST(COUNT(*) FILTER (pb IS NOT NULL AND bkt <> pb) AS BIGINT) AS n_cuts,
+                     CAST(COUNT(*) FILTER (pb IS NOT NULL AND bkt <> pb) + 1 AS BIGINT) AS n_scenes
+              FROM l GROUP BY doc_id ORDER BY doc_id"""),
       bench = false)
   )
 }

@@ -1478,7 +1478,57 @@ object SimilarityOps {
                  SELECT qid, vec_id, cos_sim,
                         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
                  FROM fscored)
-               WHERE rk <= 3 ORDER BY qid, rk"""))
+               WHERE rk <= 3 ORDER BY qid, rk""")),
+
+    // kNN LABEL CLASSIFICATION — the auto-labeling/annotation pass a
+    // curation pipeline runs over unlabeled data: each probe's label is
+    // predicted by MAJORITY VOTE of its 5 nearest neighbors (exact cosine,
+    // self excluded) and scored against the probe's true label. Both
+    // top-k stages ride the two-phase perKeyTopK shape (local rank per
+    // input partition, final rank over ≤ k·parts survivors — never a
+    // per-probe funnel task); vote ties break (count desc, label asc) and
+    // neighbor ties (cos desc, vec_id asc) — the full trajectory is
+    // deterministic, so the oracle replays it with two ROW_NUMBER windows.
+    // At 100 TB the probe side is the small broadcast and the corpus
+    // streams — same cost shape as sim01; the IVF variants (sim03/sim22)
+    // are the pruned serving path for bigger probe sets.
+    Q("sim23_knn_classify",
+      (s, d) => {
+        val pairs = probePairs(s, d, 16).select("qid", "vec_id", "cos_sim")
+        val top = StockOps.perKeyTopK(pairs,
+          Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 5)
+        val lbl = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val votes = top.join(lbl, "vec_id")
+          .groupBy("qid", "label").agg(count(lit(1)).as("n_votes"))
+        val pred = StockOps.perKeyTopK(votes,
+          Seq("qid"), Seq(desc("n_votes"), col("label")), 1)
+          .select(col("qid"), col("label").as("pred_label"), col("n_votes"))
+        pred
+          .join(lbl.select(col("vec_id").as("qid"), col("label").as("true_label")), "qid")
+          .select(col("qid").as("vec_id"), col("true_label"), col("pred_label"),
+            col("n_votes").cast(LongType).as("n_votes"),
+            (col("pred_label") === col("true_label")).as("correct"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH top AS (
+                 SELECT qid, vec_id FROM (
+                   SELECT qid, vec_id,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                   FROM (${sqlProbePairs(16)}))
+                 WHERE rk <= 5),
+                 votes AS (SELECT t.qid, e.label, COUNT(*) AS n_votes
+                           FROM top t JOIN embeddings e ON e.vec_id = t.vec_id
+                           GROUP BY t.qid, e.label),
+                 pred AS (SELECT qid, label AS pred_label, n_votes FROM (
+                            SELECT qid, label, n_votes,
+                                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n_votes DESC, label) AS rn
+                            FROM votes)
+                          WHERE rn = 1)
+               SELECT p.qid AS vec_id, q.label AS true_label, p.pred_label,
+                      CAST(p.n_votes AS BIGINT) AS n_votes,
+                      (p.pred_label = q.label) AS correct
+               FROM pred p JOIN embeddings q ON q.vec_id = p.qid
+               ORDER BY vec_id"""))
   )
 
   /** Local alias to avoid a Catalog init cycle. */

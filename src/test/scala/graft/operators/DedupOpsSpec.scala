@@ -355,4 +355,29 @@ class DedupOpsSpec extends SparkSpec {
     // weighting must strictly shrink mass wherever a cluster exists
     assert(out.forall(r => r.getAs[Long]("effective_ppm") <= r.getAs[Long]("n_docs") * 1000000L))
   }
+
+  test("d20: every distinct line survives exactly once; untouched docs rebuild verbatim") {
+    val out = Catalog.byName("d20_line_dedup").build(spark, sfDir).collect()
+    // survivors partition the distinct-line space: Σ n_kept == |distinct lines|
+    val docs = Catalog.t(spark, sfDir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def lines(t: String): Seq[String] =
+      t.trim.split("\\s+", -1).grouped(10).map(_.mkString(" ")).toSeq
+    val allLines = docs.flatMap { case (_, t) => lines(t) }
+    assert(out.map(_.getAs[Long]("n_kept")).sum == allLines.distinct.length.toLong)
+    assert(out.map(_.getAs[Long]("n_lines")).sum == allLines.length.toLong)
+    // a doc whose lines are all first occurrences rebuilds to its
+    // space-normalized self
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    var untouched = 0
+    docs.foreach { case (id, t) =>
+      val r = byId(id)
+      if (r.getAs[Long]("n_kept") == r.getAs[Long]("n_lines")) {
+        assert(r.getAs[String]("content") == lines(t).mkString(" "), s"doc $id rebuild diverged")
+        untouched += 1
+      }
+    }
+    assert(untouched > 0 && untouched < docs.length,
+      "fixture exercises neither kept nor deduped docs")
+  }
 }

@@ -52,4 +52,28 @@ class GraphOpsSpec extends SparkSpec {
     val b = Catalog.byName("g01_link_pagerank").build(spark, sfDir).collect()
     assert(a.sameElements(b))
   }
+
+  test("g03: per-node counts match a driver-side brute-force triangle count") {
+    // independent first-principles oracle: collect the undirected simple
+    // graph (bounded: 3n edges) and count triangles via neighbor-set
+    // intersection per edge — no orientation, no joins.
+    val und = GraphOps.linkEdges(docs, n)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbr = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    und.foreach { case (u, v) => nbr(u) += v; nbr(v) += u }
+    val perNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    und.foreach { case (u, v) =>
+      (nbr(u) & nbr(v)).foreach { w => // triangle (u,v,w) seen once per edge
+        perNode(u) += 1; perNode(v) += 1; perNode(w) += 1
+      }
+    }
+    // each triangle has 3 edges, so the edge sweep counts it 3× per node
+    val expected = perNode.map { case (k, c) => k -> c / 3 }.filter(_._2 > 0)
+    val got = Catalog.byName("g03_triangle_count").build(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected.toMap, s"triangle participation mismatch")
+    assert(got.nonEmpty, "fixture graph has no triangles — signal degenerate")
+  }
 }

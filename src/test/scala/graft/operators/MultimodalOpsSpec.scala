@@ -45,4 +45,28 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(got === expect)
     assert(got.nonEmpty, "fixture has no frame-overlap pairs — spec exercises nothing")
   }
+
+  test("m07: scene counts match a driver recompute of the bucketed intensity walk") {
+    val out = Catalog.byName("m07_scene_cuts").build(spark, sfDir).collect()
+    val docs = Catalog.t(spark, sfDir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).filter(_._2.length >= 64)
+    assert(out.length == docs.length)
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { case (id, t) =>
+      val nFrames = math.min((t.length - 1) / 32, 7) + 1
+      val bkts = (0 until nFrames).map { i =>
+        // the tail frame may run past the payload: both engines' substring
+        // truncates (missing chars contribute 0 to the intensity sum)
+        t.substring(i * 32, math.min(i * 32 + 16, t.length)).map(_.toInt).sum / 128
+      }
+      val cuts = bkts.sliding(2).count { case Seq(a, b) => a != b; case _ => false }
+      val r = byId(id)
+      assert(r.getAs[Long]("n_frames") == nFrames.toLong, s"doc $id frame count")
+      assert(r.getAs[Long]("n_cuts") == cuts.toLong, s"doc $id cut count")
+      assert(r.getAs[Long]("n_scenes") == cuts.toLong + 1)
+    }
+    // the bucketing must spread: at least 3 distinct cut counts on the fixture
+    assert(out.map(_.getAs[Long]("n_cuts")).distinct.length >= 3,
+      "scene-cut signal degenerated to a constant")
+  }
 }

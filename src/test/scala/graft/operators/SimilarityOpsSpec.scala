@@ -290,4 +290,31 @@ class SimilarityOpsSpec extends SparkSpec {
     val perProbe = rows.groupBy(_.getAs[Long]("qid")).view.mapValues(_.length)
     perProbe.foreach { case (q, n) => assert(n == 3, s"probe $q returned $n < 3 results") }
   }
+
+  test("sim23: prediction is the majority label of the exact top-5 neighborhood") {
+    val out = Catalog.byName("sim23_knn_classify").build(spark, sfDir).collect()
+    assert(out.length == 16)
+    // independent neighborhood: brute-force top-5 per probe from the raw
+    // pair scores (ties: cos desc, vec_id asc), then recount the vote
+    val pairs = SimilarityOps.probePairs(spark, sfDir, 16)
+      .select("qid", "vec_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val labels = Catalog.t(spark, sfDir, "embeddings").select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byProbe = pairs.groupBy(_._1)
+    out.foreach { r =>
+      val q = r.getAs[Long]("vec_id")
+      val top5 = byProbe(q).sortBy(p => (-p._3, p._2)).take(5).map(p => labels(p._2))
+      val votes = top5.groupBy(identity).view.mapValues(_.size).toMap
+      val best = votes.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert(r.getAs[Int]("pred_label") == best._1 && r.getAs[Long]("n_votes") == best._2.toLong,
+        s"probe $q vote mismatch")
+      assert(r.getAs[Boolean]("correct") == (best._1 == labels(q)))
+    }
+    // near-orthogonal synthetic vectors make kNN labels mostly wrong (the
+    // sim17 recall story) — all-correct would mean the vote ignored the
+    // neighborhood; at sf0.1 the split is 4/12 (checked at build time)
+    val nc = out.count(_.getAs[Boolean]("correct"))
+    assert(nc < out.length)
+  }
 }

@@ -159,4 +159,27 @@ class StockOpsSpec extends SparkSpec {
       }
     }
   }
+
+  // ——— c36 Bloom semi-join invariants ———
+
+  test("c36: no false negatives, FP count non-negative, exact side independently verified") {
+    val out = Catalog.byName("c36_bloom_semijoin").build(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (orders, bloom, exact, fp) = (r.getAs[Long]("n_orders"),
+        r.getAs[Long]("n_bloom_pass"), r.getAs[Long]("n_exact"), r.getAs[Long]("n_false_pos"))
+      assert(bloom >= exact, s"false negative: bloom $bloom < exact $exact") // Bloom property
+      assert(fp == bloom - exact && fp >= 0)
+      assert(bloom <= orders)
+    }
+    // the exact column is a plain semi-join — recompute it independently
+    val bk = Catalog.t(spark, sfDir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey")).collect()
+      .map(_.getLong(0)).toSet
+    val expect = Catalog.t(spark, sfDir, "orders").collect()
+      .filter(r => bk(r.getAs[Long]("o_custkey")))
+      .groupBy(_.getAs[String]("o_orderstatus")).view.mapValues(_.length.toLong).toMap
+    val got = out.map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Long]("n_exact")).toMap
+    assert(got.filter(_._2 > 0) == expect)
+  }
 }

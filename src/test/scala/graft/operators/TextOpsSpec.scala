@@ -252,4 +252,32 @@ class TextOpsSpec extends SparkSpec {
     val expect = all.sortBy { case (id, sc) => (-sc, id) }.take(q1).toSet
     assert(got == expect, "global quartile selection diverged from the sorted truth")
   }
+
+  test("t29: pass verdict is exactly the conjunction of its emitted signals") {
+    val rows = Catalog.byName("t29_gopher_rules").build(spark, sfDir).collect()
+    var (nPass, nFail) = (0, 0)
+    rows.foreach { r =>
+      val (n, sl, na, ns, st) = (r.getAs[Long]("n_words"), r.getAs[Long]("sum_len"),
+        r.getAs[Long]("n_alpha"), r.getAs[Long]("n_sym"), r.getAs[Long]("n_stop"))
+      val expect = n >= 50 && n <= 100000 &&
+        sl >= n * 3 && sl <= n * 10 &&
+        ns * 10 <= n && na * 5 >= n * 4 && st >= 2
+      assert(r.getAs[Boolean]("pass") == expect, s"doc ${r.getAs[Long]("doc_id")}")
+      if (expect) nPass += 1 else nFail += 1
+    }
+    assert(nPass > 0 && nFail > 0, "fixture never exercises one side of the filter")
+    // signals agree with a direct driver recompute on a sample
+    val docs = Catalog.t(spark, sfDir, "documents").select("doc_id", "text")
+      .limit(50).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { case (id, t) =>
+      val toks = t.trim.split("\\s+", -1).toSeq
+      val r = byId(id)
+      assert(r.getAs[Long]("n_words") == toks.length.toLong)
+      assert(r.getAs[Long]("sum_len") == toks.map(_.length).sum.toLong)
+      assert(r.getAs[Long]("n_alpha") == toks.count(_.exists(c => c.isLetter && c < 128)).toLong)
+      assert(r.getAs[Long]("n_stop") ==
+        toks.distinct.count(Seq("the", "and", "of", "to", "a").contains).toLong)
+    }
+  }
 }
