@@ -299,6 +299,39 @@ object EngineOps {
       Some("""SELECT doc_id,
                      CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                      substring(hex(encode(text)), 1, 16) AS head_hex
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // EVENT-ABI DECODE — the canonical web3 analytic the reference's users
+    // run downstream of every logs scan: project ERC-20-Transfer-shaped
+    // events (exactly 3 topics = signature + 2 indexed address words) into
+    // a typed ledger. The indexed address is the LOW 20 BYTES of its
+    // 32-byte topic word (standard ABI truncation — last 40 hex chars);
+    // the unindexed value is the full 32-byte data word through the
+    // custom codegen'd hex_to_decimal (S18's >64-bit path), emitted as a
+    // string so the DECIMAL survives both engines' pandas conversion
+    // (the e02 max_td convention). Map-only over the connector scan —
+    // no shuffle at any scale; the one ORDER BY is the gate's
+    // presentation sort.
+    Q("e08_erc20_decode",
+      (s, d) => {
+        GraftFunctions.register(s)
+        s.read.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", "0").option("endBlock", "2999").load()
+          .where(size(col("topics")) === 3)
+          .select(col("blockNumber"), col("logIndex"), col("address").as("token"),
+            concat(lit("0x"), substring(element_at(col("topics"), 2), 27, 40)).as("from_addr"),
+            concat(lit("0x"), substring(element_at(col("topics"), 3), 27, 40)).as("to_addr"),
+            GraftFunctions.hex_to_decimal(col("data")).cast(StringType).as("value"))
+          .orderBy("blockNumber", "logIndex")
+      },
+      // the synthetic chain's data words are 64-bit-valued (leading 48 hex
+      // zeros by construction), so DuckDB's UBIGINT hex cast is exact here
+      Some(s"""SELECT blockNumber, logIndex, address AS token,
+                      '0x' || substring(topics[2], 27, 40) AS from_addr,
+                      '0x' || substring(topics[3], 27, 40) AS to_addr,
+                      CAST(CAST(data AS UBIGINT) AS VARCHAR) AS value
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE len(topics) = 3
+               ORDER BY blockNumber, logIndex"""))
   )
 }

@@ -202,6 +202,49 @@ object GraphOps {
                        WHERE EXISTS (SELECT 1 FROM o o3 WHERE o3.a = o1.a AND o3.b = o2.b))
              SELECT doc_id, COUNT(*) AS n_tri
              FROM (SELECT UNNEST([a, b, c]) AS doc_id FROM tri)
-             GROUP BY doc_id ORDER BY doc_id"""))
+             GROUP BY doc_id ORDER BY doc_id""")),
+
+    // HITS — hubs & authorities (Kleinberg), the directed complement of
+    // g01's PageRank: an authority is pointed at by good hubs, a hub
+    // points at good authorities. Two mutual-reinforcement rounds from
+    // unit hubs, entirely in INTEGER mass (hub₀=1 ⇒ auth₁ = in-degree ⇒
+    // hub₁ = Σ auth₁ over out-neighbors ⇒ auth₂ = Σ hub₁ over
+    // in-neighbors) — no normalization, so both engines walk a
+    // bit-identical trajectory (the g01 convention; real HITS normalizes
+    // per round, which only rescales the ranking this emits). Each round
+    // is one edge⋈mass equi-join + one map-side-combined aggregate — the
+    // Pregel-as-relational shape; zero-degree nodes keep mass 0 via the
+    // left joins.
+    Q("g04_hits",
+      (s, d) => {
+        val n = nodeCount(s, d)
+        val docs = t(s, d, "documents")
+        val ed = linkEdges(docs, n).where(col("src") =!= col("dst")).distinct()
+        val a1 = ed.groupBy(col("dst").as("doc_id")).agg(count(lit(1)).as("a1"))
+        val h1 = ed.join(a1.withColumnRenamed("doc_id", "dst"), "dst")
+          .groupBy(col("src").as("doc_id")).agg(sum("a1").as("h1"))
+        val a2 = ed.join(h1.withColumnRenamed("doc_id", "src"), "src")
+          .groupBy(col("dst").as("doc_id")).agg(sum("h1").as("a2"))
+        docs.select("doc_id")
+          .join(h1, Seq("doc_id"), "left")
+          .join(a2, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("h1"), lit(0L)).cast(LongType).as("hub_mass"),
+            coalesce(col("a2"), lit(0L)).cast(LongType).as("auth_mass"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $sqlEdges,
+               ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+               a1 AS (SELECT dst AS doc_id, COUNT(*) AS a1 FROM ed GROUP BY dst),
+               h1 AS (SELECT ed.src AS doc_id, SUM(a1.a1) AS h1
+                      FROM ed JOIN a1 ON a1.doc_id = ed.dst GROUP BY ed.src),
+               a2 AS (SELECT ed.dst AS doc_id, SUM(h1.h1) AS a2
+                      FROM ed JOIN h1 ON h1.doc_id = ed.src GROUP BY ed.dst)
+             SELECT d.doc_id,
+                    CAST(COALESCE(h1.h1, 0) AS BIGINT) AS hub_mass,
+                    CAST(COALESCE(a2.a2, 0) AS BIGINT) AS auth_mass
+             FROM documents d LEFT JOIN h1 USING (doc_id) LEFT JOIN a2 USING (doc_id)
+             ORDER BY doc_id"""))
   )
 }

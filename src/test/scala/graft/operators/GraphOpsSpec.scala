@@ -76,4 +76,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == expected.toMap, s"triangle participation mismatch")
     assert(got.nonEmpty, "fixture graph has no triangles — signal degenerate")
   }
+
+  test("g04: two HITS rounds match a driver-side brute-force walk from unit hubs") {
+    val ed = GraphOps.linkEdges(docs, n).where(col("src") =!= col("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a1 = ed.groupBy(_._2).view.mapValues(_.length.toLong).toMap // auth₁ = in-degree
+    val h1 = ed.groupBy(_._1).view
+      .mapValues(_.map(e => a1.getOrElse(e._2, 0L)).sum).toMap
+    val a2 = ed.groupBy(_._2).view
+      .mapValues(_.map(e => h1.getOrElse(e._1, 0L)).sum).toMap
+    val out = Catalog.byName("g04_hits").build(spark, sfDir).collect()
+    assert(out.length == n)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[Long]("hub_mass") == h1.getOrElse(id, 0L), s"hub mass of $id")
+      assert(r.getAs[Long]("auth_mass") == a2.getOrElse(id, 0L), s"auth mass of $id")
+    }
+    // mutual reinforcement must separate nodes: a constant column would
+    // mean the graph degenerated to regular (the g01 linear-mix lesson)
+    assert(out.map(_.getAs[Long]("hub_mass")).distinct.length > 3)
+    assert(out.map(_.getAs[Long]("auth_mass")).distinct.length > 3)
+  }
 }

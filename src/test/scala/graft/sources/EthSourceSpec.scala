@@ -166,4 +166,27 @@ class EthSourceSpec extends SparkSpec {
       .groupBy(_.blockNumber).map { case (k, v) => k -> v.size.toLong }
     assert(got === expected) // no loss, no duplicates — beats reference §8.3
   }
+
+  test("e08: ABI decode matches a pure recompute from the synthetic chain") {
+    val got = graft.operators.Catalog.byName("e08_erc20_decode")
+      .build(spark, sfDir).collect()
+    val rpc = new SyntheticRpc(42, 10000)
+    val expected = rpc.getLogs(0, 2999, Seq.empty, Seq.empty)
+      .filter(_.topics.length == 3)
+      .sortBy(l => (l.blockNumber, l.logIndex))
+      .map { l =>
+        (l.blockNumber, l.logIndex, l.address,
+          "0x" + l.topics(1).drop(2).takeRight(40),
+          "0x" + l.topics(2).drop(2).takeRight(40),
+          new java.math.BigInteger(l.data.stripPrefix("0x"), 16).toString)
+      }
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, e) =>
+      assert((r.getLong(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5)) == e)
+    }
+    // the value path must exercise > 63-bit words (the decimal decode path)
+    assert(expected.exists(e => new java.math.BigInteger(e._6).bitLength > 63),
+      "fixture never exercises the >Long hex decode path")
+  }
 }
