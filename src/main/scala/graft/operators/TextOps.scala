@@ -1216,6 +1216,55 @@ object TextOps {
                        AND n_sym * 10 <= n_words
                        AND n_alpha * 5 >= n_words * 4
                        AND n_stop >= 2) AS pass
-               FROM sg ORDER BY doc_id"""))
+               FROM sg ORDER BY doc_id""")),
+
+    // BIGRAM LM FLUENCY — the KenLM-style perplexity filter of CCNet/DCLM,
+    // in hash-gate-exact arithmetic: the corpus itself is the LM (bigram
+    // conditional c₂(w₁,w₂)/c₁(w₁), where c₁ counts w₁ as a HISTORY, so
+    // the model rows sum to 1 per history exactly), and a doc's fluency
+    // is the mean conditional probability over its bigrams in integer ppm
+    // (floor at both steps — no log/exp, the rational-idf convention:
+    // libm ulp skew would break cross-engine hashing; monotone in the
+    // geometric-mean ranking's place for filtering). Scale shape: two
+    // map-side-combined count aggregates build the model; scoring is two
+    // equi-joins on the bigram/history keys — the frequent-bigram skew on
+    // the c₂ join is the k01 salting candidate if a real corpus ever
+    // hot-spots one pair. Docs need ≥ 2 tokens to have a bigram at all.
+    Q("t30_bigram_lm",
+      (s, d) => {
+        val dt = t(s, d, "documents")
+          .select(col("doc_id"),
+            filter(tokens(col("text")), x => length(x) > 0).as("toks"))
+          .where(size(col("toks")) >= 2)
+        val bg = dt.select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("toks")) - 2),
+              i => struct(element_at(col("toks"), i + 1).as("w1"),
+                element_at(col("toks"), i + 2).as("w2")))).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
+            sum(expr("c2 * 1000000L div c1")).as("s"))
+          .select(col("doc_id"), col("n_bigrams"),
+            expr("s div n_bigrams").cast(LongType).as("fluency_ppm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dt AS (SELECT doc_id,
+                                 list_filter(string_split_regex(trim(text), '\s+'),
+                                             x -> length(x) > 0) AS toks
+                          FROM documents),
+                 bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                        FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks))) AS i
+                              FROM dt WHERE len(toks) >= 2)),
+                 c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+                 c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+                 per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                                SUM((c2.c2 * 1000000) // c1.c1) AS s
+                         FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                         GROUP BY 1)
+              SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                     CAST(s // n_bigrams AS BIGINT) AS fluency_ppm
+              FROM per ORDER BY doc_id"""))
   )
 }

@@ -280,4 +280,32 @@ class TextOpsSpec extends SparkSpec {
         toks.distinct.count(Seq("the", "and", "of", "to", "a").contains).toLong)
     }
   }
+
+  test("t30: fluency matches a driver-side bigram model built from the same corpus") {
+    val docs = Catalog.t(spark, sfDir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def toks(t: String): Seq[String] = t.trim.split("\\s+", -1).filter(_.nonEmpty).toSeq
+    val bigrams = docs.map { case (id, t) => id -> toks(t).sliding(2).filter(_.length == 2)
+      .map { case Seq(a, b) => (a, b) }.toSeq }.filter(_._2.nonEmpty)
+    val c2 = bigrams.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = bigrams.flatMap(_._2).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val out = Catalog.byName("t30_bigram_lm").build(spark, sfDir).collect()
+    assert(out.length == bigrams.length) // exactly the ≥2-token docs score
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    bigrams.foreach { case (id, bgs) =>
+      val s = bgs.map(b => c2(b) * 1000000L / c1(b._1)).sum
+      val r = byId(id)
+      assert(r.getAs[Long]("n_bigrams") == bgs.length.toLong, s"doc $id bigram count")
+      assert(r.getAs[Long]("fluency_ppm") == s / bgs.length, s"doc $id fluency")
+    }
+    // conditional rows sum to c1 per history (model is a proper distribution)
+    c1.foreach { case (w, c) =>
+      assert(c2.collect { case ((a, _), n) if a == w => n }.sum == c)
+    }
+    // a mean probability lives in (0, 1e6]; a constant column means the
+    // model degenerated (e.g. every bigram unique → fluency == floor(1e6/c1))
+    assert(out.forall(r => r.getAs[Long]("fluency_ppm") >= 0 &&
+      r.getAs[Long]("fluency_ppm") <= 1000000L))
+    assert(out.map(_.getAs[Long]("fluency_ppm")).distinct.length > 10)
+  }
 }
