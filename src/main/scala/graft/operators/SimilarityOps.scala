@@ -1528,7 +1528,97 @@ object SimilarityOps {
                       CAST(p.n_votes AS BIGINT) AS n_votes,
                       (p.pred_label = q.label) AS correct
                FROM pred p JOIN embeddings q ON q.vec_id = p.qid
-               ORDER BY vec_id"""))
+               ORDER BY vec_id""")),
+
+    // MMR DIVERSIFIED RE-RANKING — Carbonell–Goldstein maximal marginal
+    // relevance, the standard result-diversification pass over a retrieval
+    // candidate pool (dedup-at-serving-time: don't return 3 near-copies).
+    // Greedy: pick the most relevant candidate, then twice more the
+    // candidate maximizing 2·rel − max-sim-to-already-selected (λ=½ in
+    // doubled form — products/subtractions of identical doubles are exact
+    // on both engines, no libm). The pool is the exact top-8 per probe
+    // (perKeyTopK two-phase — never a per-probe funnel); the
+    // candidate-candidate sim table is a self equi-join ON qid, ≤ K²
+    // rows per probe — the pool bound, not the corpus, pays the quadratic.
+    // Each greedy step is anti-join (drop selected) + max-aggregate
+    // (redundancy) + perKeyTopK(1); ties break on vec_id so the whole
+    // trajectory is deterministic and the oracle replays it as CTEs.
+    Q("sim24_mmr_rerank",
+      (s, d) => {
+        val K = 8
+        val cand = StockOps.perKeyTopK(
+          probePairs(s, d, 16).select("qid", "vec_id", "cos_sim"),
+          Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), K).drop("rk")
+        val nv = withNorm(s, d).select(col("vec_id"), col("embedding"), col("norm2"))
+        val ce = cand.join(nv, "vec_id")
+        val p = ce.select(col("qid"), col("vec_id").as("i"),
+            col("embedding").as("e1"), col("norm2").as("n1"))
+          .join(ce.select(col("qid"), col("vec_id").as("j"),
+            col("embedding").as("e2"), col("norm2").as("n2")), Seq("qid"))
+          .where(col("i") =!= col("j"))
+          .select(col("qid"), col("i"), col("j"),
+            cosine(scaledDot(col("e1"), col("e2")), col("n1"), col("n2")).as("sim"))
+        def top1(df: org.apache.spark.sql.DataFrame, step: Int) =
+          StockOps.perKeyTopK(df, Seq("qid"), Seq(desc("mmr"), col("vec_id")), 1)
+            .drop("rk").withColumn("rk", lit(step))
+        val s1 = top1(cand.withColumn("mmr", col("cos_sim") * 2), 1)
+        def step(sel: org.apache.spark.sql.DataFrame, k: Int) = {
+          val selIds = sel.select(col("qid"), col("vec_id"))
+          val rem = cand.join(selIds, Seq("qid", "vec_id"), "left_anti")
+          val red = p.join(selIds.withColumnRenamed("vec_id", "j"), Seq("qid", "j"))
+            .groupBy("qid", "i").agg(max("sim").as("red"))
+            .withColumnRenamed("i", "vec_id")
+          top1(rem.join(red, Seq("qid", "vec_id"))
+            .withColumn("mmr", col("cos_sim") * 2 - col("red")).drop("red"), k)
+        }
+        val s2 = step(s1, 2)
+        val s3 = step(s1.unionByName(s2), 3)
+        s1.unionByName(s2).unionByName(s3)
+          .select(col("qid"), col("rk"), col("vec_id"), col("cos_sim"), col("mmr"))
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH cand AS (
+                 SELECT qid, vec_id, cos_sim FROM (
+                   SELECT qid, vec_id, cos_sim,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+                   FROM (${sqlProbePairs(16)}))
+                 WHERE rn <= 8),
+               ce AS (SELECT c.qid, c.vec_id, c.cos_sim, n.embedding, n.norm2
+                      FROM cand c JOIN (SELECT vec_id, embedding, $sqlNorm2 AS norm2
+                                        FROM embeddings) n USING (vec_id)),
+               p AS (SELECT a.qid, a.vec_id AS i, b.vec_id AS j,
+                            $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS sim
+                     FROM ce a JOIN ce b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+               s1 AS (SELECT qid, vec_id, cos_sim, 2 * cos_sim AS mmr FROM (
+                        SELECT qid, vec_id, cos_sim,
+                               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+                        FROM cand) WHERE rn = 1),
+               r2 AS (SELECT p.qid, p.i AS vec_id, MAX(p.sim) AS red
+                      FROM p JOIN s1 ON s1.qid = p.qid AND s1.vec_id = p.j GROUP BY 1, 2),
+               s2 AS (SELECT qid, vec_id, cos_sim, mmr FROM (
+                        SELECT c.qid, c.vec_id, c.cos_sim, 2 * c.cos_sim - r.red AS mmr,
+                               ROW_NUMBER() OVER (PARTITION BY c.qid
+                                 ORDER BY 2 * c.cos_sim - r.red DESC, c.vec_id) AS rn
+                        FROM cand c JOIN r2 r ON r.qid = c.qid AND r.vec_id = c.vec_id
+                        WHERE NOT EXISTS (SELECT 1 FROM s1 s
+                                          WHERE s.qid = c.qid AND s.vec_id = c.vec_id))
+                      WHERE rn = 1),
+               s12 AS (SELECT qid, vec_id FROM s1 UNION ALL SELECT qid, vec_id FROM s2),
+               r3 AS (SELECT p.qid, p.i AS vec_id, MAX(p.sim) AS red
+                      FROM p JOIN s12 s ON s.qid = p.qid AND s.vec_id = p.j GROUP BY 1, 2),
+               s3 AS (SELECT qid, vec_id, cos_sim, mmr FROM (
+                        SELECT c.qid, c.vec_id, c.cos_sim, 2 * c.cos_sim - r.red AS mmr,
+                               ROW_NUMBER() OVER (PARTITION BY c.qid
+                                 ORDER BY 2 * c.cos_sim - r.red DESC, c.vec_id) AS rn
+                        FROM cand c JOIN r3 r ON r.qid = c.qid AND r.vec_id = c.vec_id
+                        WHERE NOT EXISTS (SELECT 1 FROM s12 s
+                                          WHERE s.qid = c.qid AND s.vec_id = c.vec_id))
+                      WHERE rn = 1)
+               SELECT qid, rk, vec_id, cos_sim, mmr FROM (
+                 SELECT qid, 1 AS rk, vec_id, cos_sim, mmr FROM s1
+                 UNION ALL SELECT qid, 2, vec_id, cos_sim, mmr FROM s2
+                 UNION ALL SELECT qid, 3, vec_id, cos_sim, mmr FROM s3)
+               ORDER BY qid, rk"""))
   )
 
   /** Local alias to avoid a Catalog init cycle. */

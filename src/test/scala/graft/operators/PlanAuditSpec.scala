@@ -39,6 +39,7 @@ class PlanAuditSpec extends SparkSpec {
     // exact-baseline shape; sim02/sim03 are the bucketed scale paths
     "sim01_topk_cosine" -> Set("BroadcastNestedLoopJoin"),
     "sim23_knn_classify" -> Set("BroadcastNestedLoopJoin"),
+    "sim24_mmr_rerank" -> Set("BroadcastNestedLoopJoin"),
     "sim06_hard_negatives" -> Set("BroadcastNestedLoopJoin"),
     "sim17_pq_recall" -> Set("BroadcastNestedLoopJoin"),
     "sim19_pq_adc_rerank" -> Set("BroadcastNestedLoopJoin"),
@@ -188,7 +189,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim20_ivfpq_search" -> "perKeyTopK phase 2 + probeCells (<= IvfCells rows per qid) + pqEncodedWith argmin on (vec_id, subspace) — corpus-cardinality keys",
     "sim21_ivfpq_recall" -> "sim20's windows + brute-force truth perKeyTopK phase 2: <= k*parts rows per qid",
     "sim22_filtered_ann" -> "perKeyTopK phase 2 + probeCells (<= IvfCells rows per qid)",
-    "sim23_knn_classify" -> "perKeyTopK phase 2 (neighbors + vote argmax): <= k*parts rows per qid")
+    "sim23_knn_classify" -> "perKeyTopK phase 2 (neighbors + vote argmax): <= k*parts rows per qid",
+    "sim24_mmr_rerank" -> "perKeyTopK phase 2 (pool + 3 greedy argmax steps): <= k*parts rows per qid")
 
   private def lowCardWindowKeys(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
     df.queryExecution.sparkPlan.collect {

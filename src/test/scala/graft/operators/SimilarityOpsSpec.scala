@@ -317,4 +317,43 @@ class SimilarityOpsSpec extends SparkSpec {
     val nc = out.count(_.getAs[Boolean]("correct"))
     assert(nc < out.length)
   }
+
+  test("sim24: selection replays a driver-side greedy MMR walk over the top-8 pool") {
+    val out = Catalog.byName("sim24_mmr_rerank").build(spark, sfDir).collect()
+    assert(out.length == 48) // 16 probes × 3 picks
+    val pairs = SimilarityOps.probePairs(spark, sfDir, 16)
+      .select("qid", "vec_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // candidate-candidate cosine recomputed from raw embeddings with the
+    // engine's exact scaled-integer dot (bounded: 16 pools × 8 vectors)
+    val emb = Catalog.t(spark, sfDir, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def sdot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (u, v) => math.floor(u.toDouble * v.toDouble * 1e15).toLong }.sum
+      sdot(a, b).toDouble / math.sqrt(sdot(a, a).toDouble * sdot(b, b).toDouble)
+    }
+    val byProbe = pairs.groupBy(_._1)
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (q, rows) =>
+      val pool = byProbe(q).sortBy(p => (-p._3, p._2)).take(8)
+        .map(p => p._2 -> p._3)
+      var selected = Vector(pool.head._1) // step 1: pure relevance
+      (2 to 3).foreach { _ =>
+        val best = pool.filterNot(c => selected.contains(c._1)).map { case (id, rel) =>
+          val red = selected.map(s => cos(emb(id), emb(s))).max
+          (id, 2 * rel - red)
+        }.minBy { case (id, mmr) => (-mmr, id) }
+        selected :+= best._1
+      }
+      val got = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("vec_id")).toVector
+      assert(got == selected, s"probe $q MMR trajectory diverged")
+    }
+    // diversification must BITE somewhere: if every probe's MMR pick equals
+    // its plain top-3, the redundancy term did nothing on this fixture
+    val plain = byProbe.view.mapValues(_.sortBy(p => (-p._3, p._2)).take(3).map(_._2).toVector)
+    val diverged = out.groupBy(_.getAs[Long]("qid")).count { case (q, rows) =>
+      rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("vec_id")).toVector != plain(q)
+    }
+    assert(diverged > 0, "MMR never diverged from plain top-3 — redundancy term inert")
+  }
 }
