@@ -820,6 +820,58 @@ object StreamShape {
         StockOps.cmsCompare(Catalog.t(s, d, "events"), merged)
       },
       Some(StockOps.sqlCms),
+      bench = false),
+
+    // STREAM-STATIC BROADCAST ENRICHMENT — the dimension-join shape x06's
+    // stream-STREAM join deliberately doesn't cover: a live log stream
+    // enriched against a STATIC dimension (block headers read once in
+    // batch). Statelessness is the whole point at 100 TB — a broadcast
+    // hash join per micro-batch, no state store, no watermark, no shuffle
+    // of the stream side — so the query REQUIRES that plan shape per
+    // batch (BroadcastHashJoin present, zero StateStore operators) the
+    // same way e04 requires its pushdown; a regression to a stateful or
+    // shuffled join fails the gate, not just a spec. Drained in ≥ 2
+    // micro-batches; oracle = the same join over the chain dumps.
+    Q("x20_stream_static_enrich",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ckpt = java.nio.file.Files.createTempDirectory("x20ckpt").toString
+        val out = java.nio.file.Files.createTempDirectory("x20out").toString
+        val dim = s.read.format("graft-eth").option("dataset", "blocks")
+          .option("startBlock", "0").option("endBlock", "999").load()
+          .select(col("number"), col("gasUsed"))
+        val logs = s.readStream.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", "0").option("head", "999")
+          .option("maxBlocksPerTrigger", "500").load()
+        val sq = logs.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty) {
+              val enriched = batch.join(broadcast(dim), batch("blockNumber") === dim("number"))
+                .select(batch("blockNumber"), col("logIndex"), col("address"),
+                  expr("gasUsed div 4194304").as("gas_tier"))
+              val plan = enriched.queryExecution.executedPlan.toString
+              require(plan.contains("BroadcastHashJoin"),
+                s"static dim was not broadcast in the micro-batch plan:\n$plan")
+              require(!plan.contains("StateStore"),
+                s"stream-static join must be stateless, found state operators:\n$plan")
+              enriched.write.mode("append").parquet(out)
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fedBatches = sq.recentProgress.count(_.numInputRows > 0)
+        require(fedBatches >= 2,
+          s"x20 drained in $fedBatches micro-batch(es) — per-batch enrichment was not exercised")
+        s.read.parquet(out).orderBy("blockNumber", "logIndex")
+      },
+      Some(s"""SELECT l.blockNumber, l.logIndex, l.address,
+                      b.gasUsed // 4194304 AS gas_tier
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet' l
+               JOIN '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet' b
+                 ON l.blockNumber = b.number
+               ORDER BY blockNumber, logIndex"""),
       bench = false)
   )
 }
