@@ -835,7 +835,48 @@ object StockOps {
                      CAST(COUNT(*) FILTER (bpass) AS BIGINT) AS n_bloom_pass,
                      CAST(COUNT(*) FILTER (epass) AS BIGINT) AS n_exact,
                      CAST(COUNT(*) FILTER (bpass) - COUNT(*) FILTER (epass) AS BIGINT) AS n_false_pos
-              FROM fl GROUP BY 1 ORDER BY 1"""))
+              FROM fl GROUP BY 1 ORDER BY 1""")),
+
+    // MERGEABLE QUANTILE SKETCH — the distributed complement of c24's
+    // exact percentiles: a fixed-width histogram (width 1000 over
+    // o_totalprice) whose bucket-count table IS the sketch — mergeable by
+    // addition across executors/micro-batches (the x19 CMS convention),
+    // O(value-range/width) rows no matter the data size. The quantile
+    // read-out is the smallest bucket whose running mass crosses
+    // ceil(q·n) — compared in exact integer cross-multiplied form
+    // (cum·100 ≥ q·n, no ceil, no floats). The prefix sum rides
+    // groupedRunningTotal (two-phase range-partitioned — no funnel even
+    // though the sketch is small today); the 4-threshold probe is a
+    // broadcast inequality join against the BOUNDED sketch domain, never
+    // the data. Approximation contract (spec-pinned): true quantile lies
+    // in [approx_value, approx_value + 1000).
+    Q("c37_quantile_sketch",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val bc = orders
+          .select(floor(col("o_totalprice") / 1000).cast(LongType).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("c"))
+        val cum = groupedRunningTotal(bc.withColumn("k", lit(1)), "k", "bucket", "c", "cum")
+        val n = orders.agg(count(lit(1)).as("n_total"))
+        val qs = s.range(1)
+          .select(explode(array(lit(25), lit(50), lit(75), lit(95))).as("q_pct"))
+          .crossJoin(broadcast(n))
+        qs.join(cum, col("cum") * 100 >= col("q_pct") * col("n_total"))
+          .groupBy("q_pct").agg(min("bucket").as("bucket"),
+            (min("bucket") * 1000).cast(LongType).as("approx_value"),
+            max("n_total").as("n_total"))
+          .orderBy("q_pct")
+      },
+      Some("""WITH bc AS (SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bucket, COUNT(*) AS c
+                          FROM orders GROUP BY 1),
+                 cum AS (SELECT bucket, SUM(c) OVER (ORDER BY bucket) AS cum FROM bc),
+                 n AS (SELECT COUNT(*) AS n_total FROM orders),
+                 qs AS (SELECT UNNEST([25, 50, 75, 95]) AS q_pct)
+              SELECT q.q_pct, MIN(c.bucket) AS bucket,
+                     CAST(MIN(c.bucket) * 1000 AS BIGINT) AS approx_value,
+                     (SELECT n_total FROM n) AS n_total
+              FROM qs q JOIN cum c ON c.cum * 100 >= q.q_pct * (SELECT n_total FROM n)
+              GROUP BY 1 ORDER BY q_pct"""))
   )
 
   /** Count-Min sketch machinery, shared by c34 (batch) and x19 (streaming

@@ -57,7 +57,11 @@ class PlanAuditSpec extends SparkSpec {
     "e02_eth_blocks_scan" -> Set("SinglePartition"),
     "e03_eth_bisection" -> Set("SinglePartition"),
     // chunk planning: a 1-row MAX drives the sequence explode
-    "s05_chunk_plan" -> Set("SinglePartition"))
+    "s05_chunk_plan" -> Set("SinglePartition"),
+    // quantile read-out: a 4-row threshold probe inequality-joins the
+    // BOUNDED histogram sketch (≤ value-range/width rows) — the 1-row
+    // n_total crossJoin and the BNLJ touch sketch-sized relations only
+    "c37_quantile_sketch" -> Set("SinglePartition", "BroadcastNestedLoopJoin"))
 
   test("no catalog query plans cartesian / nested-loop / single-partition shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -182,4 +182,31 @@ class StockOpsSpec extends SparkSpec {
     val got = out.map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Long]("n_exact")).toMap
     assert(got.filter(_._2 > 0) == expect)
   }
+
+  // ——— c37 quantile-sketch contract ———
+
+  test("c37: true quantile lies in [approx, approx + width); sketch merges by addition") {
+    val out = Catalog.byName("c37_quantile_sketch").build(spark, sfDir).collect()
+    val prices = Catalog.t(spark, sfDir, "orders")
+      .select("o_totalprice").collect().map(_.getDouble(0)).sorted
+    val n = prices.length
+    assert(out.length == 4 && out.forall(_.getAs[Long]("n_total") == n.toLong))
+    out.foreach { r =>
+      val q = r.getAs[Int]("q_pct")
+      // smallest value v with |{x <= v}| * 100 >= q * n — the read-out's
+      // own definition, recomputed from the exact sorted data
+      val tru = prices((q * n + 99) / 100 - 1)
+      val lo = r.getAs[Long]("approx_value").toDouble
+      assert(tru >= lo && tru < lo + 1000, s"q=$q: true $tru outside [$lo, ${lo + 1000})")
+    }
+    // mergeability: sketches of disjoint halves, summed per bucket, equal
+    // the whole-data sketch (the property that makes it an executor- and
+    // micro-batch-combinable summary)
+    def sketch(xs: Seq[Double]): Map[Long, Long] =
+      xs.groupBy(x => math.floor(x / 1000).toLong).view.mapValues(_.length.toLong).toMap
+    val (h1, h2) = prices.splitAt(n / 2)
+    val merged = (sketch(h1).toSeq ++ sketch(h2).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(merged == sketch(prices.toSeq))
+  }
 }
