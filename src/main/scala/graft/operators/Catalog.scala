@@ -17,21 +17,38 @@ final case class Q(
 object Catalog {
   /** Load one driver-provided parquet table. The read is a plain
     * DataSource scan so Catalyst pushes filters/pruning into parquet.
-    *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; we read it as a nanos-since-epoch long
-    * (`nanosAsLong`) and restore a proper TimestampType column with exact
-    * integer division (micros = nanos DIV 1000 — matches DuckDB's own
-    * ns→us view of the same file).
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // idempotent
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
   }
+
+  /** Normalize `events.ts` to a session-UTC TimestampType column carrying
+    * the exact micros the DuckDB oracles see via `epoch_ns(ts) // 1000`.
+    * The driver has written the column two ways across rounds:
+    *
+    *  - parquet TIMESTAMP(NANOS) (rounds ≤ 5) — Spark's vectorized reader
+    *    rejects it, so it arrives as a nanos-since-epoch long under
+    *    `nanosAsLong`; restored by exact integer division (µs = ns DIV
+    *    1000 — matches DuckDB's ns→µs view of the same file);
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 6 data) —
+    *    Spark 4 infers TIMESTAMP_NTZ; the cast to TimestampType under the
+    *    project-wide UTC session timezone is micros-preserving.
+    *
+    * Every events read (batch via [[t]], the streaming file sources in
+    * StreamShape) funnels through here, so a future fixture change fails
+    * in ONE place.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"unexpected events.ts type $other — extend Catalog.normalizeEventTs")
+    }
 
   /** Exact decimal view of a double column: makes SUM/AVG order-independent
     * (decimal addition is exact and associative) so Spark and the DuckDB

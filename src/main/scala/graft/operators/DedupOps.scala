@@ -61,12 +61,13 @@ object DedupOps {
     */
   val HotShingleDfCap = 50
 
-  /** Shared oracle CTEs: the exact 3-shingle Jaccard pair graph (J ≥ 0.2,
-    * lang-blocked, hot shingles df-capped out of the join) as
-    * `jpairs(da, db, inter, uni, jaccard)` — used by d02 and as the base of
-    * the recursive-CTE clustering oracles (d06b/d07b).
+  /** Shared oracle CTEs: the exact lang-blocked, df-capped 3-shingle pair
+    * graph — UNthresholded — as `pgraph(da, db, sza, szb, inter, uni,
+    * jaccard)`. [[sqlJaccardCtes]] adds the J ≥ 0.2 cut (d02 and the
+    * recursive-CTE clustering oracles d06b/d07b); d21 cuts on containment
+    * instead.
     */
-  val sqlJaccardCtes: String =
+  val sqlPairGraphCtes: String =
     s"""sh AS (
           SELECT doc_id, lang, $sqlShingles3 AS sh
           FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents)),
@@ -88,11 +89,16 @@ object DedupOps {
                  p.cold + COALESCE(len(list_intersect(ha.hsh, hb.hsh)), 0) AS inter
           FROM prs p LEFT JOIN hsets ha ON ha.doc_id = p.da
                      LEFT JOIN hsets hb ON hb.doc_id = p.db),
-        jpairs AS (
-          SELECT da, db, inter, sza + szb - inter AS uni,
+        pgraph AS (
+          SELECT da, db, sza, szb, inter, sza + szb - inter AS uni,
                  CAST(inter AS DOUBLE) / (sza + szb - inter) AS jaccard
-          FROM prsh
-          WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.2)"""
+          FROM prsh)"""
+
+  /** `sqlPairGraphCtes` + the J ≥ 0.2 cut — the d02/d06b/d07b view. */
+  val sqlJaccardCtes: String =
+    s"""$sqlPairGraphCtes,
+        jpairs AS (SELECT da, db, inter, uni, jaccard FROM pgraph
+                   WHERE jaccard >= 0.2)"""
 
   /** Recursive-CTE connected components over `jpairs`: `reach(id, r)` is the
     * transitive closure of the symmetrized edge list; min reachable id =
@@ -299,7 +305,14 @@ object DedupOps {
     * documented loss mode — all its evidence is ubiquitous). `dfCap < 0`
     * disables the cap (spec baseline).
     */
-  def jaccardPairs(s: SparkSession, d: String, dfCap: Int): DataFrame = {
+  def jaccardPairs(s: SparkSession, d: String, dfCap: Int): DataFrame =
+    shinglePairGraph(s, d, dfCap).where(col("jaccard") >= 0.2)
+
+  /** The UNthresholded pair graph behind [[jaccardPairs]] (same candidate
+    * generation, no J cut) — d21 applies a containment cut instead.
+    * [[sqlPairGraphCtes]] is the SQL twin.
+    */
+  def shinglePairGraph(s: SparkSession, d: String, dfCap: Int): DataFrame = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sh"))
       .withColumn("sz", size(col("sh")))
@@ -330,7 +343,6 @@ object DedupOps {
     withInter.select("da", "db", "sza", "szb", "inter")
       .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
-      .where(col("jaccard") >= 0.2)
   }
 
   /** Oracle CTEs for 8-gram benchmark decontamination → `cont(doc_id)`,
@@ -1007,6 +1019,30 @@ object DedupOps {
                       CAST(COUNT(*) FILTER (occ = canon) AS BIGINT) AS n_kept,
                       COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (occ = canon), '') AS content
                FROM oc JOIN fo USING (line)
-               GROUP BY doc_id ORDER BY doc_id"""))
+               GROUP BY doc_id ORDER BY doc_id""")),
+
+    // CONTAINMENT NEAR-DUP — the asymmetric complement of d02: report
+    // pairs where the SMALLER shingle set is ≥ 80% covered by the
+    // intersection (|A∩B| ∕ min(|A|,|B|)). Catches a short document
+    // embedded in a longer one, which symmetric Jaccard structurally
+    // misses (inter = |A| but union ≈ |B| ⇒ J small) — the "quote of a
+    // whole article" duplication mode. Same df-capped shingle-join
+    // candidate space as d02 (bounded fan-out, exact inter restored from
+    // hot sets); the threshold is an integer cross-multiplication
+    // (inter·5 ≥ min·4) — no floats in the predicate. `contained_id`
+    // reports the direction (the covered side; ties → da).
+    Q("d21_containment",
+      (s, d) => shinglePairGraph(s, d, HotShingleDfCap)
+        .where(col("inter") * 5 >= least(col("sza"), col("szb")) * 4)
+        .withColumn("contained_id",
+          when(col("szb") < col("sza"), col("db")).otherwise(col("da")))
+        .select("da", "db", "sza", "szb", "inter", "contained_id")
+        .orderBy("da", "db"),
+      Some(s"""WITH $sqlPairGraphCtes
+               SELECT da, db, sza, szb, inter,
+                      CASE WHEN szb < sza THEN db ELSE da END AS contained_id
+               FROM pgraph
+               WHERE inter * 5 >= LEAST(sza, szb) * 4
+               ORDER BY da, db"""))
   )
 }

@@ -103,6 +103,14 @@ object GraphOps {
   private def nodeCount(s: SparkSession, d: String): Long =
     t(s, d, "documents").count()
 
+  /** k-core threshold: nodes must keep ≥ 4 undirected neighbors to
+    * survive a peel round (avg degree of the derived graph is ~2·OutDeg,
+    * so 4 peels a meaningful fraction each round). Declared BEFORE
+    * `val all` — g05's oracle string interpolates it at init (the sqlCms
+    * lesson).
+    */
+  val KCoreK = 4
+
   val all: Seq[Q] = Seq(
     // PAGERANK — 3 damped integer-mass iterations over the derived link
     // graph; output is the full (doc_id, mass) rank table. The oracle
@@ -245,6 +253,54 @@ object GraphOps {
                     CAST(COALESCE(h1.h1, 0) AS BIGINT) AS hub_mass,
                     CAST(COALESCE(a2.a2, 0) AS BIGINT) AS auth_mass
              FROM documents d LEFT JOIN h1 USING (doc_id) LEFT JOIN a2 USING (doc_id)
-             ORDER BY doc_id"""))
+             ORDER BY doc_id""")),
+
+    // K-CORE PEELING — iterative degeneracy filter on the undirected
+    // simple link graph: repeatedly delete nodes of degree < K (here 3
+    // peel rounds; the oracle replays every round as a CTE chain — the
+    // g01/t25 replayed-training convention). Each round is one
+    // map-side-combined degree aggregate plus two semi-joins of the edge
+    // table against the survivor set — the same per-iteration shuffle
+    // shape as the d06 connected-components loop; per-round
+    // localCheckpoint truncates lineage so iteration N doesn't replan
+    // rounds 1..N−1; nothing per-node ever reaches the driver. Output:
+    // the peeling trajectory (nodes/edges surviving each round) — a
+    // bounded 3-row audit table.
+    Q("g05_kcore",
+      (s, d) => {
+        val n = nodeCount(s, d)
+        val docs = t(s, d, "documents")
+        val base = linkEdges(docs, n).where(col("src") =!= col("dst"))
+        val und = base.select(col("src").as("u"), col("dst").as("v"))
+          .union(base.select(col("dst").as("u"), col("src").as("v")))
+          .distinct()
+        var edges = und
+        val rounds = (1 to 3).map { r =>
+          val surv = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+            .where(col("deg") >= KCoreK).select("u")
+          edges = edges.join(surv, "u")
+            .join(surv.withColumnRenamed("u", "v"), "v")
+            .select("u", "v").localCheckpoint()
+          edges.agg(count_distinct(col("u")).as("n_nodes"),
+              expr("count(1) div 2").as("n_edges"))
+            .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+        }
+        rounds.reduce(_ union _).orderBy("round")
+      },
+      Some(
+        s"""WITH $sqlEdges,
+               e0 AS (SELECT src AS u, dst AS v FROM e WHERE src <> dst
+                      UNION SELECT dst, src FROM e WHERE src <> dst),
+               ${(1 to 3).map(r =>
+                 s"""s$r AS (SELECT u FROM e${r - 1} GROUP BY u HAVING COUNT(*) >= $KCoreK),
+                     e$r AS (SELECT p.u, p.v FROM e${r - 1} p
+                             JOIN s$r a ON a.u = p.u JOIN s$r b ON b.u = p.v)""").mkString(",\n")}
+             SELECT * FROM (
+               ${(1 to 3).map(r =>
+                 s"""SELECT CAST($r AS BIGINT) AS round,
+                            COUNT(DISTINCT u) AS n_nodes,
+                            CAST(COUNT(*) // 2 AS BIGINT) AS n_edges FROM e$r""")
+                 .mkString(" UNION ALL ")})
+             ORDER BY round"""))
   )
 }

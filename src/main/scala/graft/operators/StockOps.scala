@@ -160,6 +160,27 @@ object StockOps {
       .drop("__pid", "__lrk")
   }
 
+  /** KMV sketch parameters: hash modulus (prime, the t16 shuffle-key
+    * modulus) and sketch size (small enough that the sketch FILLS on the
+    * fixture's 15-distinct-user domain, so the estimator path is the one
+    * exercised). Declared BEFORE `val all` — object vals initialize in
+    * declaration order, and c38's oracle string interpolates these (the
+    * sqlCms lesson).
+    */
+  val KmvM = 1000000007L
+  val KmvK = 8
+
+  /** Read a KMV sketch out of its k-smallest-hash rows (`perKeyTopK`
+    * output): sketch size, k-th minimum, and the (k−1)·M ∕ h_(k) distinct
+    * estimate (exact sketch size when the sketch never filled).
+    */
+  def kmvEstimate(top: DataFrame): DataFrame =
+    top.groupBy("event_type")
+      .agg(count(lit(1)).as("sketch_k"), max(col("h")).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("sketch_k") < KmvK, col("sketch_k"))
+          .otherwise(expr(s"${(KmvK - 1).toLong * KmvM}L div kth_hash")))
+
   val all: Seq[Q] = Seq(
     // Ranking window functions (row_number / rank / dense_rank).
     Q("c01_window_rank",
@@ -876,8 +897,83 @@ object StockOps {
                      CAST(MIN(c.bucket) * 1000 AS BIGINT) AS approx_value,
                      (SELECT n_total FROM n) AS n_total
               FROM qs q JOIN cum c ON c.cum * 100 >= q.q_pct * (SELECT n_total FROM n)
-              GROUP BY 1 ORDER BY q_pct"""))
+              GROUP BY 1 ORDER BY q_pct""")),
+
+    // MERGEABLE KMV DISTINCT SKETCH — the k-minimum-values estimator
+    // (Bar-Yossef et al. 2002): keep each group's k smallest DISTINCT hash
+    // values; when the sketch is full, distinct ≈ (k−1)·M ∕ h_(k). The
+    // sketch is a bounded value set, so shard partials merge by
+    // union + re-take-k — merge(sketch(A), sketch(B)) == sketch(A ∪ B) is
+    // spec-pinned (StockOpsSpec), making this the distinct-count member of
+    // the mergeable-sketch family (c34 CMS = frequency, c37 = quantiles,
+    // c26 = Spark's built-in HLL). Hashes are the catalog's deterministic
+    // multiplicative id-mix (no rand(), identical cross-engine); the
+    // per-key k-smallest rides the two-phase perKeyTopK — never a
+    // one-task-per-key window; the estimate is integer floor division, so
+    // both engines read out bit-identical counts. true_distinct is carried
+    // alongside to price the approximation in-oracle (the sim04/c34
+    // convention).
+    Q("c38_kmv_sketch",
+      (s, d) => {
+        val h = t(s, d, "events")
+          .select(col("event_type"), docHash(col("user_id"), KmvM).as("h"))
+          .distinct()
+        val top = perKeyTopK(h, Seq("event_type"), Seq(col("h")), KmvK)
+        val tru = t(s, d, "events").groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("true_distinct"))
+        kmvEstimate(top).join(tru, "event_type")
+          .select("event_type", "sketch_k", "kth_hash", "est_distinct", "true_distinct")
+          .orderBy("event_type")
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT event_type, ${sqlDocHash("user_id", KmvM)} AS h FROM events),
+                 r AS (SELECT event_type, h,
+                              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+                 top AS (SELECT event_type, COUNT(*) AS sketch_k, MAX(h) AS kth_hash
+                         FROM r WHERE rk <= $KmvK GROUP BY 1),
+                 tru AS (SELECT event_type, COUNT(DISTINCT user_id) AS true_distinct
+                         FROM events GROUP BY 1)
+              SELECT t.event_type, t.sketch_k, t.kth_hash,
+                     CASE WHEN t.sketch_k < $KmvK THEN t.sketch_k
+                          ELSE ${(KmvK - 1).toLong * KmvM} // t.kth_hash END AS est_distinct,
+                     u.true_distinct
+              FROM top t JOIN tru u USING (event_type) ORDER BY event_type""")),
+
+    // TIME-DECAYED AGGREGATE — recency-weighted sums, the "freshness
+    // scoring" shape of feature stores and trending queries, computed with
+    // EXACT arithmetic: the decay is a half-life STEP function (weight =
+    // 2^(6−min(age_days,6)) in 1/64 units — integer, never exp()), the
+    // value sum is decimal (order-independent), and the only double appears
+    // at the final read-out divide by the power-of-two denominator, which
+    // is lossless. The anchor "now" is the corpus max event time — a 1-row
+    // broadcast (allowlisted in PlanAuditSpec; the trainedCentroids
+    // convention), so reruns are deterministic with no wall-clock
+    // dependence. Map-side-combined aggregate; one shuffle on the group
+    // key at any scale.
+    Q("c39_decayed_agg",
+      (s, d) => {
+        val ev = t(s, d, "events").withColumn("__us", unix_micros(col("ts")))
+        val mx = ev.agg(max(col("__us")).as("__mx"))
+        ev.crossJoin(broadcast(mx))
+          .withColumn("__bucket",
+            least(expr("(__mx - __us) div 86400000000"), lit(6L)))
+          .withColumn("__w", expr("64L div shiftleft(1L, CAST(__bucket AS INT))"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            (sum(dec(col("value")) * col("__w")).cast(DoubleType) / 64.0).as("decayed_sum"),
+            (sum(col("__w")).cast(DoubleType) / 64.0).as("decayed_count"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, value, epoch_ns(ts) // 1000 AS us FROM events),
+                 mx AS (SELECT MAX(us) AS mx FROM e),
+                 w AS (SELECT event_type, value,
+                              64 // (1 << CAST(LEAST(((SELECT mx FROM mx) - us) // 86400000000, 6) AS INT)) AS w
+                       FROM e)
+              SELECT event_type, COUNT(*) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4)) * w) AS DOUBLE) / 64 AS decayed_sum,
+                     CAST(SUM(w) AS DOUBLE) / 64 AS decayed_count
+              FROM w GROUP BY 1 ORDER BY 1"""))
   )
+
 
   /** Count-Min sketch machinery, shared by c34 (batch) and x19 (streaming
     * merge): d=4 hash rows (distinct public multipliers over the masked

@@ -66,7 +66,7 @@ object StreamShape {
           java.nio.file.Paths.get(s"$d/events.parquet"),
           srcDir.resolve("events.parquet"))
         val sq = s.readStream.schema(schema).parquet(srcDir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(normalizeEventTs)
           .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
           .select(date_format(col("win.start"), fmtSec).as("win_start"),
@@ -132,7 +132,7 @@ object StreamShape {
           java.nio.file.Paths.get(s"$d/events.parquet"),
           srcDir.resolve("delivery2.parquet"))
         val sq = s.readStream.schema(schema).parquet(srcDir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(normalizeEventTs)
           .withWatermark("ts", "3650 days")
           .dropDuplicatesWithinWatermark("event_id")
           .select("event_id", "user_id", "event_type", "value", "props")
@@ -504,7 +504,7 @@ object StreamShape {
           .option("maxFilesPerTrigger", "1")
           .option("recursiveFileLookup", "true")
           .parquet(srcDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(normalizeEventTs)
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
           .select(col("user_id"),
@@ -713,7 +713,7 @@ object StreamShape {
         val ckpt = java.nio.file.Files.createTempDirectory("x18ckpt").toString
         val srcDir = java.nio.file.Files.createTempDirectory("x18src").toString
         val ev = s.read.parquet(s"$d/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .transform(normalizeEventTs)
         // the watermark carrier: THE row holding the global max ts
         // (min event_id on ties) — a 1-row bounded driver lookup
         val maxId = ev.orderBy(col("ts").desc, col("event_id")).limit(1)

@@ -147,6 +147,48 @@ object TemporalOps {
                     FROM events WHERE event_type = 'click') c
                 ON p.user_id = c.user_id
                AND c.click_ts <= p.ts AND c.click_ts >= p.ts - INTERVAL 1 HOUR
-              GROUP BY p.event_id ORDER BY p.event_id"""))
+              GROUP BY p.event_id ORDER BY p.event_id""")),
+
+    // INTERVAL-OVERLAP SWEEP — peak concurrency per event type: each event
+    // opens the interval [ts, ts + floor(value) seconds). The classic
+    // sweep-line turns pairwise overlap into +1/−1 boundary deltas and a
+    // running sum — O(n log n) and shuffle-bounded, never the O(n²)
+    // interval self-join a naive overlap query plans as. The running sum
+    // rides groupedRunningTotal (two-phase range-partitioned prefix sum —
+    // no one-task-per-key funnel); ends sort before starts at the same
+    // instant (ord = 2·µs + isStart) so touching intervals [a,b),[b,c)
+    // never double-count, and zero-length intervals are never active.
+    // Within an (instant, sign) tie group the intra-group prefix order is
+    // engine-dependent, but every tie group is sign-homogeneous, so the
+    // prefix is monotone across each group and the per-key MAX is attained
+    // at a group boundary — tie-order-invariant, hence hash-comparable.
+    Q("r03_interval_overlap",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"),
+            floor(col("value")).cast("long").as("dur_s"))
+        val deltas = ev.select(col("event_type"),
+            explode(array(
+              struct((col("us") * 2 + 1).as("ord"), lit(1L).as("delta")),
+              struct(((col("us") + col("dur_s") * 1000000L) * 2).as("ord"),
+                lit(-1L).as("delta")))).as("e"))
+          .select(col("event_type"), col("e.ord").as("ord"), col("e.delta").as("delta"))
+        StockOps.groupedRunningTotal(deltas, "event_type", "ord", "delta", "run")
+          .groupBy("event_type")
+          .agg(max(col("run")).as("peak"), expr("count(1) div 2").as("n_intervals"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us,
+                                CAST(FLOOR(value) AS BIGINT) AS dur_s FROM events),
+                 dl AS (SELECT event_type, us * 2 + 1 AS ord, 1 AS delta FROM e
+                        UNION ALL
+                        SELECT event_type, (us + dur_s * 1000000) * 2 AS ord, -1 AS delta FROM e),
+                 r AS (SELECT event_type,
+                              CAST(SUM(delta) OVER (PARTITION BY event_type ORDER BY ord
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+                       FROM dl)
+              SELECT event_type, MAX(run) AS peak,
+                     CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
+              FROM r GROUP BY event_type ORDER BY event_type"""))
   )
 }

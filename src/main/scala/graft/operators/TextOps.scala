@@ -1265,6 +1265,111 @@ object TextOps {
                          GROUP BY 1)
               SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
                      CAST(s // n_bigrams AS BIGINT) AS fluency_ppm
-              FROM per ORDER BY doc_id"""))
+              FROM per ORDER BY doc_id""")),
+
+    // DSIR-STYLE TARGET AFFINITY — importance-resampling weights toward a
+    // target domain (Xie et al.'s data-selection shape, integer-exact): a
+    // token is target-leaning iff its relative frequency in the target
+    // split (source 'src1') exceeds its corpus-wide relative frequency —
+    // compared by cross-multiplication (f_t·D_c > f_c·D_t; no logs, no
+    // floats), and a document's affinity is its leaning-token fraction in
+    // ppm. Dataflow: one corpus scan into the (token, count) vocabulary
+    // (O(vocab), the t25 move), a broadcastable 1-row totals artifact, one
+    // vocab-sized join back to the exploded corpus, one per-doc aggregate
+    // — everything map-side-combined, nothing pairwise. keep = the
+    // majority-leaning resample rule.
+    Q("t31_dsir_affinity",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
+          .where(length(col("tok")) > 0)
+        val fc = toks.groupBy("tok").agg(count(lit(1)).as("fc"))
+        val ft = toks.where(col("source") === "src1")
+          .groupBy("tok").agg(count(lit(1)).as("ft"))
+        val tot = toks.agg(count(lit(1)).as("__dc"),
+          count_if(col("source") === "src1").as("__dt"))
+        val lean = fc.join(ft, Seq("tok"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("tok"),
+            (coalesce(col("ft"), lit(0L)) * col("__dc") > col("fc") * col("__dt")).as("lean"))
+        toks.join(lean, "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), count_if(col("lean")).as("n_lean"))
+          .withColumn("lean_ppm", expr("1000000L * n_lean div n_tokens"))
+          .withColumn("keep", col("lean_ppm") >= 500000L)
+          .select("doc_id", "n_tokens", "n_lean", "lean_ppm", "keep")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tt AS (SELECT doc_id, source,
+                                 UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+                          FROM documents),
+                 tf AS (SELECT * FROM tt WHERE length(tok) > 0),
+                 fc AS (SELECT tok, COUNT(*) AS fc FROM tf GROUP BY tok),
+                 ft AS (SELECT tok, COUNT(*) AS ft FROM tf WHERE source = 'src1' GROUP BY tok),
+                 tot AS (SELECT COUNT(*) AS dc,
+                                CAST(COUNT(*) FILTER (source = 'src1') AS BIGINT) AS dt FROM tf),
+                 lean AS (SELECT c.tok,
+                                 COALESCE(t.ft, 0) * (SELECT dc FROM tot) >
+                                   c.fc * (SELECT dt FROM tot) AS lean
+                          FROM fc c LEFT JOIN ft t USING (tok)),
+                 per AS (SELECT f.doc_id, COUNT(*) AS n_tokens,
+                                CAST(COUNT(*) FILTER (l.lean) AS BIGINT) AS n_lean
+                         FROM tf f JOIN lean l USING (tok) GROUP BY 1)
+              SELECT doc_id, n_tokens, n_lean,
+                     (1000000 * n_lean) // n_tokens AS lean_ppm,
+                     (1000000 * n_lean) // n_tokens >= 500000 AS keep
+              FROM per ORDER BY doc_id""")),
+
+    // PIPELINE FUNNEL — per-stage attrition accounting for the p02
+    // curation pipeline: how many documents survive each cumulative stage
+    // (ingest → decontaminate → dedup → quality envelope). The report a
+    // data-governance review asks for before the data card (p04); each
+    // stage count is one aggregate over the same id-set intersections p02
+    // applies, so the funnel provably reconciles with p02's output.
+    // Bounded 4-row result.
+    Q("p05_funnel_report",
+      (s, d) => {
+        val deconIds = Catalog.byName("d09_decontaminate").build(s, d).select("doc_id")
+        val keptIds = Catalog.byName("d07b_dedup_apply_exact").build(s, d).select("doc_id")
+        val toks = tokens(col("text"))
+        val base = t(s, d, "documents").where(col("source") =!= "src0")
+        val s2 = base.join(deconIds, "doc_id")
+        val s3 = s2.join(keptIds, "doc_id")
+        val s4 = s3
+          .withColumn("n_tokens", size(toks))
+          .withColumn("n_stop", countIn(col("text"), stopwords))
+          .withColumn("avg_token_len",
+            length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / col("n_tokens"))
+          .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
+          .where(col("n_tokens").between(10, 500) &&
+            col("avg_token_len").between(2.0, 12.0) &&
+            col("stop_ratio") <= 0.6)
+        def cnt(id: Int, nm: String, df: DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(id).as("stage_id"), lit(nm).as("stage"), col("n_docs"))
+        cnt(1, "ingested", base)
+          .union(cnt(2, "decontaminated", s2))
+          .union(cnt(3, "deduped", s3))
+          .union(cnt(4, "quality_filtered", s4))
+          .orderBy("stage_id")
+      },
+      Some(s"""WITH RECURSIVE ${DedupOps.sqlClusterCtes},
+                 losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster),
+                 ${DedupOps.sqlDecontCtes},
+                 qt AS (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+                 base AS (SELECT * FROM qt WHERE source <> 'src0'),
+                 st2 AS (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+                 st3 AS (SELECT * FROM st2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+                 st4 AS (SELECT * FROM st3
+                         WHERE len(toks) BETWEEN 10 AND 500
+                           AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
+                           AND CAST(${sqlCountIn(stopwords)} AS DOUBLE) / len(toks) <= 0.6)
+               SELECT * FROM (
+                 SELECT 1 AS stage_id, 'ingested' AS stage, COUNT(*) AS n_docs FROM base
+                 UNION ALL SELECT 2, 'decontaminated', COUNT(*) FROM st2
+                 UNION ALL SELECT 3, 'deduped', COUNT(*) FROM st3
+                 UNION ALL SELECT 4, 'quality_filtered', COUNT(*) FROM st4)
+               ORDER BY stage_id"""),
+      bench = false)
   )
 }

@@ -380,4 +380,32 @@ class DedupOpsSpec extends SparkSpec {
     assert(untouched > 0 && untouched < docs.length,
       "fixture exercises neither kept nor deduped docs")
   }
+
+  test("d21: containment pairs == driver-side shingle-set containment (lang-blocked)") {
+    // driver truth: same-lang pairs with |A∩B| >= 0.8·min(|A|,|B|), from
+    // raw shingle sets — independent of the join/df-cap machinery
+    val rows = Catalog.t(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", DedupOps.shingles3($"text").as("sh"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toSet))
+    val expected = (for {
+      (a, la, sa) <- rows.toSeq
+      (b, lb, sb) <- rows.toSeq
+      if a < b && la == lb && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size.toLong
+      if inter * 5 >= math.min(sa.size, sb.size).toLong * 4
+    } yield (a, b) -> (sa.size.toLong, sb.size.toLong, inter,
+      if (sb.size < sa.size) b else a)).toMap
+    val got = Catalog.byName("d21_containment").build(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        (r.getAs[Long]("sza"), r.getAs[Long]("szb"), r.getAs[Long]("inter"),
+          r.getAs[Long]("contained_id"))).toMap
+    assert(got == expected, s"containment mismatch: got $got expected $expected")
+    assert(got.nonEmpty, "fixture has no containment pairs — signal untested")
+    // refactor safety: jaccardPairs must still be exactly the thresholded
+    // pair graph (d02's oracle pins values; this pins the composition)
+    val jp = DedupOps.jaccardPairs(spark, sfDir, DedupOps.HotShingleDfCap)
+    val pg = DedupOps.shinglePairGraph(spark, sfDir, DedupOps.HotShingleDfCap)
+      .where(col("jaccard") >= 0.2)
+    assert(jp.exceptAll(pg).isEmpty && pg.exceptAll(jp).isEmpty)
+  }
 }

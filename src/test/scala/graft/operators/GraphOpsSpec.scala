@@ -97,4 +97,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("hub_mass")).distinct.length > 3)
     assert(out.map(_.getAs[Long]("auth_mass")).distinct.length > 3)
   }
+
+  test("g05: peel trajectory matches a driver-side brute-force 3-round k-core peel") {
+    val base = GraphOps.linkEdges(docs, n).where(col("src") =!= col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var und: Set[(Long, Long)] =
+      base.flatMap { case (u, v) => Seq((u, v), (v, u)) }.toSet
+    val expected = (1 to 3).map { r =>
+      val deg = und.groupBy(_._1).view.mapValues(_.size).toMap
+      val surv = deg.filter(_._2 >= GraphOps.KCoreK).keySet
+      und = und.filter { case (u, v) => surv(u) && surv(v) }
+      (r.toLong, und.map(_._1).size.toLong, und.size.toLong / 2)
+    }
+    val got = Catalog.byName("g05_kcore").build(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges")))
+    assert(got.toSeq == expected, s"peel trajectory mismatch: $got vs $expected")
+    // the peel must actually remove something, and must not empty the core
+    assert(got.head._2 < n && got.last._2 > 0, s"degenerate peel: $got")
+  }
 }

@@ -61,7 +61,15 @@ class PlanAuditSpec extends SparkSpec {
     // quantile read-out: a 4-row threshold probe inequality-joins the
     // BOUNDED histogram sketch (≤ value-range/width rows) — the 1-row
     // n_total crossJoin and the BNLJ touch sketch-sized relations only
-    "c37_quantile_sketch" -> Set("SinglePartition", "BroadcastNestedLoopJoin"))
+    "c37_quantile_sketch" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
+    // decay anchor / DSIR totals: 1-row corpus aggregates crossJoined back
+    // — the c16/t15 bounded-normalizer pattern
+    "c39_decayed_agg" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
+    "t31_dsir_affinity" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
+    // funnel stage counts / peel-round audit rows: each branch reduces to
+    // ONE row before the union — the output is the bounded report itself
+    "p05_funnel_report" -> Set("SinglePartition"),
+    "g05_kcore" -> Set("SinglePartition"))
 
   test("no catalog query plans cartesian / nested-loop / single-partition shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -194,7 +202,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim21_ivfpq_recall" -> "sim20's windows + brute-force truth perKeyTopK phase 2: <= k*parts rows per qid",
     "sim22_filtered_ann" -> "perKeyTopK phase 2 + probeCells (<= IvfCells rows per qid)",
     "sim23_knn_classify" -> "perKeyTopK phase 2 (neighbors + vote argmax): <= k*parts rows per qid",
-    "sim24_mmr_rerank" -> "perKeyTopK phase 2 (pool + 3 greedy argmax steps): <= k*parts rows per qid")
+    "sim24_mmr_rerank" -> "perKeyTopK phase 2 (pool + 3 greedy argmax steps): <= k*parts rows per qid",
+    "c38_kmv_sketch" -> "perKeyTopK phase 2: <= k*parts rows per event_type",
+    "r03_interval_overlap" -> "groupedRunningTotal offsets window: <= parts rows per event_type by phase-1 aggregation")
 
   private def lowCardWindowKeys(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
     df.queryExecution.sparkPlan.collect {

@@ -209,4 +209,65 @@ class StockOpsSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     assert(merged == sketch(prices.toSeq))
   }
+
+  test("c38: KMV sketches merge by union + re-take-k; estimate exact below k") {
+    import StockOps.{KmvK, KmvM}
+    val ev = Catalog.t(spark, sfDir, "events")
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_type"), Catalog.docHash(col("user_id"), KmvM).as("h")).distinct()
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      StockOps.perKeyTopK(hashes(df), Seq("event_type"), Seq(col("h")), KmvK)
+        .select("event_type", "h")
+    // merge law: sketch(shard A) ∪ sketch(shard B) re-taken to k == the
+    // whole-stream sketch — the property that makes KMV an executor- and
+    // micro-batch-combinable summary (each shard sees overlapping users)
+    val sA = sketch(ev.where(col("event_id") % 2 === 0))
+    val sB = sketch(ev.where(col("event_id") % 2 === 1))
+    val merged = StockOps.kmvEstimate(
+      StockOps.perKeyTopK(sA.union(sB).distinct(), Seq("event_type"), Seq(col("h")), KmvK))
+    val whole = StockOps.kmvEstimate(
+      StockOps.perKeyTopK(hashes(ev), Seq("event_type"), Seq(col("h")), KmvK))
+    assert(merged.collect().map(_.toSeq).toSet == whole.collect().map(_.toSeq).toSet,
+      "merged shard sketches != whole-corpus sketch")
+    // read-out contract: a filled sketch uses the (k−1)·M/h_(k) estimator;
+    // an unfilled sketch (forced via a tiny sub-stream) is EXACT
+    val tiny = StockOps.kmvEstimate(StockOps.perKeyTopK(
+      hashes(ev.where(col("user_id") < 3)), Seq("event_type"), Seq(col("h")), KmvK)).collect()
+    tiny.foreach { r =>
+      assert(r.getAs[Long]("sketch_k") < KmvK &&
+        r.getAs[Long]("est_distinct") == r.getAs[Long]("sketch_k"))
+    }
+    val filled = Catalog.byName("c38_kmv_sketch").build(spark, sfDir).collect()
+    filled.foreach { r =>
+      val (k, kth, est, tru) = (r.getAs[Long]("sketch_k"), r.getAs[Long]("kth_hash"),
+        r.getAs[Long]("est_distinct"), r.getAs[Long]("true_distinct"))
+      if (k == KmvK) assert(est == (KmvK - 1).toLong * KmvM / kth)
+      // 15-user fixture: the estimator must land within an order of
+      // magnitude of truth (KMV's k=8 variance bound is far tighter)
+      assert(est >= tru / 10 && est <= tru * 10, s"est $est vs true $tru")
+    }
+  }
+
+  test("c39: decayed aggregate == driver recompute; weights halve per day bucket") {
+    val rows = Catalog.t(spark, sfDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val mx = rows.map(_._2).max
+    val exp = rows.groupBy(_._1).view.mapValues { rs =>
+      val ws = rs.map { case (_, us, v) =>
+        val b = math.min((mx - us) / 86400000000L, 6L)
+        val w = 64L >> b.toInt
+        (BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) * w, w)
+      }
+      (rs.size.toLong,
+        (ws.map(_._1).sum / 64).toDouble,
+        ws.map(_._2).sum.toDouble / 64)
+    }.toMap
+    Catalog.byName("c39_decayed_agg").build(spark, sfDir).collect().foreach { r =>
+      val (n, ds, dc) = exp(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") == n)
+      assert(math.abs(r.getAs[Double]("decayed_sum") - ds) < 1e-9, s"decayed_sum ${r}")
+      assert(math.abs(r.getAs[Double]("decayed_count") - dc) < 1e-12)
+    }
+  }
 }

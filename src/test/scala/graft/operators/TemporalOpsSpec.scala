@@ -52,4 +52,21 @@ class TemporalOpsSpec extends SparkSpec {
       .where(col("event_type") === "purchase").count()
     assert(Catalog.byName("r01_asof_join").build(spark, sfDir).count() === purchases)
   }
+
+  test("r03: sweep peak == brute-force max concurrency, independent of tie order") {
+    // brute force: per type, count intervals covering each boundary instant
+    // under [start, end) semantics — no sweep, no running sum
+    val byType = events.groupBy(_._4).view.mapValues(_.map { case (_, _, us, _, v) =>
+      (us, us + math.floor(v).toLong * 1000000L)
+    }.toSeq).toMap
+    val expected = byType.map { case (t, iv) =>
+      val peak = iv.map(_._1).distinct
+        .map(p => iv.count { case (s, e) => s <= p && p < e }).max
+      t -> (peak.toLong, iv.size.toLong)
+    }
+    val got = Catalog.byName("r03_interval_overlap").build(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("peak"), r.getAs[Long]("n_intervals"))).toMap
+    assert(got === expected)
+    assert(got.values.exists(_._1 > 1), "fixture degenerate: no overlap anywhere")
+  }
 }

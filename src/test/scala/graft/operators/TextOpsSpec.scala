@@ -308,4 +308,42 @@ class TextOpsSpec extends SparkSpec {
       r.getAs[Long]("fluency_ppm") <= 1000000L))
     assert(out.map(_.getAs[Long]("fluency_ppm")).distinct.length > 10)
   }
+
+  test("t31: affinity matches a driver-side DSIR recompute from the same corpus") {
+    val docs = Catalog.t(spark, sfDir, "documents")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val all = docs.flatMap { case (id, src, t) => toks(t).map(tok => (id, src, tok)) }
+    val fc = all.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val ft = all.filter(_._2 == "src1").groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val dc = all.length.toLong
+    val dt = all.count(_._2 == "src1").toLong
+    val lean = fc.keySet.map(tok =>
+      tok -> (ft.getOrElse(tok, 0L) * dc > fc(tok) * dt)).toMap
+    val exp = all.groupBy(_._1).view.mapValues { rs =>
+      val nLean = rs.count(r => lean(r._3)).toLong
+      (rs.length.toLong, nLean, 1000000L * nLean / rs.length)
+    }.toMap
+    val out = Catalog.byName("t31_dsir_affinity").build(spark, sfDir).collect()
+    out.foreach { r =>
+      val (n, nl, ppm) = exp(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tokens") == n && r.getAs[Long]("n_lean") == nl &&
+        r.getAs[Long]("lean_ppm") == ppm && r.getAs[Boolean]("keep") == (ppm >= 500000L))
+    }
+    // target docs must skew high, and the signal must separate the corpus
+    val kept = out.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.nonEmpty && kept.size < out.length, "keep rule degenerate")
+  }
+
+  test("p05: funnel is monotone and reconciles with p02's final count") {
+    val f = Catalog.byName("p05_funnel_report").build(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("stage_id") -> r.getAs[Long]("n_docs")).toMap
+    assert(f.keySet == Set(1, 2, 3, 4))
+    assert(f(1) >= f(2) && f(2) >= f(3) && f(3) >= f(4), s"funnel not monotone: $f")
+    assert(f(4) > 0, "pipeline dropped everything")
+    val p02Total = Catalog.byName("p02_full_curation").build(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
+    assert(f(4) == p02Total, s"funnel stage 4 (${f(4)}) != p02 total ($p02Total)")
+  }
 }

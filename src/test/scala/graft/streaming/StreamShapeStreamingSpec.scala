@@ -15,10 +15,9 @@ class StreamShapeStreamingSpec extends SparkSpec {
 
   test("tumbling window over a file stream == x01 batch result") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // as-written schema (ts physical type varies by fixture generation —
+    // Catalog.normalizeEventTs owns the mapping to TimestampType)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // the file stream source wants a directory — stage the fixture file
     val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
     java.nio.file.Files.copy(
@@ -26,10 +25,10 @@ class StreamShapeStreamingSpec extends SparkSpec {
       dir.resolve("events.parquet"))
     // one parquet file = one micro-batch; maxFilesPerTrigger exercises
     // incremental processing even on a single file
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = graft.operators.Catalog.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString))
       .withWatermark("ts", "1 minute")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
