@@ -332,6 +332,33 @@ object EngineOps {
                       CAST(CAST(data AS UBIGINT) AS VARCHAR) AS value
                FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
                WHERE len(topics) = 3
-               ORDER BY blockNumber, logIndex"""))
+               ORDER BY blockNumber, logIndex""")),
+
+    // EPOCH GAS ANALYTICS on the connector — the block-utilization
+    // time-series the reference's notebook computes client-side
+    // (ethereum_data_analysis.ipynb, gas/time-series cells), pushed into
+    // the engine: per-100-block epoch totals over the blocks scan. One
+    // map-side-combined aggregate on a derived bounded key; the scan
+    // prunes to (number, gasUsed, transactions) — at chain scale this
+    // reads three columns, not 24. Oracle: the independent driver-side
+    // chain dump.
+    Q("e09_gas_epochs",
+      (s, d) => s.read.format("graft-eth").option("dataset", "blocks")
+        .option("startBlock", "0").option("endBlock", "999").load()
+        .select(expr("number div 100").as("epoch"), col("gasUsed"),
+          size(col("transactions")).cast(LongType).as("n_tx"))
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum("gasUsed").as("gas_total"),
+          max("gasUsed").as("gas_max"),
+          sum("n_tx").as("tx_total"))
+        .orderBy("epoch"),
+      Some(s"""SELECT number // 100 AS epoch, COUNT(*) AS n_blocks,
+                      CAST(SUM(gasUsed) AS BIGINT) AS gas_total,
+                      MAX(gasUsed) AS gas_max,
+                      CAST(SUM(n_tx) AS BIGINT) AS tx_total
+               FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet'
+               WHERE number <= 999
+               GROUP BY 1 ORDER BY epoch"""))
   )
 }

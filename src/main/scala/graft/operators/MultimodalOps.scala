@@ -274,6 +274,60 @@ object MultimodalOps {
                      CAST(COUNT(*) FILTER (pb IS NOT NULL AND bkt <> pb) AS BIGINT) AS n_cuts,
                      CAST(COUNT(*) FILTER (pb IS NOT NULL AND bkt <> pb) + 1 AS BIGINT) AS n_scenes
               FROM l GROUP BY doc_id ORDER BY doc_id"""),
+      bench = false),
+
+    // AUDIO WINDOWING — the fixed-length overlapping-window chunker every
+    // audio featurizer (spectrogram, wav2vec-style encoder) starts from:
+    // 256-byte windows at a 192-byte hop over the opaque payload, one
+    // checksum feature per window via the per-partition codec (the m02
+    // mapPartitions batch shape — map-only, embarrassingly parallel, no
+    // shuffle until the final sort). The decode is the documented stub;
+    // its arithmetic is reproduced in the oracle (ASCII payload ⇒ byte
+    // sum == char-code sum) so the whole chunk plan stays hash-checked.
+    Q("m08_audio_chunks",
+      (s, d) => audioChunks(mediaTable(s, d)).toDF()
+        .orderBy("doc_id", "off"),
+      Some("""SELECT doc_id, CAST(off AS BIGINT) AS off,
+                     CAST(LEAST(256, length(text) - off) AS INT) AS chunk_len,
+                     CAST(list_sum(list_transform(
+                            range(CAST(off + 1 AS INT),
+                                  CAST(off + 1 + LEAST(256, length(text) - off) AS INT)),
+                            i -> ascii(text[i]))) AS BIGINT) AS byte_sum
+              FROM documents, UNNEST(range(0, GREATEST(length(text), 1), 192)) AS t(off)
+              WHERE length(text) > 0
+              ORDER BY doc_id, off"""),
       bench = false)
   )
+
+  /** One decoded audio window: offset, clipped length, stub feature. */
+  final case class AudioChunk(doc_id: Long, off: Long, chunk_len: Int, byte_sum: Long)
+
+  /** STUB audio codec (the StubImageCodec convention): deterministic
+    * windows + byte-sum "feature" standing in for a real frame decoder.
+    * Swap ONLY this object for a real one; the Spark plumbing holds.
+    */
+  object StubAudioCodec extends Serializable {
+    val Win = 256
+    val Hop = 192
+    def chunks(docId: Long, payload: Array[Byte]): Iterator[AudioChunk] =
+      if (payload.isEmpty) Iterator.empty
+      else (0 until payload.length by Hop).iterator.map { off =>
+        val len = math.min(Win, payload.length - off)
+        var sum = 0L
+        var i = off
+        while (i < off + len) { sum += payload(i) & 0xff; i += 1 }
+        AudioChunk(docId, off.toLong, len, sum)
+      }
+  }
+
+  /** Chunk a media table partition-parallel — one codec per partition,
+    * rows streamed (the [[decodeFeatures]] batch shape).
+    */
+  def audioChunks(media: Dataset[MediaRow]): Dataset[AudioChunk] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = StubAudioCodec
+      rows.flatMap(r => codec.chunks(r.doc_id, r.payload))
+    }
+  }
 }

@@ -872,6 +872,83 @@ object StreamShape {
                JOIN '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet' b
                  ON l.blockNumber = b.number
                ORDER BY blockNumber, logIndex"""),
+      bench = false),
+
+    // Stream-stream LEFT OUTER join in the hash gate — the semantics x06
+    // (inner) cannot show: an unmatched left row (a block with ZERO logs —
+    // ~1/8 of the synthetic chain) is held in state and emitted
+    // null-padded only once the watermark passes its event time. The
+    // GLOBAL watermark is the MIN across both inputs, and the logs side
+    // only advances to its newest log's event time — so with 0-second
+    // delays the final watermark stands at t(maxLogBlock), and STRICT
+    // eviction guarantees null emission only for blocks strictly below
+    // it. The query pins exactly that deterministic region
+    // (`number < maxLogBlock`, the constant read off the batch connector
+    // — a 1-value driver artifact); the oracle is then exactly the batch
+    // LEFT JOIN over the chain dump. In-query requires: ≥ 2 fed
+    // micro-batches (state genuinely crosses batches) and ≥ 1 null-padded
+    // row (the outer path actually fired).
+    Q("x21_stream_outer_join",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ckpt = java.nio.file.Files.createTempDirectory("x21ckpt").toString
+        val out = java.nio.file.Files.createTempDirectory("x21out").toString
+        // The pinned deterministic region: blocks strictly below the first
+        // drain's head. CRITICAL: this filter must NOT appear inside the
+        // streaming plan — Catalyst pushes it (and its constraint-derived
+        // twin on the logs side) BELOW the watermark operators, so the
+        // filtered head events never enter watermark statistics and the
+        // watermark provably never passes the region boundary: boundary
+        // nulls then never evict. The region is selected on the SINK
+        // output instead.
+        val Head = 999L
+        def drain(head: Long): org.apache.spark.sql.streaming.StreamingQuery = {
+          def src(dataset: String) = s.readStream.format("graft-eth")
+            .option("dataset", dataset).option("startBlock", "0")
+            .option("head", head.toString).option("maxBlocksPerTrigger", "500").load()
+          val b = src("blocks").select(col("number"), col("gasUsed"))
+            .withColumn("b_time", to_timestamp(from_unixtime(col("number") * 12 + 1700000000L)))
+            .withWatermark("b_time", "0 seconds")
+          val l = src("logs").select(col("blockNumber"), col("logIndex"), col("address"))
+            .withColumn("l_time", to_timestamp(from_unixtime(col("blockNumber") * 12 + 1700000000L)))
+            .withWatermark("l_time", "0 seconds")
+          val j = b.join(l,
+              b("number") === l("blockNumber") && b("b_time") === l("l_time"),
+              "left_outer")
+            .select(col("number"), col("gasUsed"), col("logIndex"), col("address"))
+          val sq = j.writeStream.format("parquet").option("path", out)
+            .outputMode("append").trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .start()
+          sq.awaitTermination()
+          sq
+        }
+        val sq1 = drain(Head)
+        val fedBatches = sq1.recentProgress.count(_.numInputRows > 0)
+        require(fedBatches >= 2,
+          s"x21 drained in $fedBatches micro-batch(es) — join state never crossed a batch boundary")
+        // Watermark-advancing catch-up drains (same checkpoint, +50 then
+        // +51 blocks = +600 s of event time): the watermark applied to
+        // state eviction lags the newest processed event by one batch, so
+        // the first catch-up advances the recorded watermark far past the
+        // pinned region and the second applies it — every unmatched block
+        // < Head is then evicted-and-emitted regardless of batch layout
+        // or eviction strictness. Rows beyond the region (matched or
+        // null) are deterministic-irrelevant: the post-drain region cut
+        // below removes them.
+        drain(Head + 50)
+        drain(Head + 51)
+        val res = s.read.parquet(out).where(col("number") < Head)
+        require(res.where(col("logIndex").isNull).limit(1).count() == 1,
+          "x21 emitted no null-padded rows — the outer-join eviction path never fired")
+        res.orderBy("number", "logIndex")
+      },
+      Some(s"""SELECT b.number, b.gasUsed, l.logIndex, l.address
+               FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet' b
+               LEFT JOIN '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet' l
+                 ON l.blockNumber = b.number
+               WHERE b.number < 999
+               ORDER BY number, logIndex"""),
       bench = false)
   )
 }

@@ -69,4 +69,34 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_cuts")).distinct.length >= 3,
       "scene-cut signal degenerated to a constant")
   }
+
+  test("m08: chunk plan tiles every payload exactly (offsets, clipping, checksums)") {
+    import MultimodalOps.StubAudioCodec.{Hop, Win}
+    val docs = Catalog.t(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val out = Catalog.byName("m08_audio_chunks").build(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("off"),
+        r.getAs[Int]("chunk_len"), r.getAs[Long]("byte_sum")))
+    val byDoc = out.groupBy(_._1)
+    docs.foreach { case (id, t) =>
+      val n = t.length
+      if (n == 0) assert(!byDoc.contains(id))
+      else {
+        val chunks = byDoc(id).sortBy(_._2)
+        // offsets are the exact hop progression; lengths clip at the tail
+        assert(chunks.map(_._2).toSeq == (0L until n.toLong by Hop.toLong).toSeq, s"doc $id offsets")
+        chunks.foreach { case (_, off, len, sum) =>
+          assert(len == math.min(Win, n - off.toInt), s"doc $id off $off length")
+          assert(sum == t.substring(off.toInt, off.toInt + len).map(_.toInt).sum.toLong,
+            s"doc $id off $off checksum")
+        }
+        // windows overlap by Win − Hop: interior coverage is complete
+        assert(chunks.last._2 + chunks.last._3 == n, s"doc $id tail coverage")
+      }
+    }
+    // the fixture must exercise both clipped tails and multi-chunk docs
+    assert(out.exists(_._3 < Win) && byDoc.values.exists(_.length > 1))
+  }
 }

@@ -189,4 +189,21 @@ class EthSourceSpec extends SparkSpec {
     assert(expected.exists(e => new java.math.BigInteger(e._6).bitLength > 63),
       "fixture never exercises the >Long hex decode path")
   }
+
+  test("e09: epoch gas stats == a driver-side walk of the synthetic chain") {
+    val rpc = new SyntheticRpc(42, 10000)
+    val blocks = (0L to 999L).flatMap(rpc.getBlock)
+    val expected = blocks.groupBy(_.number / 100).view.mapValues { bs =>
+      (bs.size.toLong, bs.map(_.gasUsed).sum, bs.map(_.gasUsed).max,
+        bs.map(_.transactions.size.toLong).sum)
+    }.toMap
+    val got = graft.operators.Catalog.byName("e09_gas_epochs").build(spark, sfDir).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val e = expected(r.getAs[Long]("epoch"))
+      assert((r.getAs[Long]("n_blocks"), r.getAs[Long]("gas_total"),
+        r.getAs[Long]("gas_max"), r.getAs[Long]("tx_total")) == e,
+        s"epoch ${r.getAs[Long]("epoch")}")
+    }
+  }
 }
