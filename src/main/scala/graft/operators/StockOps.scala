@@ -174,6 +174,38 @@ object StockOps {
     * output): sketch size, k-th minimum, and the (k−1)·M ∕ h_(k) distinct
     * estimate (exact sketch size when the sketch never filled).
     */
+  /** The KMV oracle (shared by c38 and x22 — KMV partials merge by
+    * union + re-take-k, so the streamed union must land on the same
+    * estimates). lazy: referenced eagerly by `val all` (the sqlCms
+    * convention).
+    */
+  lazy val sqlKmv: String =
+    s"""WITH h AS (SELECT DISTINCT event_type, ${sqlDocHash("user_id", KmvM)} AS h FROM events),
+            r AS (SELECT event_type, h,
+                         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+            top AS (SELECT event_type, COUNT(*) AS sketch_k, MAX(h) AS kth_hash
+                    FROM r WHERE rk <= $KmvK GROUP BY 1),
+            tru AS (SELECT event_type, COUNT(DISTINCT user_id) AS true_distinct
+                    FROM events GROUP BY 1)
+         SELECT t.event_type, t.sketch_k, t.kth_hash,
+                CASE WHEN t.sketch_k < $KmvK THEN t.sketch_k
+                     ELSE ${(KmvK - 1).toLong * KmvM} // t.kth_hash END AS est_distinct,
+                u.true_distinct
+         FROM top t JOIN tru u USING (event_type) ORDER BY event_type"""
+
+  /** (event_type, h) distinct KMV hash stream of an events frame — the
+    * input both c38 and x22's per-batch partials sketch from.
+    */
+  def kmvHashes(df: DataFrame): DataFrame =
+    df.select(col("event_type"), Catalog.docHash(col("user_id"), KmvM).as("h")).distinct()
+
+  /** One KMV partial: the k smallest distinct hashes per key. Valid on any
+    * subset of the stream; partials merge by union + re-take-k.
+    */
+  def kmvPartial(df: DataFrame): DataFrame =
+    perKeyTopK(kmvHashes(df), Seq("event_type"), Seq(col("h")), KmvK)
+      .select("event_type", "h")
+
   def kmvEstimate(top: DataFrame): DataFrame =
     top.groupBy("event_type")
       .agg(count(lit(1)).as("sketch_k"), max(col("h")).as("kth_hash"))
@@ -915,28 +947,14 @@ object StockOps {
     // convention).
     Q("c38_kmv_sketch",
       (s, d) => {
-        val h = t(s, d, "events")
-          .select(col("event_type"), docHash(col("user_id"), KmvM).as("h"))
-          .distinct()
-        val top = perKeyTopK(h, Seq("event_type"), Seq(col("h")), KmvK)
+        val top = kmvPartial(t(s, d, "events"))
         val tru = t(s, d, "events").groupBy("event_type")
           .agg(count_distinct(col("user_id")).as("true_distinct"))
         kmvEstimate(top).join(tru, "event_type")
           .select("event_type", "sketch_k", "kth_hash", "est_distinct", "true_distinct")
           .orderBy("event_type")
       },
-      Some(s"""WITH h AS (SELECT DISTINCT event_type, ${sqlDocHash("user_id", KmvM)} AS h FROM events),
-                 r AS (SELECT event_type, h,
-                              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
-                 top AS (SELECT event_type, COUNT(*) AS sketch_k, MAX(h) AS kth_hash
-                         FROM r WHERE rk <= $KmvK GROUP BY 1),
-                 tru AS (SELECT event_type, COUNT(DISTINCT user_id) AS true_distinct
-                         FROM events GROUP BY 1)
-              SELECT t.event_type, t.sketch_k, t.kth_hash,
-                     CASE WHEN t.sketch_k < $KmvK THEN t.sketch_k
-                          ELSE ${(KmvK - 1).toLong * KmvM} // t.kth_hash END AS est_distinct,
-                     u.true_distinct
-              FROM top t JOIN tru u USING (event_type) ORDER BY event_type""")),
+      Some(sqlKmv)),
 
     // TIME-DECAYED AGGREGATE — recency-weighted sums, the "freshness
     // scoring" shape of feature stores and trending queries, computed with

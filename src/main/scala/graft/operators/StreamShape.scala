@@ -949,6 +949,52 @@ object StreamShape {
                  ON l.blockNumber = b.number
                WHERE b.number < 999
                ORDER BY number, logIndex"""),
+      bench = false),
+
+    // STREAMING KMV MERGE — c38's distinct sketch maintained across
+    // micro-batches (the x19 shape, distinct-count member): each batch
+    // contributes a VALID partial (its k smallest distinct hashes per
+    // key), appended to a sketch store; the drained union re-takes k and
+    // reads out the same estimates as the batch sketch — the merge law
+    // StockOpsSpec pins, exercised through the real streaming path. The
+    // two staged files split users across batches, so the merge genuinely
+    // reconciles overlapping partials.
+    Q("x22_stream_kmv_merge",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ckpt = java.nio.file.Files.createTempDirectory("x22ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x22src").toString
+        val store = java.nio.file.Files.createTempDirectory("x22sketch").toString
+        val ev = s.read.parquet(s"$d/events.parquet").select("event_id", "event_type", "user_id")
+        ev.where(col("user_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/f0")
+        ev.where(col("user_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/f1")
+        val sq = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty)
+              StockOps.kmvPartial(batch.toDF()).write.mode("append").parquet(store)
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fedBatches = sq.recentProgress.count(_.numInputRows > 0)
+        require(fedBatches >= 2,
+          s"x22 drained in $fedBatches micro-batch(es) — the sketch merge was not exercised")
+        val merged = StockOps.perKeyTopK(
+          s.read.parquet(store).distinct(),
+          Seq("event_type"), Seq(col("h")), StockOps.KmvK)
+        val tru = t(s, d, "events").groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("true_distinct"))
+        StockOps.kmvEstimate(merged).join(tru, "event_type")
+          .select("event_type", "sketch_k", "kth_hash", "est_distinct", "true_distinct")
+          .orderBy("event_type")
+      },
+      Some(StockOps.sqlKmv),
       bench = false)
   )
 }
