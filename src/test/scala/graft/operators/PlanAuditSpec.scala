@@ -151,7 +151,29 @@ class PlanAuditSpec extends SparkSpec {
     "k05_zone_map_prune" -> 2, // per-file zone agg + final sort
     "t27_c4_filters" -> 1, // map-only page filter + final sort
     "t28_quality_quartile" -> 2, // c19 range repartition + final sort; NO SinglePartition
-    "d19_soft_dedup_weights" -> 6) // d02 pair graph + CC iterations + size join + source agg
+    "d19_soft_dedup_weights" -> 6, // d02 pair graph + CC iterations + size join + source agg
+    // round-6 batch 2+ (ceilings = measured at spec SF)
+    "e08_erc20_decode" -> 1, // map-only ABI decode + final sort
+    "m07_scene_cuts" -> 2, // per-doc lag window + final sort
+    "g03_triangle_count" -> 23, // dedup + degrees + orient + wedge join + close semi-join + explode agg
+    "g04_hits" -> 11, // 2 rounds × (edge⋈mass + agg) + two left joins back
+    "d20_line_dedup" -> 3, // first-occurrence agg + line join + per-doc rebuild
+    "t29_gopher_rules" -> 1, // map-only signal battery + final sort
+    "t30_bigram_lm" -> 4, // bigram aggs (c1, c2) + per-doc agg + sort
+    "sim22_filtered_ann" -> 4, // label pre-filter + probe cells + perKeyTopK + sort
+    "sim23_knn_classify" -> 3, // neighbor topk + vote argmax + sort
+    "sim24_mmr_rerank" -> 71, // greedy loop: 8 bounded pool-sized argmax stages (≤ k·parts rows each)
+    "c36_bloom_semijoin" -> 6, // bloom build agg + probe + exact side + compare join
+    "c37_quantile_sketch" -> 5, // bucket agg + two-phase prefix sum + probe join + sort
+    "c38_kmv_sketch" -> 6, // distinct hashes + perKeyTopK (local+final) + estimate agg + tru join
+    "c39_decayed_agg" -> 2, // 1-row anchor broadcast; grouped agg + sort
+    "r03_interval_overlap" -> 5, // delta explode + two-phase prefix sum + per-type max
+    "g05_kcore" -> 3, // per-round: degree agg + 2 survivor semi-joins (lineage truncated per round)
+    "d21_containment" -> 8, // d02's capped shingle pair join + hot-set restore + sort
+    "t31_dsir_affinity" -> 4, // vocab agg + target agg + lean join back + per-doc agg
+    "p05_funnel_report" -> 10, // d09 + d07b sub-builds + 4 one-row stage counts
+    "e09_gas_epochs" -> 2, // epoch agg + final sort
+    "m08_audio_chunks" -> 1) // map-only chunker + final sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
