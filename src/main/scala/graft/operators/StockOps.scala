@@ -989,7 +989,81 @@ object StockOps {
               SELECT event_type, COUNT(*) AS n,
                      CAST(SUM(CAST(value AS DECIMAL(18,4)) * w) AS DOUBLE) / 64 AS decayed_sum,
                      CAST(SUM(w) AS DOUBLE) / 64 AS decayed_count
-              FROM w GROUP BY 1 ORDER BY 1"""))
+              FROM w GROUP BY 1 ORDER BY 1""")),
+
+    // TPC-H Q3 (shipping priority) — the canonical 3-table composite the
+    // fixture schema exists for: selective dimension filter → broadcast,
+    // fact-fact equi-join on the order key, exact-decimal revenue
+    // aggregate, distributed top-10 (TakeOrdered — per-partition heads +
+    // one bounded merge, never a global sort). Date predicates reach the
+    // parquet scans as pushed filters; revenue is decimal-exact on both
+    // engines and only the final read-out casts to double.
+    Q("c40_tpch_q3",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val ord = t(s, d, "orders")
+          .where(col("o_orderdate") < lit("1998-06-15"))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val li = t(s, d, "lineitem")
+          .where(col("l_shipdate") > lit("1998-06-15"))
+          .select(col("l_orderkey"),
+            (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("rev"))
+        ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast(DateType).as("o_orderdate"),
+            col("o_orderpriority"))
+          .agg(sum("rev").cast(DoubleType).as("revenue"))
+          .orderBy(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+              FROM customer, orders, lineitem
+              WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND o_orderdate < TIMESTAMP '1998-06-15' AND l_shipdate > TIMESTAMP '1998-06-15'
+              GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""")),
+
+    // TPC-H Q5 (local-supplier volume) — the 6-table composite: the three
+    // bounded dimensions (region → nation → supplier) broadcast; the two
+    // facts join once on the order key; the local-supplier condition
+    // (c_nationkey = s_nationkey) correlates the two dimension paths.
+    // One shuffle pair on the order key + one grouped aggregate — at
+    // 100 TB the dimensions stay broadcast and only the facts move.
+    Q("c41_tpch_q5",
+      (s, d) => {
+        val asiaNations = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val sup = t(s, d, "supplier")
+          .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_nationkey", "n_name")
+        val ord = t(s, d, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+          .select("o_orderkey", "o_custkey")
+        val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("rev"))
+        ord.join(cust, col("o_custkey") === col("c_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(sup),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(sum("rev").cast(DoubleType).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some("""SELECT n_name,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+              FROM customer, orders, lineitem, supplier, nation, region
+              WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+                AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+                AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1 ORDER BY revenue DESC, n_name"""))
   )
 
 

@@ -173,7 +173,9 @@ class PlanAuditSpec extends SparkSpec {
     "t31_dsir_affinity" -> 4, // vocab agg + target agg + lean join back + per-doc agg
     "p05_funnel_report" -> 10, // d09 + d07b sub-builds + 4 one-row stage counts
     "e09_gas_epochs" -> 2, // epoch agg + final sort
-    "m08_audio_chunks" -> 1) // map-only chunker + final sort
+    "m08_audio_chunks" -> 1, // map-only chunker + final sort
+    "c40_tpch_q3" -> 2, // broadcast dims; one fact-fact shuffle pair + agg split; top-10 is TakeOrdered
+    "c41_tpch_q5" -> 3) // broadcast region/nation/supplier; order-key shuffle pair + grouped agg
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

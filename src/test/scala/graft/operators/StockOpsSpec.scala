@@ -248,6 +248,33 @@ class StockOpsSpec extends SparkSpec {
     }
   }
 
+  test("c40/c41: TPC-H composites plan broadcast dims + pushed dates; Q3 top-10 is TakeOrdered") {
+    val q3 = Catalog.byName("c40_tpch_q3").build(spark, sfDir)
+    val p3 = q3.queryExecution.executedPlan.toString
+    assert(p3.contains("BroadcastHashJoin"), "Q3 lost the dimension broadcast")
+    assert(p3.contains("TakeOrderedAndProject"), "Q3 top-10 planned as a global sort")
+    assert(p3.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      "Q3 date predicate not pushed to the orders scan")
+    val p5 = Catalog.byName("c41_tpch_q5").build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p5).size >= 3,
+      "Q5 dimension chain (region/nation/supplier) not broadcast")
+    // revenue sanity: decimal-exact aggregation reproduced on the driver
+    // for the top row (independent of engine decimal internals)
+    val top = q3.head()
+    val li = Catalog.t(spark, sfDir, "lineitem")
+      .where(col("l_orderkey") === top.getAs[Long]("l_orderkey") &&
+        col("l_shipdate") > lit("1998-06-15"))
+      .select("l_extendedprice", "l_discount").collect()
+    val exp = li.map { r =>
+      val ep = BigDecimal(r.getDouble(0)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      val di = BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      ep * (1 - di)
+    }.sum.toDouble
+    assert(math.abs(top.getAs[Double]("revenue") - exp) < 1e-6,
+      s"Q3 top revenue ${top.getAs[Double]("revenue")} != driver $exp")
+  }
+
   test("c39: decayed aggregate == driver recompute; weights halve per day bucket") {
     val rows = Catalog.t(spark, sfDir, "events")
       .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value")).collect()
