@@ -1063,7 +1063,42 @@ object StockOps {
                 AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
                 AND n_regionkey = r_regionkey AND r_name = 'ASIA'
                 AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-              GROUP BY 1 ORDER BY revenue DESC, n_name"""))
+              GROUP BY 1 ORDER BY revenue DESC, n_name""")),
+
+    // TPC-H Q1 (pricing summary) — the canonical one-pass fact-table
+    // aggregate: 8 measures over (returnflag, linestatus), all sums in
+    // exact decimal (order-independent — the dsum/davg discipline), the
+    // charge chain re-scaled through DECIMAL(18,8) so the three-factor
+    // product stays inside precision 38 on BOTH engines. One map-side-
+    // combined shuffle on a 6-value key; the date predicate reaches the
+    // parquet scan.
+    Q("c42_tpch_q1",
+      (s, d) => {
+        val disc1 = lit(1) - dec(col("l_discount"))
+        t(s, d, "lineitem")
+          .where(col("l_shipdate") <= lit("2000-09-01"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * disc1).cast(DoubleType).as("sum_disc_price"),
+            sum((dec(col("l_extendedprice")) * disc1).cast(DecimalType(18, 8)) *
+              (lit(1) + dec(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                      ${sqlDsum("l_quantity")} AS sum_qty,
+                      ${sqlDsum("l_extendedprice")} AS sum_base_price,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+                      CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,8)) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+                      ${sqlDavg("l_quantity")} AS avg_qty,
+                      ${sqlDavg("l_discount")} AS avg_disc,
+                      COUNT(*) AS count_order
+               FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+               GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
 

@@ -1370,6 +1370,47 @@ object TextOps {
                  UNION ALL SELECT 3, 'deduped', COUNT(*) FROM st3
                  UNION ALL SELECT 4, 'quality_filtered', COUNT(*) FROM st4)
                ORDER BY stage_id"""),
-      bench = false)
+      bench = false),
+
+    // TOKEN-BUDGET ALLOCATION — the data-recipe step after weighting:
+    // split a fixed training-token budget across sources proportionally
+    // to their token mass, with LARGEST-REMAINDER rounding so the integer
+    // quotas sum to the budget EXACTLY (floor everyone, then +1 to the
+    // largest remainders — deterministic tie-break on source). All
+    // arithmetic is integer cross-multiplication; the allocation table is
+    // ≤ |sources| rows, so its ranking window and 1-row totals are
+    // bounded by construction (allowlisted — the c16 pattern).
+    Q("t32_token_budget",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 100000L
+        val tk = t(s, d, "documents")
+          .select(col("source"),
+            size(filter(tokens(col("text")), x => length(x) > 0)).cast("long").as("n"))
+          .groupBy("source").agg(sum("n").as("w"))
+        val tot = tk.agg(sum("w").as("__W"))
+        val base = tk.crossJoin(broadcast(tot))
+          .withColumn("fl", expr(s"$B * w div __W"))
+          .withColumn("rem", expr(s"($B * w) % __W"))
+        val extra = base.agg((lit(B) - sum("fl")).as("__extra"))
+        base.crossJoin(broadcast(extra))
+          .withColumn("rnk", row_number().over(Window.orderBy(desc("rem"), col("source"))))
+          .withColumn("quota",
+            col("fl") + when(col("rnk") <= col("__extra"), 1L).otherwise(0L))
+          .select(col("source"), col("w").as("n_tokens"), col("quota"))
+          .orderBy("source")
+      },
+      Some("""WITH tk AS (SELECT source,
+                          CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                                   x -> length(x) > 0))) AS BIGINT) AS w
+                          FROM documents GROUP BY source),
+                 tot AS (SELECT CAST(SUM(w) AS BIGINT) AS W FROM tk),
+                 base AS (SELECT source, w, (100000 * w) // (SELECT W FROM tot) AS fl,
+                                 (100000 * w) % (SELECT W FROM tot) AS rem FROM tk),
+                 r AS (SELECT CAST(100000 - SUM(fl) AS BIGINT) AS extra FROM base),
+                 rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rnk FROM base)
+              SELECT source, w AS n_tokens,
+                     CAST(fl + CASE WHEN rnk <= (SELECT extra FROM r) THEN 1 ELSE 0 END AS BIGINT) AS quota
+              FROM rk ORDER BY source"""))
   )
 }

@@ -70,7 +70,10 @@ class PlanAuditSpec extends SparkSpec {
     // funnel stage counts / peel-round audit rows: each branch reduces to
     // ONE row before the union — the output is the bounded report itself
     "p05_funnel_report" -> Set("SinglePartition"),
-    "g05_kcore" -> Set("SinglePartition"))
+    "g05_kcore" -> Set("SinglePartition"),
+    // allocation table: 1-row totals crossJoined back + a ranking window
+    // over the <= |sources| aggregate — bounded by construction
+    "t32_token_budget" -> Set("SinglePartition", "BroadcastNestedLoopJoin"))
 
   test("no catalog query plans cartesian / nested-loop / single-partition shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -175,7 +178,9 @@ class PlanAuditSpec extends SparkSpec {
     "e09_gas_epochs" -> 2, // epoch agg + final sort
     "m08_audio_chunks" -> 1, // map-only chunker + final sort
     "c40_tpch_q3" -> 2, // broadcast dims; one fact-fact shuffle pair + agg split; top-10 is TakeOrdered
-    "c41_tpch_q5" -> 3) // broadcast region/nation/supplier; order-key shuffle pair + grouped agg
+    "c41_tpch_q5" -> 3, // broadcast region/nation/supplier; order-key shuffle pair + grouped agg
+    "c42_tpch_q1" -> 2, // one map-side-combined agg on the 6-value key + final sort
+    "t32_token_budget" -> 4) // per-source token agg + bounded allocation-table window + final sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

@@ -336,6 +336,18 @@ class TextOpsSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.size < out.length, "keep rule degenerate")
   }
 
+  test("t32: quotas sum EXACTLY to the budget and are proportional within 1") {
+    val out = Catalog.byName("t32_token_budget").build(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"), r.getAs[Long]("quota")))
+    assert(out.map(_._3).sum == 100000L, "largest-remainder quotas must sum to the budget")
+    val totalW = out.map(_._2).sum
+    out.foreach { case (src, w, q) =>
+      val ideal = 100000.0 * w / totalW
+      assert(math.abs(q - ideal) < 1.0, s"$src quota $q vs ideal $ideal drifted >= 1")
+    }
+    assert(out.length > 1 && out.map(_._3).distinct.length > 1, "allocation degenerate")
+  }
+
   test("p05: funnel is monotone and reconciles with p02's final count") {
     val f = Catalog.byName("p05_funnel_report").build(spark, sfDir).collect()
       .map(r => r.getAs[Int]("stage_id") -> r.getAs[Long]("n_docs")).toMap
