@@ -74,6 +74,12 @@ object SimilarityOps {
   val IvfCells = 16
   val IvfProbe = 4
 
+  /** Matryoshka truncation width for sim25 (first 16 of 64 dims — 4×
+    * cheaper dot products). Declared before `val all`: the oracle string
+    * interpolates it at init (the sqlCms lesson).
+    */
+  val MrlDims = 16
+
   // Random-hyperplane LSH: `NumPlanes` Rademacher (±1) hyperplanes from a
   // deterministic splitmix64 of (plane, dim-index); sign bits form the
   // bucket word. Codegen'd kernel — bucket assignment is a map-only scan.
@@ -1618,7 +1624,62 @@ object SimilarityOps {
                  SELECT qid, 1 AS rk, vec_id, cos_sim, mmr FROM s1
                  UNION ALL SELECT qid, 2, vec_id, cos_sim, mmr FROM s2
                  UNION ALL SELECT qid, 3, vec_id, cos_sim, mmr FROM s3)
-               ORDER BY qid, rk"""))
+               ORDER BY qid, rk""")),
+
+    // MATRYOSHKA TRUNCATION RECALL — price the MRL-style move every
+    // large-scale vector pipeline weighs: search on only the FIRST
+    // [[MrlDims]] of 64 dimensions (4× cheaper dot products, 4× smaller
+    // index) and measure per-probe recall@3 against full-dimension exact
+    // truth (the sim17/sim21 pricing shape). Both searches are the
+    // broadcast-probe brute-force baseline (bounded probe block, corpus
+    // streams, top-k via two-phase perKeyTopK); truncated norms are
+    // recomputed on the sliced vectors — never reused from the full ones.
+    Q("sim25_matryoshka_recall",
+      (s, d) => {
+        val nProbes = 10
+        val truncCorpus = withNormOf(t(s, d, "embeddings")
+          .select(col("vec_id"), slice(col("embedding"), 1, MrlDims).as("embedding")))
+        val tprobes = truncCorpus.where(col("vec_id") < nProbes)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("norm2").as("qnorm2"))
+        val tpairs = truncCorpus.join(broadcast(tprobes), col("vec_id") =!= col("qid"))
+          .withColumn("cos_sim",
+            cosine(scaledDot(col("qvec"), col("embedding")), col("qnorm2"), col("norm2")))
+        val truncTop = StockOps.perKeyTopK(tpairs,
+            Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
+          .select("qid", "vec_id")
+        val truth = StockOps.perKeyTopK(probePairs(s, d, nProbes),
+            Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
+          .select("qid", "vec_id")
+        truth.join(truncTop.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast(DoubleType) / col("n_truth"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH nv AS (SELECT vec_id, embedding, $sqlNorm2 AS norm2 FROM embeddings),
+                 tv0 AS (SELECT vec_id, embedding[1:$MrlDims] AS embedding FROM embeddings),
+                 tn AS (SELECT vec_id, embedding, $sqlNorm2 AS norm2 FROM tv0),
+                 tp AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                               $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                        FROM tn a JOIN tn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+                 ttop AS (SELECT qid, vec_id FROM (
+                            SELECT qid, vec_id,
+                                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                            FROM tp) WHERE rk <= 3),
+                 fp AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                               $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                        FROM nv a JOIN nv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+                 ftop AS (SELECT qid, vec_id FROM (
+                            SELECT qid, vec_id,
+                                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                            FROM fp) WHERE rk <= 3)
+               SELECT f.qid, COUNT(*) AS n_truth,
+                      CAST(COUNT(t.vec_id) AS BIGINT) AS n_hit,
+                      CAST(COUNT(t.vec_id) AS DOUBLE) / COUNT(*) AS recall
+               FROM ftop f LEFT JOIN ttop t ON t.qid = f.qid AND t.vec_id = f.vec_id
+               GROUP BY f.qid ORDER BY f.qid"""))
   )
 
   /** Local alias to avoid a Catalog init cycle. */

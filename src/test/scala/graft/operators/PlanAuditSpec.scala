@@ -46,6 +46,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim19_pq_adc_rerank" -> Set("BroadcastNestedLoopJoin"),
     "sim21_ivfpq_recall" -> Set("BroadcastNestedLoopJoin"),
     "d05_embedding_neardup" -> Set("BroadcastNestedLoopJoin"),
+    "sim25_matryoshka_recall" -> Set("BroadcastNestedLoopJoin"),
     // single-row global aggregates: the one-partition stage IS the answer
     "a12_bool_count" -> Set("SinglePartition"),
     // one-row normalizers (max per-lang rate / corpus token total): the
@@ -180,7 +181,8 @@ class PlanAuditSpec extends SparkSpec {
     "c40_tpch_q3" -> 2, // broadcast dims; one fact-fact shuffle pair + agg split; top-10 is TakeOrdered
     "c41_tpch_q5" -> 3, // broadcast region/nation/supplier; order-key shuffle pair + grouped agg
     "c42_tpch_q1" -> 2, // one map-side-combined agg on the 6-value key + final sort
-    "t32_token_budget" -> 4) // per-source token agg + bounded allocation-table window + final sort
+    "t32_token_budget" -> 4, // per-source token agg + bounded allocation-table window + final sort
+    "sim25_matryoshka_recall" -> 8) // two broadcast-probe scans + 2×perKeyTopK + recall join + sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
@@ -233,6 +235,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim22_filtered_ann" -> "perKeyTopK phase 2 + probeCells (<= IvfCells rows per qid)",
     "sim23_knn_classify" -> "perKeyTopK phase 2 (neighbors + vote argmax): <= k*parts rows per qid",
     "sim24_mmr_rerank" -> "perKeyTopK phase 2 (pool + 3 greedy argmax steps): <= k*parts rows per qid",
+    "sim25_matryoshka_recall" -> "perKeyTopK phase 2 (truncated + full truth): <= k*parts rows per qid",
     "c38_kmv_sketch" -> "perKeyTopK phase 2: <= k*parts rows per event_type",
     "r03_interval_overlap" -> "groupedRunningTotal offsets window: <= parts rows per event_type by phase-1 aggregation")
 

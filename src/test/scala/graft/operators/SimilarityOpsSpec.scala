@@ -356,4 +356,33 @@ class SimilarityOpsSpec extends SparkSpec {
     }
     assert(diverged > 0, "MMR never diverged from plain top-3 — redundancy term inert")
   }
+
+  test("sim25: truncated search == driver brute force on sliced vectors; recall honest") {
+    val vecs = Catalog.t(spark, sfDir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def scaledDot(a: Array[Float], b: Array[Float]): Long =
+      a.indices.map(i => math.floor(a(i).toDouble * b(i).toDouble * 1e15).toLong).sum
+    def top3(dims: Int): Map[Long, Vector[Long]] = {
+      val sliced = vecs.map { case (id, v) => id -> v.take(dims) }
+      val norms = sliced.map { case (id, v) => id -> scaledDot(v, v) }.toMap
+      sliced.filter(_._1 < 10).map { case (q, qv) =>
+        q -> sliced.filter(_._1 != q).map { case (c, cv) =>
+          (c, scaledDot(qv, cv).toDouble / math.sqrt(norms(q).toDouble * norms(c).toDouble))
+        }.sortBy(p => (-p._2, p._1)).take(3).map(_._1).toVector
+      }.toMap
+    }
+    val truncTruth = top3(SimilarityOps.MrlDims)
+    val fullTruth = top3(64)
+    val out = Catalog.byName("sim25_matryoshka_recall").build(spark, sfDir).collect()
+    out.foreach { r =>
+      val q = r.getAs[Long]("qid")
+      val expHits = fullTruth(q).count(truncTruth(q).contains)
+      assert(r.getAs[Long]("n_truth") == 3L)
+      assert(r.getAs[Long]("n_hit") == expHits.toLong, s"probe $q hits")
+    }
+    // truncation must actually cost something on this corpus (honest price)
+    assert(out.map(_.getAs[Long]("n_hit")).sum < 30, "truncated recall suspiciously perfect")
+  }
 }
