@@ -111,6 +111,12 @@ object GraphOps {
     */
   val KCoreK = 4
 
+  /** g06's eval-subgraph cap (oracle transitive closure is quadratic in
+    * component size; the engine path needs no cap). Before `val all` —
+    * interpolated into the oracle at init.
+    */
+  val CommunityCap = 2000L
+
   val all: Seq[Q] = Seq(
     // PAGERANK — 3 damped integer-mass iterations over the derived link
     // graph; output is the full (doc_id, mass) rank table. The oracle
@@ -301,6 +307,48 @@ object GraphOps {
                             COUNT(DISTINCT u) AS n_nodes,
                             CAST(COUNT(*) // 2 AS BIGINT) AS n_edges FROM e$r""")
                  .mkString(" UNION ALL ")})
-             ORDER BY round"""))
+             ORDER BY round""")),
+
+    // COMMUNITY SIZE DISTRIBUTION — connected components of the link
+    // graph via the O(log n) large-star/small-star machinery (DedupOps.
+    // connectedComponentsStar — the SAME operator that resolves dedup
+    // clusters, exercised on a graph with a GIANT component), folded to
+    // the component-size histogram. The eval subgraph is capped at the
+    // first [[CommunityCap]] doc ids because the ORACLE's recursive-CTE
+    // transitive closure materializes |component|² rows — quadratic in
+    // the giant component; the ENGINE path has no such cap (per-iteration
+    // bucketed joins, d06c's 100 TB argument). Isolated nodes are
+    // singleton communities via the left join.
+    Q("g06_community_sizes",
+      (s, d) => {
+        val n = nodeCount(s, d)
+        val docs = t(s, d, "documents").where(col("doc_id") < CommunityCap)
+        val edges = linkEdges(docs, n)
+          .where(col("src") =!= col("dst") && col("dst") < CommunityCap)
+          .select(col("src").as("da"), col("dst").as("db")).distinct()
+        val labels = DedupOps.connectedComponentsStar(edges, 20)
+        docs.select("doc_id")
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(coalesce(col("label"), col("doc_id")).as("community"))
+          .groupBy("community").agg(count(lit(1)).as("n_members"))
+          .groupBy("n_members").agg(count(lit(1)).as("n_communities"))
+          .orderBy("n_members")
+      },
+      Some(
+        s"""WITH RECURSIVE $sqlEdges,
+               ce AS (SELECT src AS da, dst AS db FROM e
+                      WHERE src <> dst AND src < $CommunityCap AND dst < $CommunityCap),
+               sym AS (SELECT da AS src, db AS dst FROM ce UNION SELECT db, da FROM ce),
+               reach(id, r) AS (
+                 SELECT src, src FROM sym
+                 UNION
+                 SELECT s.src, rr.r FROM sym s JOIN reach rr ON s.dst = rr.id),
+               lbl AS (SELECT id AS doc_id, MIN(r) AS label FROM reach GROUP BY id),
+               mem AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS community
+                       FROM (SELECT doc_id FROM documents WHERE doc_id < $CommunityCap) d
+                       LEFT JOIN lbl l USING (doc_id)),
+               sizes AS (SELECT community, COUNT(*) AS n_members FROM mem GROUP BY community)
+             SELECT n_members, COUNT(*) AS n_communities
+             FROM sizes GROUP BY n_members ORDER BY n_members"""))
   )
 }

@@ -1098,7 +1098,38 @@ object StockOps {
                       ${sqlDavg("l_discount")} AS avg_disc,
                       COUNT(*) AS count_order
                FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-01'
-               GROUP BY 1, 2 ORDER BY 1, 2"""))
+               GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // TPC-H Q18 (large-volume customers) — the HAVING-driven semi-join
+    // composite: a map-side-combined per-order quantity rollup, the
+    // selective HAVING cut (total > 300), then the tiny survivor set
+    // drives joins back to orders and customer — at scale the survivors
+    // broadcast and the facts never shuffle twice. Top-10 via
+    // TakeOrdered. Quantity sums ride the exact-decimal discipline.
+    Q("c43_tpch_q18",
+      (s, d) => {
+        val bigOrders = t(s, d, "lineitem")
+          .groupBy("l_orderkey").agg(dsum(col("l_quantity")).as("total_qty"))
+          .where(col("total_qty") > 300.0)
+        val ord = t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        val cust = t(s, d, "customer").select("c_custkey", "c_name")
+        ord.join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast(DateType).as("o_orderdate"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(desc("total_qty"), col("o_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT c_name, c_custkey, o_orderkey,
+                      CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, total_qty
+               FROM (SELECT l_orderkey, ${sqlDsum("l_quantity")} AS total_qty
+                     FROM lineitem GROUP BY 1) b
+               JOIN orders ON o_orderkey = b.l_orderkey
+               JOIN customer ON c_custkey = o_custkey
+               WHERE total_qty > 300
+               ORDER BY total_qty DESC, o_orderkey LIMIT 10"""))
   )
 
 

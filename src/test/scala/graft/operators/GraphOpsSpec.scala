@@ -115,4 +115,23 @@ class GraphOpsSpec extends SparkSpec {
     // the peel must actually remove something, and must not empty the core
     assert(got.head._2 < n && got.last._2 > 0, s"degenerate peel: $got")
   }
+
+  test("g06: community histogram == driver-side union-find over the capped subgraph") {
+    val cap = GraphOps.CommunityCap
+    val capped = docs.where(col("doc_id") < cap).select("doc_id").collect().map(_.getLong(0))
+    val edges = GraphOps.linkEdges(docs.where(col("doc_id") < cap), n)
+      .where(col("src") =!= col("dst") && col("dst") < cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map(capped.map(x => x -> x): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = capped.groupBy(find).values.map(_.length).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Catalog.byName("g06_community_sizes").build(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("n_members").toInt -> r.getAs[Long]("n_communities")).toMap
+    assert(got == expected, s"histogram mismatch: $got vs $expected")
+    assert(got.keys.sum > 0 && got.values.sum >= 1)
+  }
 }

@@ -182,7 +182,9 @@ class PlanAuditSpec extends SparkSpec {
     "c41_tpch_q5" -> 3, // broadcast region/nation/supplier; order-key shuffle pair + grouped agg
     "c42_tpch_q1" -> 2, // one map-side-combined agg on the 6-value key + final sort
     "t32_token_budget" -> 4, // per-source token agg + bounded allocation-table window + final sort
-    "sim25_matryoshka_recall" -> 8) // two broadcast-probe scans + 2×perKeyTopK + recall join + sort
+    "sim25_matryoshka_recall" -> 8, // two broadcast-probe scans + 2×perKeyTopK + recall join + sort
+    "c43_tpch_q18" -> 2, // per-order rollup; survivors broadcast; top-10 is TakeOrdered
+    "g06_community_sizes" -> 6) // star-CC fixpoint (lineage truncated per round) + two histogram aggs
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

@@ -275,6 +275,20 @@ class StockOpsSpec extends SparkSpec {
       s"Q3 top revenue ${top.getAs[Double]("revenue")} != driver $exp")
   }
 
+  test("c43: Q18 survivors all exceed the quantity cut; top-10 is TakeOrdered; sums exact") {
+    val q = Catalog.byName("c43_tpch_q18").build(spark, sfDir)
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val rows = q.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Double]("total_qty") > 300.0))
+    val sums = Catalog.t(spark, sfDir, "lineitem")
+      .groupBy("l_orderkey").agg(Catalog.dsum(col("l_quantity")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(r.getAs[Double]("total_qty") == sums(r.getAs[Long]("o_orderkey"))))
+    // descending with the orderkey tiebreak
+    val qs = rows.map(r => (-r.getAs[Double]("total_qty"), r.getAs[Long]("o_orderkey"))).toSeq
+    assert(qs == qs.sorted)
+  }
+
   test("c39: decayed aggregate == driver recompute; weights halve per day bucket") {
     val rows = Catalog.t(spark, sfDir, "events")
       .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value")).collect()
