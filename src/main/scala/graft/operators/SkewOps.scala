@@ -171,6 +171,53 @@ object SkewOps {
                      MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
               FROM c GROUP BY 1, 2 ORDER BY source, file_no""")),
 
+    // COMPACTION APPLY — k04 EXECUTED: the planned (source, file_no)
+    // assignment is physically written as a partitionBy layout, read
+    // BACK, and the manifest re-measured from the written files; the
+    // oracle is k04's planned manifest, so plan and layout cannot drift.
+    // An in-query require pins one leaf directory per manifest row — the
+    // layout exists on disk, not just in the plan. The write is the
+    // standard distributed partitioned sink (no driver funnels); the
+    // read-back manifest is a plain scan + map-side-combined aggregate.
+    Q("k06_compaction_apply",
+      (s, d) => {
+        val target = 65536L
+        val out = java.nio.file.Files.createTempDirectory("k06layout").toString
+        val sized = t(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("text"),
+            octet_length(col("text")).cast(LongType).as("bytes"))
+        StockOps.groupedRunningTotal(sized, "source", "doc_id", "bytes", "end_b")
+          .withColumn("file_no", expr(s"(end_b - bytes) div $target"))
+          .select("source", "file_no", "doc_id", "text", "bytes")
+          .write.mode("overwrite").partitionBy("source", "file_no").parquet(out)
+        val back = s.read.parquet(out)
+        val manifest = back.groupBy(col("source"), col("file_no").cast(LongType).as("file_no"))
+          .agg(count(lit(1)).as("n_docs"), sum("bytes").as("bytes"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("source", "file_no")
+        val leafDirs = new java.io.File(out).listFiles().toSeq
+          .filter(f => f.isDirectory && f.getName.startsWith("source="))
+          .flatMap(_.listFiles().toSeq)
+          .count(f => f.isDirectory && f.getName.startsWith("file_no="))
+        val planned = manifest.count()
+        require(leafDirs.toLong == planned,
+          s"written layout has $leafDirs leaf dirs, manifest plans $planned")
+        manifest
+      },
+      Some("""WITH sized AS (
+                SELECT doc_id, source, CAST(strlen(text) AS BIGINT) AS bytes
+                FROM documents),
+              c AS (
+                SELECT doc_id, source, bytes,
+                       CAST(SUM(bytes) OVER (PARTITION BY source ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_b
+                FROM sized)
+              SELECT source, (end_b - bytes) // 65536 AS file_no,
+                     COUNT(*) AS n_docs, CAST(SUM(bytes) AS BIGINT) AS bytes,
+                     MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+              FROM c GROUP BY 1, 2 ORDER BY source, file_no"""),
+      bench = false),
+
     // ZONE-MAP PRUNING — the file-skipping math that makes a 100 TB range
     // scan read 3% of its files: per layout file (1000-row event_id
     // ranges — the k04-style ingest order, under which ts is near-sorted

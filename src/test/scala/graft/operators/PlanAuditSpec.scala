@@ -184,7 +184,8 @@ class PlanAuditSpec extends SparkSpec {
     "t32_token_budget" -> 4, // per-source token agg + bounded allocation-table window + final sort
     "sim25_matryoshka_recall" -> 8, // two broadcast-probe scans + 2×perKeyTopK + recall join + sort
     "c43_tpch_q18" -> 2, // per-order rollup; survivors broadcast; top-10 is TakeOrdered
-    "g06_community_sizes" -> 6) // star-CC fixpoint (lineage truncated per round) + two histogram aggs
+    "g06_community_sizes" -> 6, // star-CC fixpoint (lineage truncated per round) + two histogram aggs
+    "k06_compaction_apply" -> 2) // read-back scan + manifest agg + sort (write executed on build)
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

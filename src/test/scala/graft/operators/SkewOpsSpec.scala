@@ -112,4 +112,32 @@ class SkewOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_rows") > 0)
     }
   }
+
+  test("k06: written layout == k04 plan; every file respects the greedy bin bound") {
+    import org.apache.spark.sql.functions._
+    val applied = Catalog.byName("k06_compaction_apply").build(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("file_no")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("bytes"),
+          r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"))).toMap
+    val planned = Catalog.byName("k04_compaction_plan").build(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("file_no")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("bytes"),
+          r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"))).toMap
+    assert(applied == planned, "written layout diverged from the planned manifest")
+    // greedy fill bound: a file only exceeds the 64 KiB target by its own
+    // LAST document (the one that crossed the boundary) — so bytes <
+    // target + max single doc; and id spans within a source never overlap
+    val maxDoc = Catalog.t(spark, sfDir, "documents")
+      .agg(max(octet_length(col("text")))).head().getInt(0).toLong
+    applied.foreach { case ((src, f), (_, bytes, _, _)) =>
+      assert(bytes < 65536L + maxDoc, s"$src/$f overfilled: $bytes")
+    }
+    applied.groupBy(_._1._1).foreach { case (_, fs) =>
+      val spans = fs.toSeq.sortBy(_._1._2).map { case (_, (_, _, lo, hi)) => (lo, hi) }
+      spans.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(h1 < l2, "file id spans overlap")
+        case _ => ()
+      }
+    }
+  }
 }
