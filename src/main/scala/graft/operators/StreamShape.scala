@@ -995,6 +995,55 @@ object StreamShape {
           .orderBy("event_type")
       },
       Some(StockOps.sqlKmv),
+      bench = false),
+
+    // STREAMING PARTITIONED FILE SINK — continuous ingest INTO a
+    // partitioned lake layout (k06's concern, streamed): a document
+    // stream drained through writeStream.partitionBy(lang) into an
+    // exactly-once parquet file sink (transaction-logged — a crashed
+    // writer never half-publishes a file), then audited from the WRITTEN
+    // layout: an in-query require pins one lang= directory per language,
+    // and the emitted per-lang manifest is re-measured from the read-back
+    // files against the batch table as the oracle. ≥ 2 micro-batches so
+    // the sink genuinely appends across commits.
+    Q("x23_stream_partitioned_sink",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = s"x23ckpt"
+        val ckpt = java.nio.file.Files.createTempDirectory(name).toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x23src").toString
+        val out = java.nio.file.Files.createTempDirectory("x23out").toString
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        docs.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/f0")
+        docs.where(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/f1")
+        val sq = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream.format("parquet")
+          .partitionBy("lang")
+          .option("path", out)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fedBatches = sq.recentProgress.count(_.numInputRows > 0)
+        require(fedBatches >= 2,
+          s"x23 drained in $fedBatches micro-batch(es) — the sink never appended across commits")
+        val langDirs = new java.io.File(out).listFiles().toSeq
+          .count(f => f.isDirectory && f.getName.startsWith("lang="))
+        val nLangs = docs.select("lang").distinct().count()
+        require(langDirs.toLong == nLangs,
+          s"written layout has $langDirs lang= dirs, corpus has $nLangs languages")
+        s.read.parquet(out)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars
+              FROM documents GROUP BY lang ORDER BY lang"""),
       bench = false)
   )
 }
