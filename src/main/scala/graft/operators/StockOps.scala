@@ -170,10 +170,6 @@ object StockOps {
   val KmvM = 1000000007L
   val KmvK = 8
 
-  /** Read a KMV sketch out of its k-smallest-hash rows (`perKeyTopK`
-    * output): sketch size, k-th minimum, and the (k−1)·M ∕ h_(k) distinct
-    * estimate (exact sketch size when the sketch never filled).
-    */
   /** The KMV oracle (shared by c38 and x22 — KMV partials merge by
     * union + re-take-k, so the streamed union must land on the same
     * estimates). lazy: referenced eagerly by `val all` (the sqlCms
@@ -206,6 +202,10 @@ object StockOps {
     perKeyTopK(kmvHashes(df), Seq("event_type"), Seq(col("h")), KmvK)
       .select("event_type", "h")
 
+  /** Read a KMV sketch out of its k-smallest-hash rows ([[kmvPartial]]
+    * output): sketch size, k-th minimum, and the (k−1)·M ∕ h_(k) distinct
+    * estimate (exact sketch size when the sketch never filled).
+    */
   def kmvEstimate(top: DataFrame): DataFrame =
     top.groupBy("event_type")
       .agg(count(lit(1)).as("sketch_k"), max(col("h")).as("kth_hash"))

@@ -22,6 +22,13 @@ object StreamShape {
     */
   private val X10Head = 999
 
+  /** x21's pinned deterministic region boundary — ONE constant shared by
+    * the streaming build, its catch-up drains, and the oracle SQL (the
+    * X10Head convention), so engine and oracle cannot compare different
+    * block regions.
+    */
+  private val X21Head = 999L
+
   val all: Seq[Q] = Seq(
     // Tumbling 1-hour event-time window (streaming: groupBy(window($"ts","1 hour"))).
     Q("x01_tumbling_window",
@@ -901,7 +908,7 @@ object StreamShape {
         // watermark provably never passes the region boundary: boundary
         // nulls then never evict. The region is selected on the SINK
         // output instead.
-        val Head = 999L
+        val Head = X21Head
         def drain(head: Long): org.apache.spark.sql.streaming.StreamingQuery = {
           def src(dataset: String) = s.readStream.format("graft-eth")
             .option("dataset", dataset).option("startBlock", "0")
@@ -947,7 +954,7 @@ object StreamShape {
                FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet' b
                LEFT JOIN '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet' l
                  ON l.blockNumber = b.number
-               WHERE b.number < 999
+               WHERE b.number < $X21Head
                ORDER BY number, logIndex"""),
       bench = false),
 
@@ -1009,8 +1016,7 @@ object StreamShape {
     Q("x23_stream_partitioned_sink",
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
-        val name = s"x23ckpt"
-        val ckpt = java.nio.file.Files.createTempDirectory(name).toString
+        val ckpt = java.nio.file.Files.createTempDirectory("x23ckpt").toString
         val srcDir = java.nio.file.Files.createTempDirectory("x23src").toString
         val out = java.nio.file.Files.createTempDirectory("x23out").toString
         val docs = s.read.parquet(s"$d/documents.parquet")

@@ -157,7 +157,9 @@ object TemporalOps {
     // rides groupedRunningTotal (two-phase range-partitioned prefix sum —
     // no one-task-per-key funnel); ends sort before starts at the same
     // instant (ord = 2·µs + isStart) so touching intervals [a,b),[b,c)
-    // never double-count, and zero-length intervals are never active.
+    // never double-count, and zero-length intervals are never active
+    // (durations clamp at 0 on BOTH engines, so a negative or NaN value
+    // can never depress the running sum of unrelated intervals).
     // Within an (instant, sign) tie group the intra-group prefix order is
     // engine-dependent, but every tie group is sign-homogeneous, so the
     // prefix is monotone across each group and the per-key MAX is attained
@@ -166,7 +168,7 @@ object TemporalOps {
       (s, d) => {
         val ev = t(s, d, "events")
           .select(col("event_type"), unix_micros(col("ts")).as("us"),
-            floor(col("value")).cast("long").as("dur_s"))
+            greatest(floor(col("value")), lit(0.0)).cast("long").as("dur_s"))
         val deltas = ev.select(col("event_type"),
             explode(array(
               struct((col("us") * 2 + 1).as("ord"), lit(1L).as("delta")),
@@ -179,7 +181,7 @@ object TemporalOps {
           .orderBy("event_type")
       },
       Some("""WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us,
-                                CAST(FLOOR(value) AS BIGINT) AS dur_s FROM events),
+                                CAST(GREATEST(FLOOR(value), 0) AS BIGINT) AS dur_s FROM events),
                  dl AS (SELECT event_type, us * 2 + 1 AS ord, 1 AS delta FROM e
                         UNION ALL
                         SELECT event_type, (us + dur_s * 1000000) * 2 AS ord, -1 AS delta FROM e),

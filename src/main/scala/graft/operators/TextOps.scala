@@ -1329,8 +1329,13 @@ object TextOps {
     // Bounded 4-row result.
     Q("p05_funnel_report",
       (s, d) => {
-        val deconIds = Catalog.byName("d09_decontaminate").build(s, d).select("doc_id")
-        val keptIds = Catalog.byName("d07b_dedup_apply_exact").build(s, d).select("doc_id")
+        // materialize the two id sets ONCE: the four funnel branches
+        // would otherwise re-execute the d09/d07b sub-pipelines per
+        // stage count (the groupedRunningTotal checkpoint convention)
+        val deconIds = Catalog.byName("d09_decontaminate").build(s, d)
+          .select("doc_id").localCheckpoint()
+        val keptIds = Catalog.byName("d07b_dedup_apply_exact").build(s, d)
+          .select("doc_id").localCheckpoint()
         val toks = tokens(col("text"))
         val base = t(s, d, "documents").where(col("source") =!= "src0")
         val s2 = base.join(deconIds, "doc_id")

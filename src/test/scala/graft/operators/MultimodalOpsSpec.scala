@@ -70,6 +70,18 @@ class MultimodalOpsSpec extends SparkSpec {
       "scene-cut signal degenerated to a constant")
   }
 
+  test("corpus precondition: documents are pure ASCII (byte == char semantics)") {
+    // m02's intensity oracle and m08's chunk oracle index CHARACTERS in
+    // DuckDB while the engine processes UTF-8 BYTES — equal only while
+    // octet_length == length corpus-wide. This pins the stub-codec
+    // precondition loudly: a regenerated fixture with one multi-byte
+    // character fails HERE, not as a silent oracle divergence.
+    import org.apache.spark.sql.functions._
+    val nonAscii = Catalog.t(spark, sfDir, "documents")
+      .where(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii == 0, s"$nonAscii non-ASCII documents — m02/m08 oracles assume byte==char")
+  }
+
   test("m08: chunk plan tiles every payload exactly (offsets, clipping, checksums)") {
     import MultimodalOps.StubAudioCodec.{Hop, Win}
     val docs = Catalog.t(spark, sfDir, "documents")

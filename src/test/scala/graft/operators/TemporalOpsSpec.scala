@@ -57,7 +57,7 @@ class TemporalOpsSpec extends SparkSpec {
     // brute force: per type, count intervals covering each boundary instant
     // under [start, end) semantics — no sweep, no running sum
     val byType = events.groupBy(_._4).view.mapValues(_.map { case (_, _, us, _, v) =>
-      (us, us + math.floor(v).toLong * 1000000L)
+      (us, us + math.max(math.floor(v), 0.0).toLong * 1000000L)
     }.toSeq).toMap
     val expected = byType.map { case (t, iv) =>
       val peak = iv.map(_._1).distinct
