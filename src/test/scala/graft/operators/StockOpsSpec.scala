@@ -237,6 +237,17 @@ class StockOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("sketch_k") < KmvK &&
         r.getAs[Long]("est_distinct") == r.getAs[Long]("sketch_k"))
     }
+    // merge law under MANY shard layouts, not just the parity split:
+    // deterministic pseudo-random 3-way shards (docHash of event_id) must
+    // all reconcile to the whole-stream sketch
+    (0 until 3).foreach { salt =>
+      val shardOf = Catalog.docHash(col("event_id") + lit(salt.toLong * 7919L), 3L)
+      val shards = (0L until 3L).map(i => sketch(ev.where(shardOf === i)))
+      val m = StockOps.kmvEstimate(StockOps.perKeyTopK(
+        shards.reduce(_ union _).distinct(), Seq("event_type"), Seq(col("h")), KmvK))
+      assert(m.collect().map(_.toSeq).toSet == whole.collect().map(_.toSeq).toSet,
+        s"3-way shard merge (salt $salt) != whole-corpus sketch")
+    }
     val filled = Catalog.byName("c38_kmv_sketch").build(spark, sfDir).collect()
     filled.foreach { r =>
       val (k, kth, est, tru) = (r.getAs[Long]("sketch_k"), r.getAs[Long]("kth_hash"),

@@ -69,4 +69,30 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got === expected)
     assert(got.values.exists(_._1 > 1), "fixture degenerate: no overlap anywhere")
   }
+
+  test("r03 is invariant to input partitioning (tie groups are sign-homogeneous)") {
+    // the intra-tie prefix order differs across partitionings; the per-key
+    // MAX must not — run the same sweep over three different physical
+    // layouts of the same rows and require identical results
+    val base = Catalog.byName("r03_interval_overlap").build(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    Seq(1, 7, 64).foreach { parts =>
+      val ev = Catalog.t(spark, sfDir, "events").repartition(parts)
+      // rebuild through the same operator body on the re-laid-out input
+      val deltas = ev
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          greatest(floor(col("value")), lit(0.0)).cast("long").as("dur_s"))
+        .select(col("event_type"),
+          explode(array(
+            struct((col("us") * 2 + 1).as("ord"), lit(1L).as("delta")),
+            struct(((col("us") + col("dur_s") * 1000000L) * 2).as("ord"),
+              lit(-1L).as("delta")))).as("e"))
+        .select(col("event_type"), col("e.ord").as("ord"), col("e.delta").as("delta"))
+      val out = StockOps.groupedRunningTotal(deltas, "event_type", "ord", "delta", "run")
+        .groupBy("event_type")
+        .agg(max(col("run")).as("peak"), expr("count(1) div 2").as("n_intervals"))
+        .collect().map(_.toSeq).toSet
+      assert(out == base, s"r03 diverged under repartition($parts)")
+    }
+  }
 }
