@@ -649,6 +649,63 @@ object SimilarityOps {
                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2, vec_id) AS rk
             FROM bl2) WHERE rk <= 3)"""
 
+  // ——— Scalar-quantization serving (sim26 search / sim27 recall) ———
+
+  /** Per-dimension (lo, hi) quantization ranges — sim14's trained
+    * parameters, collected as a bounded dims-sized pair of arrays (the
+    * centroid-collect convention: the collect is O(dims), never O(corpus))
+    * and shipped to executors as plan literals. Fails fast on a fixture
+    * dimension change.
+    */
+  def sqRanges(s: SparkSession, d: String): (Array[Double], Array[Double]) = {
+    val rows = t(s, d, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("x", col("x").cast(DoubleType))
+      .groupBy("dim").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.length == PqSub * PqDim,
+      s"embedding dim ${rows.length} != ${PqSub * PqDim} — fixture shape changed")
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** The int8 encode∘decode of an embedding column under the given
+    * ranges — exactly the vector a server holding only sim14's codes can
+    * reconstruct. Every double step is the sim14 chain
+    * operation-for-operation (deterministic IEEE), so the oracle mirrors
+    * it term-for-term.
+    */
+  def sqReconOf(emb: Column, lo: Array[Double], hi: Array[Double]): Column = {
+    val loA = array(lo.toIndexedSeq.map(lit(_)): _*)
+    val hiA = array(hi.toIndexedSeq.map(lit(_)): _*)
+    transform(emb, (x, i) => {
+      val l = element_at(loA, i + 1)
+      val h = element_at(hiA, i + 1)
+      val q = when(h > l,
+        least(floor((x.cast(DoubleType) - l) / (h - l) * 255), lit(255L))).otherwise(lit(0L))
+      l + q.cast(DoubleType) * (h - l) / 255
+    })
+  }
+
+  /** Oracle CTEs for SQ serving: exploded doubles (`ex`), per-dim ranges
+    * (`rng`), reconstructed values (`rc`), and the probe×corpus asymmetric
+    * distances (`adcsq`) — the grouped integer sum is order-free, so it
+    * equals the engine's in-order scaledL2 fold. Shared by sim26/sim27.
+    */
+  lazy val sqlSqAdcCtes: String =
+    s"""ex AS (SELECT vec_id, dim, CAST(embedding[CAST(dim + 1 AS INT)] AS DOUBLE) AS x
+               FROM embeddings, LATERAL (SELECT UNNEST(range(0, len(embedding))) AS dim) i),
+        rng AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM ex GROUP BY dim),
+        rc AS (SELECT vec_id, dim,
+                      lo + CAST(CASE WHEN hi > lo
+                                     THEN LEAST(CAST(FLOOR((x - lo) / (hi - lo) * 255) AS BIGINT), 255)
+                                     ELSE 0 END AS DOUBLE) * (hi - lo) / 255 AS r
+               FROM ex JOIN rng USING (dim)),
+        adcsq AS (
+          SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+                 CAST(SUM(CAST(FLOOR((q.x - c.r) * (q.x - c.r) * 1e15) AS BIGINT)) AS BIGINT) AS sq_dist
+          FROM ex q JOIN rc c ON q.dim = c.dim AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+          GROUP BY 1, 2)"""
+
   /** One oracle-side PQ Lloyd iteration `i`: per-(subspace, code, dim)
     * exact sums under the previous codes (`pqs$i`), the updated long-form
     * codebook with empty codewords keeping their vector (`cbl$i`), the
@@ -1679,7 +1736,67 @@ object SimilarityOps {
                       CAST(COUNT(t.vec_id) AS BIGINT) AS n_hit,
                       CAST(COUNT(t.vec_id) AS DOUBLE) / COUNT(*) AS recall
                FROM ftop f LEFT JOIN ttop t ON t.qid = f.qid AND t.vec_id = f.vec_id
-               GROUP BY f.qid ORDER BY f.qid"""))
+               GROUP BY f.qid ORDER BY f.qid""")),
+
+    // SCALAR-QUANTIZATION SERVING — the search that makes sim14's int8
+    // codes useful (the sim16 move for the OTHER classic compression): the
+    // probe keeps its float vector, the corpus is the int8 encode∘decode
+    // reconstruction (4× smaller index in executor memory), distance is
+    // the exact floor-scaled L2 against the reconstructed values —
+    // asymmetric, so only the stored side pays quantization error.
+    // Shape: map-only reconstruct (ranges are a dims-sized literal — no
+    // join), corpus × broadcast(10 probes), two-phase per-probe top-3.
+    // Every per-dim term is engine-exact, so ranks are hash-comparable.
+    Q("sim26_sq_adc_search",
+      (s, d) => {
+        val (lo, hi) = sqRanges(s, d)
+        val emb = t(s, d, "embeddings")
+        val recon = emb.select(col("vec_id"), sqReconOf(col("embedding"), lo, hi).as("recon"))
+        val probes = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val scored = recon.join(broadcast(probes), col("vec_id") =!= col("qid"))
+          .withColumn("sq_dist", scaledL2(col("qvec"), col("recon")))
+          .select("qid", "vec_id", "sq_dist")
+        StockOps.perKeyTopK(scored, Seq("qid"), Seq(col("sq_dist"), col("vec_id")), 3)
+          .select("qid", "rk", "vec_id", "sq_dist")
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH $sqlSqAdcCtes
+              SELECT qid, CAST(rk AS INT) AS rk, vec_id, sq_dist FROM (
+                SELECT qid, vec_id, sq_dist,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sq_dist, vec_id) AS rk
+                FROM adcsq) WHERE rk <= 3
+              ORDER BY qid, rk""")),
+
+    // SQ RECALL — the safety number for int8 serving: recall@3 of sim26
+    // against the exact full-precision L2 truth (the same truth sim17/19
+    // grade PQ against, so the two compressions are directly comparable:
+    // int8 keeps ~64 bytes/vector vs PQ's 4 and should land near-perfect
+    // recall where seed-codebook PQ lands ~0.1–0.2 — the compression ↔
+    // recall trade made measurable).
+    Q("sim27_sq_recall",
+      (s, d) => {
+        val top = byNameLocal("sim26_sq_adc_search").build(s, d)
+          .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+        pqL2Truth(s, d).join(top, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast(DoubleType) / 3)
+          .orderBy("qid")
+      },
+      Some(s"""WITH $sqlSqAdcCtes,
+                 sq_top AS (
+                   SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sq_dist, vec_id) AS rk
+                     FROM adcsq) WHERE rk <= 3),
+                 $sqlPqTruthCtes
+              SELECT t.qid, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+                     CAST(COUNT(a.vec_id) AS DOUBLE) / 3 AS recall
+              FROM truth t LEFT JOIN sq_top a
+                ON a.qid = t.qid AND a.vec_id = t.vec_id
+              GROUP BY t.qid ORDER BY t.qid"""),
+      bench = false)
   )
 
   /** Local alias to avoid a Catalog init cycle. */

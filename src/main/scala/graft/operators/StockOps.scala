@@ -1129,7 +1129,72 @@ object StockOps {
                JOIN orders ON o_orderkey = b.l_orderkey
                JOIN customer ON c_custkey = o_custkey
                WHERE total_qty > 300
-               ORDER BY total_qty DESC, o_orderkey LIMIT 10"""))
+               ORDER BY total_qty DESC, o_orderkey LIMIT 10""")),
+
+    // TPC-H Q6 (forecasting revenue change) — the canonical scan-dominated
+    // aggregate: THREE pushed predicates (shipdate range, discount band,
+    // quantity cap) reaching the parquet scan as PushedFilters, one
+    // map-side-combined global sum, no join, no wide shuffle — at 100 TB
+    // this is the query whose cost IS the scan, so the plan's whole job is
+    // pruning row groups (min/max stats on l_shipdate) and reading two
+    // value columns. Revenue in exact decimal; the discount band compares
+    // the fixture's doubles against double literals (identical IEEE
+    // comparisons on both engines).
+    Q("c44_tpch_q6",
+      (s, d) => t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                     COUNT(*) AS n_items
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+                AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+                AND l_quantity < 24""")),
+
+    // TPC-H Q10 (returned-item reporting) — the aggregate-THEN-join
+    // composite: the two facts join once on the order key, revenue rolls
+    // up to the customer key BEFORE the customer/nation dimensions attach
+    // (the survivor set is ≤ |customers| rows, so the wide columns ride a
+    // small join, and at scale the post-agg side broadcasts instead of
+    // re-shuffling the facts). Top-20 via TakeOrdered — per-partition
+    // heads + one bounded merge.
+    Q("c45_tpch_q10",
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .where(col("o_orderdate") >= lit("1996-10-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+          .select("o_orderkey", "o_custkey")
+        val li = t(s, d, "lineitem")
+          .where(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("rev"))
+        val perCust = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_custkey")
+          .agg(sum("rev").cast(DoubleType).as("revenue"))
+        val cust = t(s, d, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        val nat = t(s, d, "nation").select("n_nationkey", "n_name")
+        perCust.join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("revenue"),
+            col("c_acctbal"), col("n_name"))
+          .orderBy(desc("revenue"), col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                     c_acctbal, n_name
+              FROM customer, orders, lineitem, nation
+              WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+                AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+              GROUP BY c_custkey, c_name, c_acctbal, n_name
+              ORDER BY revenue DESC, c_custkey LIMIT 20"""))
   )
 
 

@@ -191,6 +191,54 @@ object TemporalOps {
                        FROM dl)
               SELECT event_type, MAX(run) AS peak,
                      CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
-              FROM r GROUP BY event_type ORDER BY event_type"""))
+              FROM r GROUP BY event_type ORDER BY event_type""")),
+
+    // GAP FILL + LOCF — the time-series regularization every downstream
+    // model needs: per user, the daily purchase total on a DENSE daily
+    // grid (missing days materialized), gaps carried forward from the
+    // last observation. Scale shape: the grid is an explode of
+    // sequence(min_day, max_day) AFTER a per-user min/max aggregate
+    // (rows = users × span, never events × span); the carry-forward is
+    // NOT a per-user last(ignoreNulls) window (one task per user) — the
+    // observation INDEX is a groupedRunningTotal of the is-observed
+    // indicator (two-phase range-partitioned prefix sum), and the filled
+    // value arrives by a plain equi-join on (user, obs_idx). The first
+    // grid day of every user is an observation by construction, so
+    // obs_idx ≥ 1 and the join is inner. Sums ride the exact-decimal
+    // discipline; the oracle's IGNORE NULLS window is the executable
+    // spec of the same semantics.
+    Q("r04_gap_fill",
+      (s, d) => {
+        val dayUs = 86400000000L
+        val obs = t(s, d, "events").where(col("event_type") === "purchase")
+          .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"), col("value"))
+          .groupBy("user_id", "day").agg(dsum(col("value")).as("obs_val"))
+        val grid = obs.groupBy("user_id").agg(min("day").as("mn"), max("day").as("mx"))
+          .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("day"))
+        val g = grid.join(obs, Seq("user_id", "day"), "left")
+          .withColumn("is_obs", when(col("obs_val").isNotNull, 1L).otherwise(0L))
+        val idx = StockOps.groupedRunningTotal(g, "user_id", "day", "is_obs", "obs_idx")
+        val src = idx.where(col("is_obs") === 1L)
+          .select(col("user_id"), col("obs_idx"), col("obs_val").as("filled"))
+        idx.join(src, Seq("user_id", "obs_idx"))
+          .select(col("user_id"), col("day"), col("obs_val"), col("filled"),
+            col("obs_val").isNull.as("is_gap"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH p AS (SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day, value
+                         FROM events WHERE event_type = 'purchase'),
+                 obs AS (SELECT user_id, day,
+                                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS obs_val
+                         FROM p GROUP BY 1, 2),
+                 span AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM obs GROUP BY 1),
+                 grid AS (SELECT user_id, UNNEST(range(mn, mx + 1)) AS day FROM span),
+                 g AS (SELECT gr.user_id, gr.day, o.obs_val
+                       FROM grid gr LEFT JOIN obs o
+                         ON o.user_id = gr.user_id AND o.day = gr.day)
+              SELECT user_id, day, obs_val,
+                     LAST_VALUE(obs_val IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+                     obs_val IS NULL AS is_gap
+              FROM g ORDER BY user_id, day"""))
   )
 }

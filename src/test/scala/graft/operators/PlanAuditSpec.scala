@@ -49,6 +49,11 @@ class PlanAuditSpec extends SparkSpec {
     "sim25_matryoshka_recall" -> Set("BroadcastNestedLoopJoin"),
     // single-row global aggregates: the one-partition stage IS the answer
     "a12_bool_count" -> Set("SinglePartition"),
+    "c44_tpch_q6" -> Set("SinglePartition"),
+    // SQ serving: corpus streams against the bounded broadcast probe block
+    // (the sim01 exact-baseline shape; ≠ predicate forces BNLJ)
+    "sim26_sq_adc_search" -> Set("BroadcastNestedLoopJoin"),
+    "sim27_sq_recall" -> Set("BroadcastNestedLoopJoin"),
     // one-row normalizers (max per-lang rate / corpus token total): the
     // single-partition agg is 1 row and its crossJoin-back is a 1-row
     // broadcast nested loop — bounded by construction, the c16 pattern
@@ -185,7 +190,13 @@ class PlanAuditSpec extends SparkSpec {
     "sim25_matryoshka_recall" -> 8, // two broadcast-probe scans + 2×perKeyTopK + recall join + sort
     "c43_tpch_q18" -> 2, // per-order rollup; survivors broadcast; top-10 is TakeOrdered
     "g06_community_sizes" -> 6, // star-CC fixpoint (lineage truncated per round) + two histogram aggs
-    "k06_compaction_apply" -> 2) // read-back scan + manifest agg + sort (write executed on build)
+    "k06_compaction_apply" -> 2, // read-back scan + manifest agg + sort (write executed on build)
+    // round-6 third-session queries (ceilings = measured at spec SF)
+    "c44_tpch_q6" -> 0, // pushed-filter scan + single-row global agg; no wide shuffle at all
+    "c45_tpch_q10" -> 1, // fact-fact order-key join + pre-dim agg collapse; top-20 is TakeOrdered
+    "r04_gap_fill" -> 7, // obs agg + span agg + grid join + two-phase prefix count + obs_idx join + sort
+    "sim26_sq_adc_search" -> 3, // map-only reconstruct; perKeyTopK (local+final) + sort
+    "sim27_sq_recall" -> 8) // sim26 plan + brute-force truth + recall join
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
@@ -240,6 +251,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim24_mmr_rerank" -> "perKeyTopK phase 2 (pool + 3 greedy argmax steps): <= k*parts rows per qid",
     "sim25_matryoshka_recall" -> "perKeyTopK phase 2 (truncated + full truth): <= k*parts rows per qid",
     "c38_kmv_sketch" -> "perKeyTopK phase 2: <= k*parts rows per event_type",
+    "sim26_sq_adc_search" -> "perKeyTopK phase 2: <= k*parts rows per qid",
+    "sim27_sq_recall" -> "perKeyTopK phase 2 (SQ search + brute-force truth): <= k*parts rows per qid",
     "r03_interval_overlap" -> "groupedRunningTotal offsets window: <= parts rows per event_type by phase-1 aggregation")
 
   private def lowCardWindowKeys(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =

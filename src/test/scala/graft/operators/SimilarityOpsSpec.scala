@@ -385,4 +385,42 @@ class SimilarityOpsSpec extends SparkSpec {
     // truncation must actually cost something on this corpus (honest price)
     assert(out.map(_.getAs[Long]("n_hit")).sum < 30, "truncated recall suspiciously perfect")
   }
+
+  test("sim26/sim27: SQ ADC search == driver encode∘decode recompute; recall vs exact truth") {
+    val vecs = Catalog.t(spark, sfDir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    val dims = vecs.head._2.length
+    val lo = Array.tabulate(dims)(i => vecs.map(_._2(i)).min)
+    val hi = Array.tabulate(dims)(i => vecs.map(_._2(i)).max)
+    def recon(v: Array[Double]): Array[Double] = Array.tabulate(dims) { i =>
+      val q = if (hi(i) > lo(i))
+        math.min(math.floor((v(i) - lo(i)) / (hi(i) - lo(i)) * 255), 255.0)
+      else 0.0
+      lo(i) + q * (hi(i) - lo(i)) / 255
+    }
+    def sl2(a: Array[Double], b: Array[Double]): Long =
+      (0 until dims).map(i => math.floor((a(i) - b(i)) * (a(i) - b(i)) * 1e15).toLong).sum
+    val rc = vecs.map { case (id, v) => id -> recon(v) }.toMap
+    def top3(q: Long, dist: Long => Long): Vector[(Long, Long)] =
+      vecs.filter(_._1 != q).map { case (c, _) => (dist(c), c) }
+        .sortBy(identity).take(3).map(_.swap).toVector
+    val qvs = vecs.filter(_._1 < 10).toMap
+    val sqTop = qvs.map { case (q, qv) => q -> top3(q, c => sl2(qv, rc(c))) }
+    val out = Catalog.byName("sim26_sq_adc_search").build(spark, sfDir).collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      val (vid, dist) = sqTop(r.getAs[Long]("qid"))(r.getAs[Int]("rk") - 1)
+      assert(r.getAs[Long]("vec_id") == vid && r.getAs[Long]("sq_dist") == dist,
+        s"sim26 row $r != driver ($vid, $dist)")
+    }
+    // recall: SQ top-3 vs the exact full-precision L2 top-3
+    val truth = qvs.map { case (q, qv) => q -> top3(q, c => sl2(qv, vecs.toMap.apply(c))) }
+    Catalog.byName("sim27_sq_recall").build(spark, sfDir).collect().foreach { r =>
+      val q = r.getAs[Long]("qid")
+      val expHits = truth(q).map(_._1).count(sqTop(q).map(_._1).contains)
+      assert(r.getAs[Long]("n_hit") == expHits.toLong, s"probe $q recall hits")
+    }
+  }
 }

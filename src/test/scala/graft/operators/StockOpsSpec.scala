@@ -322,4 +322,55 @@ class StockOpsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("decayed_count") - dc) < 1e-12)
     }
   }
+
+  test("c44: Q6 revenue == driver recompute; all three predicates pushed; zero wide shuffles") {
+    val q = Catalog.byName("c44_tpch_q6").build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the executedPlan toString elides long PushedFilters lists, so assert
+    // on the stable prefix (all three columns present as pushdown guards)
+    assert(plan.contains(
+      "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual"),
+      s"Q6 predicates not pushed to the parquet scan:\n$plan")
+    assert(raw"(?<!Broadcast)Exchange (hash|range)partitioning".r.findAllIn(plan).isEmpty,
+      "Q6 planned a wide shuffle — it should be scan + partial/final agg only")
+    val li = Catalog.t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .select("l_extendedprice", "l_discount").collect()
+    val exp = li.map { r =>
+      BigDecimal(r.getDouble(0)).setScale(4, BigDecimal.RoundingMode.HALF_UP) *
+        BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val row = q.head()
+    assert(row.getAs[Long]("n_items") == li.length.toLong)
+    assert(math.abs(row.getAs[Double]("revenue") - exp) < 1e-6,
+      s"Q6 revenue ${row.getAs[Double]("revenue")} != driver $exp")
+  }
+
+  test("c45: Q10 aggregates before the customer join; top-20 descending; top row == driver recompute") {
+    val q = Catalog.byName("c45_tpch_q10").build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "Q10 top-20 planned as a global sort")
+    assert(plan.contains("BroadcastHashJoin"), "Q10 lost the nation broadcast")
+    val rows = q.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val order = rows.map(r => (-r.getAs[Double]("revenue"), r.getAs[Long]("c_custkey"))).toSeq
+    assert(order == order.sorted, "Q10 not ordered by (revenue desc, custkey)")
+    val top = rows.head
+    val ordKeys = Catalog.t(spark, sfDir, "orders")
+      .where(col("o_orderdate") >= lit("1996-10-01") && col("o_orderdate") < lit("1997-01-01") &&
+        col("o_custkey") === top.getAs[Long]("c_custkey"))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val exp = Catalog.t(spark, sfDir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount").collect()
+      .filter(r => ordKeys(r.getLong(0)))
+      .map { r =>
+        val ep = BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        val di = BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        ep * (1 - di)
+      }.sum.toDouble
+    assert(math.abs(top.getAs[Double]("revenue") - exp) < 1e-6,
+      s"Q10 top revenue ${top.getAs[Double]("revenue")} != driver $exp")
+  }
 }

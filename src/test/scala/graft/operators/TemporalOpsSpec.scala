@@ -95,4 +95,32 @@ class TemporalOpsSpec extends SparkSpec {
       assert(out == base, s"r03 diverged under repartition($parts)")
     }
   }
+
+  test("r04: gap fill == driver LOCF recompute; grid dense per user; no leading gaps") {
+    val dayUs = 86400000000L
+    val rows = Catalog.t(spark, sfDir, "events").where(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val obs: Map[(Long, Long), Double] = rows.groupBy(r => (r._1, r._2)).view.mapValues(
+      _.map(x => BigDecimal(x._3).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      .toMap
+    val daysByUser: Map[Long, Set[Long]] =
+      obs.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val out = Catalog.byName("r04_gap_fill").build(spark, sfDir).collect()
+    val expGrid = daysByUser.toSeq.flatMap { case (u, ds) =>
+      (ds.min to ds.max).map(day => (u, day))
+    }.toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == expGrid,
+      "grid is not exactly the per-user [min_day, max_day] range")
+    out.foreach { r =>
+      val (u, day) = (r.getLong(0), r.getLong(1))
+      val lastObsDay = daysByUser(u).filter(_ <= day).max // min_day is observed ⇒ non-empty
+      assert(r.getAs[Boolean]("is_gap") == !obs.contains((u, day)), s"($u,$day) gap flag")
+      assert(r.getAs[Double]("filled") == obs((u, lastObsDay)), s"($u,$day) LOCF value")
+      if (r.getAs[Boolean]("is_gap")) assert(r.isNullAt(r.fieldIndex("obs_val")))
+      else assert(r.getAs[Double]("obs_val") == obs((u, day)))
+    }
+    // the fixture must actually exercise gaps, or the operator is vacuous
+    assert(out.count(_.getAs[Boolean]("is_gap")) > 0, "no gaps in the fixture grid")
+  }
 }
