@@ -1050,6 +1050,57 @@ object StreamShape {
       Some("""SELECT lang, COUNT(*) AS n_docs,
                      CAST(SUM(n_chars) AS BIGINT) AS total_chars
               FROM documents GROUP BY lang ORDER BY lang"""),
+      bench = false),
+
+    // STREAMING TOP-K MERGE — a continuously-maintained per-key
+    // leaderboard (the x19/x22 mergeable-summary shape, order-statistic
+    // member): each micro-batch contributes its LOCAL per-type top-5
+    // (a valid partial — any global top-5 row is necessarily in its own
+    // batch's top-5, so top-k partials merge by union + re-take-k, the
+    // same semilattice law as KMV), appended to a bounded store
+    // (≤ k·batches rows per key, never the stream itself); the drained
+    // union re-ranks and must equal the batch top-5 exactly. The two
+    // staged files split events across batches, so the merge genuinely
+    // reconciles competing partials. Ties broken by event_id — total
+    // order, engine-exact.
+    Q("x24_stream_topk",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ckpt = java.nio.file.Files.createTempDirectory("x24ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x24src").toString
+        val store = java.nio.file.Files.createTempDirectory("x24top").toString
+        val ev = s.read.parquet(s"$d/events.parquet").select("event_id", "event_type", "value")
+        ev.where(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/f0")
+        ev.where(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/f1")
+        val sq = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty)
+              StockOps.perKeyTopK(batch.toDF(),
+                  Seq("event_type"), Seq(desc("value"), col("event_id")), 5)
+                .select("event_type", "event_id", "value")
+                .write.mode("append").parquet(store)
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fedBatches = sq.recentProgress.count(_.numInputRows > 0)
+        require(fedBatches >= 2,
+          s"x24 drained in $fedBatches micro-batch(es) — the top-k merge was not exercised")
+        StockOps.perKeyTopK(s.read.parquet(store).distinct(),
+            Seq("event_type"), Seq(desc("value"), col("event_id")), 5)
+          .select("event_type", "rk", "event_id", "value")
+          .orderBy("event_type", "rk")
+      },
+      Some("""SELECT event_type, CAST(rk AS INT) AS rk, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+                FROM events) WHERE rk <= 5
+              ORDER BY event_type, rk"""),
       bench = false)
   )
 }

@@ -259,6 +259,27 @@ class StockOpsSpec extends SparkSpec {
     }
   }
 
+  test("per-key top-k merges by union + re-take-k under arbitrary shard layouts (x24's law)") {
+    val ev = Catalog.t(spark, sfDir, "events").select("event_id", "event_type", "value")
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      StockOps.perKeyTopK(df, Seq("event_type"), Seq(desc("value"), col("event_id")), 5)
+        .select("event_type", "event_id", "value")
+    val whole = topk(ev).collect().map(_.toSeq).toSet
+    // any global top-5 row is in its own shard's top-5, so shard-local
+    // top-5s re-ranked must reproduce the whole-stream leaderboard —
+    // checked across the parity split and 3 pseudo-random 3-way layouts
+    val layouts: Seq[Seq[org.apache.spark.sql.DataFrame]] =
+      Seq(Seq(ev.where(col("event_id") % 2 === 0), ev.where(col("event_id") % 2 === 1))) ++
+        (0 until 3).map { salt =>
+          val shardOf = Catalog.docHash(col("event_id") + lit(salt.toLong * 7919L), 3L)
+          (0L until 3L).map(i => ev.where(shardOf === i)).toSeq
+        }
+    layouts.zipWithIndex.foreach { case (shards, i) =>
+      val merged = topk(shards.map(topk).reduce(_ union _)).collect().map(_.toSeq).toSet
+      assert(merged == whole, s"layout $i: merged shard top-5s != whole-stream top-5")
+    }
+  }
+
   test("c40/c41: TPC-H composites plan broadcast dims + pushed dates; Q3 top-10 is TakeOrdered") {
     val q3 = Catalog.byName("c40_tpch_q3").build(spark, sfDir)
     val p3 = q3.queryExecution.executedPlan.toString
