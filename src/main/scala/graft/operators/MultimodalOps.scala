@@ -296,6 +296,67 @@ object MultimodalOps {
               FROM documents, UNNEST(range(0, GREATEST(length(text), 1), 192)) AS t(off)
               WHERE length(text) > 0
               ORDER BY doc_id, off"""),
+      bench = false),
+
+    // PERCEPTUAL-HASH NEAR-DUP — the image-near-dup primitive (aHash):
+    // downscale every payload to a FIXED 64-sample grid (sample r = the
+    // byte at floor(r·n/64) — resolution-independent, like resizing an
+    // image to 8×8), threshold each sample against the grid mean
+    // (integer cross-multiply px·64 > Σpx — engine-exact), pack the 64
+    // bits into 4×16-bit bands. Retrieval is d08's banded-hamming shape
+    // on the binary modality: candidates share ≥ 1 exact band value (an
+    // equi-join on (band, value), never the O(n²) item space — a
+    // ubiquitous band value gets the d02 df-cap at corpus scale), then
+    // the 20 closest candidate pairs by full 64-bit hamming distance
+    // (TakeOrdered). Exact text dups rank first at hamming 0; the
+    // signature+ranking is deterministic integer math end-to-end.
+    Q("m09_phash_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents").where(length(col("text")) >= 64)
+          .select(col("doc_id"), col("text"), length(col("text")).cast(LongType).as("n"))
+        // map-only signature: 64 grid samples → mean threshold → 4 Horner-
+        // packed 16-bit band words (bit j of band b = sample 16b+j)
+        val sig = docs
+          .withColumn("px", transform(sequence(lit(0L), lit(63L)),
+            r => ascii(col("text").substr(
+              (floor(r * col("n") / 64) + 1).cast(IntegerType), lit(1))).cast(LongType)))
+          .withColumn("tot", aggregate(col("px"), lit(0L), (a, x) => a + x))
+          .withColumn("bands", transform(sequence(lit(0L), lit(3L)),
+            b => aggregate(sequence(lit(15L), lit(0L), lit(-1L)), lit(0L),
+              (acc, j) => acc * 2 +
+                when(element_at(col("px"), (b * 16 + j + 1).cast(IntegerType)) * 64 > col("tot"),
+                  lit(1L)).otherwise(lit(0L)))))
+          .select(col("doc_id"), col("bands"))
+        val bandRows = sig.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "v")))
+        val cand = bandRows.as("a").join(bandRows.as("b"),
+            col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+        cand
+          .join(sig.select(col("doc_id").as("da"), col("bands").as("ba")), "da")
+          .join(sig.select(col("doc_id").as("db"), col("bands").as("bb")), "db")
+          .withColumn("hamming", (0 until 4).map(i =>
+              bit_count(element_at(col("ba"), i + 1).bitwiseXOR(element_at(col("bb"), i + 1))))
+            .reduce(_ + _).cast(IntegerType))
+          .select("da", "db", "hamming")
+          .orderBy("hamming", "da", "db")
+          .limit(20)
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 64),
+                s AS (SELECT doc_id, r, ascii(text[CAST((r * n) // 64 + 1 AS INT)]) AS px
+                      FROM d, UNNEST(range(0, 64)) AS t(r)),
+                m AS (SELECT doc_id, SUM(px) AS tot FROM s GROUP BY 1),
+                b AS (SELECT s.doc_id, CAST(r // 16 AS INT) AS band,
+                             CAST(SUM(CASE WHEN px * 64 > tot THEN 1 ELSE 0 END * (1 << CAST(r % 16 AS INT))) AS BIGINT) AS v
+                      FROM s JOIN m USING (doc_id) GROUP BY 1, 2),
+                cand AS (SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
+                         FROM b a JOIN b b2 ON a.band = b2.band AND a.v = b2.v AND a.doc_id < b2.doc_id),
+                sig AS (SELECT doc_id, list(v ORDER BY band) AS bands FROM b GROUP BY 1),
+                ham AS (SELECT da, db,
+                               CAST(bit_count(xor(x.bands[1], y.bands[1])) + bit_count(xor(x.bands[2], y.bands[2]))
+                                  + bit_count(xor(x.bands[3], y.bands[3])) + bit_count(xor(x.bands[4], y.bands[4])) AS INT) AS hamming
+                        FROM cand JOIN sig x ON x.doc_id = da JOIN sig y ON y.doc_id = db)
+              SELECT da, db, hamming FROM ham ORDER BY hamming, da, db LIMIT 20"""),
       bench = false)
   )
 

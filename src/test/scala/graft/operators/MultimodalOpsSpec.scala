@@ -111,4 +111,40 @@ class MultimodalOpsSpec extends SparkSpec {
     // the fixture must exercise both clipped tails and multi-chunk docs
     assert(out.exists(_._3 < Win) && byDoc.values.exists(_.length > 1))
   }
+
+  test("m09: phash signature + banded top-20 == driver recompute; banding never misses a candidate") {
+    val docs = Catalog.t(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).filter(_._2.length >= 64)
+    def bands(t: String): Vector[Long] = {
+      val n = t.length.toLong
+      val px = (0 until 64).map(r => t.charAt((r * n / 64).toInt).toInt.toLong)
+      val tot = px.sum
+      (0 until 4).map { b =>
+        (15 to 0 by -1).foldLeft(0L)((acc, j) =>
+          acc * 2 + (if (px(b * 16 + j) * 64 > tot) 1L else 0L))
+      }.toVector
+    }
+    val sig = docs.map { case (id, t) => id -> bands(t) }.toMap
+    val cand = for {
+      (a, ba) <- sig.toSeq; (b, bb) <- sig.toSeq
+      if a < b && (0 until 4).exists(i => ba(i) == bb(i))
+    } yield (a, b)
+    def ham(a: Long, b: Long): Int = (0 until 4).map(i =>
+      java.lang.Long.bitCount(sig(a)(i) ^ sig(b)(i))).sum
+    val expTop = cand.map { case (a, b) => (ham(a, b), a, b) }.sorted.take(20)
+      .map { case (h, a, b) => (a, b, h) }
+    val out = Catalog.byName("m09_phash_neardup").build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == expTop, s"m09 top-20 != driver recompute")
+    // the exact-dup guarantee behind the banding: identical payloads have
+    // identical signatures, so every exact text dup IS a candidate at
+    // hamming 0 (they share all four bands)
+    val dupPairs = docs.groupBy(_._2).values.filter(_.length > 1)
+    dupPairs.foreach { g =>
+      val ids = g.map(_._1).sorted
+      assert(bands(g.head._2) == sig(ids.head) && ham(ids.head, ids.last) == 0)
+    }
+  }
 }

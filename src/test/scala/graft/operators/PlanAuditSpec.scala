@@ -197,7 +197,8 @@ class PlanAuditSpec extends SparkSpec {
     "c45_tpch_q10" -> 1, // fact-fact order-key join + pre-dim agg collapse; top-20 is TakeOrdered
     "r04_gap_fill" -> 7, // obs agg + span agg + grid join + two-phase prefix count + obs_idx join + sort
     "sim26_sq_adc_search" -> 3, // map-only reconstruct; perKeyTopK (local+final) + sort
-    "sim27_sq_recall" -> 8) // sim26 plan + brute-force truth + recall join
+    "sim27_sq_recall" -> 8, // sim26 plan + brute-force truth + recall join
+    "m09_phash_neardup" -> 4) // band equi-join + candidate distinct + two sig joins (broadcast at spec SF); top-20 is TakeOrdered
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
