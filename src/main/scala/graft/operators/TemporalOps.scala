@@ -218,7 +218,15 @@ object TemporalOps {
         val g = grid.join(obs, Seq("user_id", "day"), "left")
           .withColumn("is_obs", when(col("obs_val").isNotNull, 1L).otherwise(0L))
         val idx = StockOps.groupedRunningTotal(g, "user_id", "day", "is_obs", "obs_idx")
-        val src = idx.where(col("is_obs") === 1L)
+        // LOCF source = each observation's rank among the user's
+        // observations — computed on the OBS-ONLY frame (a separate,
+        // much smaller prefix sum), not by filtering `idx`: branching the
+        // grid frame would re-run its window + offsets join per branch
+        // (the p05 shared-subplan lesson). The prefix count at an
+        // observed grid row equals that observation's rank, so the two
+        // sides meet on (user, obs_idx) exactly.
+        val src = StockOps.groupedRunningTotal(
+            obs.withColumn("one", lit(1L)), "user_id", "day", "one", "obs_idx")
           .select(col("user_id"), col("obs_idx"), col("obs_val").as("filled"))
         idx.join(src, Seq("user_id", "obs_idx"))
           .select(col("user_id"), col("day"), col("obs_val"), col("filled"),
