@@ -247,6 +247,78 @@ object TemporalOps {
                      LAST_VALUE(obs_val IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
                      obs_val IS NULL AS is_gap
-              FROM g ORDER BY user_id, day"""))
+              FROM g ORDER BY user_id, day""")),
+
+    // SESSIONIZED FUNNEL — ORDERED-step conversion (view → click →
+    // purchase, each step strictly at-or-after the previous step's
+    // earliest satisfying event), the product-analytics query window
+    // functions alone cannot express. Sessionization is the x03 12-hour
+    // inactivity-gap rule tagged by a per-USER window (high-cardinality
+    // key — the c35 shape); the ordered chain is THREE grouped passes
+    // over the tagged events (t1 = min view; t2 = min click ≥ t1; t3 =
+    // min purchase ≥ t2), each a co-partitioned (user, sid) aggregate +
+    // join — never a per-session event-list collect, so a pathological
+    // hot session cannot blow executor memory. Session-id assignment is
+    // tie-order-invariant (equal-ts rows share us, so exactly one row of
+    // a tie group carries the boundary and every member lands in the
+    // same session). The one-row report is the a12 bounded reduction;
+    // conversions are exact ppm integer floors.
+    Q("r05_session_funnel",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val gapUs = 12L * 3600L * 1000000L
+        val ev = t(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+        val wOrd = Window.partitionBy("user_id").orderBy("us")
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tagged = ev
+          .withColumn("new_s",
+            when(col("us") - lag(col("us"), 1).over(wOrd) >= gapUs, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(wRun))
+          .select("user_id", "sid", "us", "event_type")
+        val p1 = tagged.groupBy("user_id", "sid")
+          .agg(min(when(col("event_type") === "view", col("us"))).as("t1"))
+        val p2 = tagged.join(p1, Seq("user_id", "sid"))
+          .groupBy("user_id", "sid")
+          .agg(max(col("t1")).as("t1"), // constant within the session
+            min(when(col("event_type") === "click" && col("us") >= col("t1"), col("us"))).as("t2"))
+        val p3 = tagged.join(p2.select("user_id", "sid", "t2"), Seq("user_id", "sid"))
+          .groupBy("user_id", "sid")
+          .agg(min(when(col("event_type") === "purchase" && col("us") >= col("t2"), col("us"))).as("t3"))
+        p2.join(p3, Seq("user_id", "sid"))
+          .agg(count(lit(1)).as("n_sessions"),
+            count(col("t1")).as("n_view"),
+            count(col("t2")).as("n_view_click"),
+            count(col("t3")).as("n_full_funnel"))
+          .withColumn("cr_view_click_ppm", expr("n_view_click * 1000000 div n_view"))
+          .withColumn("cr_click_purchase_ppm", expr("n_full_funnel * 1000000 div n_view_click"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events),
+                 marked AS (SELECT user_id, us, event_type,
+                        CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= 43200000000
+                             THEN 1 ELSE 0 END AS new_s
+                      FROM e),
+                 tagged AS (SELECT user_id, us, event_type,
+                        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                      FROM marked),
+                 p1 AS (SELECT user_id, sid,
+                               MIN(CASE WHEN event_type = 'view' THEN us END) AS t1
+                        FROM tagged GROUP BY 1, 2),
+                 p2 AS (SELECT t.user_id, t.sid, MAX(p1.t1) AS t1,
+                               MIN(CASE WHEN t.event_type = 'click' AND t.us >= p1.t1 THEN t.us END) AS t2
+                        FROM tagged t JOIN p1 ON p1.user_id = t.user_id AND p1.sid = t.sid
+                        GROUP BY 1, 2),
+                 p3 AS (SELECT t.user_id, t.sid,
+                               MIN(CASE WHEN t.event_type = 'purchase' AND t.us >= p2.t2 THEN t.us END) AS t3
+                        FROM tagged t JOIN p2 ON p2.user_id = t.user_id AND p2.sid = t.sid
+                        GROUP BY 1, 2),
+                 f AS (SELECT COUNT(*) AS n_sessions, COUNT(p2.t1) AS n_view,
+                              COUNT(p2.t2) AS n_view_click, COUNT(p3.t3) AS n_full_funnel
+                       FROM p2 JOIN p3 ON p3.user_id = p2.user_id AND p3.sid = p2.sid)
+              SELECT n_sessions, n_view, n_view_click, n_full_funnel,
+                     n_view_click * 1000000 // n_view AS cr_view_click_ppm,
+                     n_full_funnel * 1000000 // n_view_click AS cr_click_purchase_ppm
+              FROM f"""))
   )
 }

@@ -51,6 +51,7 @@ class PlanAuditSpec extends SparkSpec {
     // single-row global aggregates: the one-partition stage IS the answer
     "a12_bool_count" -> Set("SinglePartition"),
     "c44_tpch_q6" -> Set("SinglePartition"),
+    "r05_session_funnel" -> Set("SinglePartition"),
     // SQ serving: corpus streams against the bounded broadcast probe block
     // (the sim01 exact-baseline shape; ≠ predicate forces BNLJ)
     "sim26_sq_adc_search" -> Set("BroadcastNestedLoopJoin"),
@@ -198,7 +199,8 @@ class PlanAuditSpec extends SparkSpec {
     "r04_gap_fill" -> 7, // obs agg + span agg + grid join + two-phase prefix count + obs_idx join + sort
     "sim26_sq_adc_search" -> 3, // map-only reconstruct; perKeyTopK (local+final) + sort
     "sim27_sq_recall" -> 8, // sim26 plan + brute-force truth + recall join
-    "m09_phash_neardup" -> 4) // band equi-join + candidate distinct + two sig joins (broadcast at spec SF); top-20 is TakeOrdered
+    "m09_phash_neardup" -> 4, // band equi-join + candidate distinct + two sig joins (broadcast at spec SF); top-20 is TakeOrdered
+    "r05_session_funnel" -> 5) // user-window tag + three co-partitioned (user,sid) agg passes; 1-row report
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

@@ -123,4 +123,40 @@ class TemporalOpsSpec extends SparkSpec {
     // the fixture must actually exercise gaps, or the operator is vacuous
     assert(out.count(_.getAs[Boolean]("is_gap")) > 0, "no gaps in the fixture grid")
   }
+
+  test("r05: funnel == driver recompute (sessionize + ordered min-chain); steps strictly nested") {
+    val gapUs = 12L * 3600L * 1000000L
+    val ev = Catalog.t(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // driver sessionization: sort per user, split on >= 12h gaps
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(_._2)
+      val out = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(sorted.head))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          if (b._2 - a._2 >= gapUs) out += scala.collection.mutable.ArrayBuffer(b)
+          else out.last += b
+        case _ =>
+      }
+      out.map(_.toSeq)
+    }.toSeq
+    def chain(s: Seq[(Long, Long, String)]): (Boolean, Boolean, Boolean) = {
+      val t1 = s.collect { case (_, us, "view") => us }.minOption
+      val t2 = t1.flatMap(x => s.collect { case (_, us, "click") if us >= x => us }.minOption)
+      val t3 = t2.flatMap(x => s.collect { case (_, us, "purchase") if us >= x => us }.minOption)
+      (t1.isDefined, t2.isDefined, t3.isDefined)
+    }
+    val chains = sessions.map(chain)
+    val (nv, nvc, nf) =
+      (chains.count(_._1).toLong, chains.count(_._2).toLong, chains.count(_._3).toLong)
+    val r = Catalog.byName("r05_session_funnel").build(spark, sfDir).head()
+    assert(r.getAs[Long]("n_sessions") == sessions.size.toLong)
+    assert(r.getAs[Long]("n_view") == nv && r.getAs[Long]("n_view_click") == nvc &&
+      r.getAs[Long]("n_full_funnel") == nf, s"funnel counts $r != driver ($nv, $nvc, $nf)")
+    assert(r.getAs[Long]("cr_view_click_ppm") == nvc * 1000000L / nv)
+    // monotone funnel + a non-degenerate fixture at every step
+    assert(nv >= nvc && nvc >= nf && nf > 0)
+  }
 }
