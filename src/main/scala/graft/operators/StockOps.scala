@@ -1194,7 +1194,43 @@ object StockOps {
                 AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
                 AND l_returnflag = 'R' AND c_nationkey = n_nationkey
               GROUP BY c_custkey, c_name, c_acctbal, n_name
-              ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+              ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // TPC-H Q14 (promotion effect) — the conditional-aggregate-over-a-
+    // broadcast-dimension shape: lineitem (one month, pushed date
+    // predicate) joins the part dimension broadcast on the part key; the
+    // promo share is a CASE-gated exact-decimal sum over the same rows as
+    // the total. One scan, zero wide shuffles (the single-row global agg
+    // is the a12 bounded reduction); the percent is one IEEE division of
+    // two exact sums, mirrored operation-for-operation in the oracle.
+    Q("c46_tpch_q14",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-03-01") &&
+            col("l_shipdate") < lit("1996-04-01"))
+          .select(col("l_partkey"),
+            (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("rev"))
+        val part = t(s, d, "part").select("p_partkey", "p_type")
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type").like("PROMO%"), col("rev")).otherwise(lit(0)))
+              .cast(DoubleType).as("promo_revenue"),
+            sum(col("rev")).cast(DoubleType).as("total_revenue"))
+          .withColumn("promo_pct",
+            col("promo_revenue") * 100.0 / col("total_revenue"))
+      },
+      Some("""WITH j AS (
+                SELECT p_type,
+                       CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'),
+              a AS (
+                SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS DOUBLE) AS promo_revenue,
+                       CAST(SUM(rev) AS DOUBLE) AS total_revenue
+                FROM j)
+              SELECT promo_revenue, total_revenue,
+                     promo_revenue * 100.0 / total_revenue AS promo_pct
+              FROM a"""))
   )
 
 

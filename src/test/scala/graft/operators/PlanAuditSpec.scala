@@ -52,6 +52,7 @@ class PlanAuditSpec extends SparkSpec {
     "a12_bool_count" -> Set("SinglePartition"),
     "c44_tpch_q6" -> Set("SinglePartition"),
     "r05_session_funnel" -> Set("SinglePartition"),
+    "c46_tpch_q14" -> Set("SinglePartition"),
     // SQ serving: corpus streams against the bounded broadcast probe block
     // (the sim01 exact-baseline shape; ≠ predicate forces BNLJ)
     "sim26_sq_adc_search" -> Set("BroadcastNestedLoopJoin"),
@@ -200,7 +201,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim26_sq_adc_search" -> 3, // map-only reconstruct; perKeyTopK (local+final) + sort
     "sim27_sq_recall" -> 8, // sim26 plan + brute-force truth + recall join
     "m09_phash_neardup" -> 4, // band equi-join + candidate distinct + two sig joins (broadcast at spec SF); top-20 is TakeOrdered
-    "r05_session_funnel" -> 5) // user-window tag + three co-partitioned (user,sid) agg passes; 1-row report
+    "r05_session_funnel" -> 5, // user-window tag + three co-partitioned (user,sid) agg passes; 1-row report
+    "c46_tpch_q14" -> 0) // pushed date scan + broadcast part dim + single-row global agg
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

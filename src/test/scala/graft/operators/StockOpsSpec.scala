@@ -280,6 +280,29 @@ class StockOpsSpec extends SparkSpec {
     }
   }
 
+  test("c46: Q14 promo share == driver recompute; part dim broadcast; date pushed") {
+    val q = Catalog.byName("c46_tpch_q14").build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "Q14 lost the part-dimension broadcast")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), "Q14 date predicate not pushed")
+    val promoKeys = Catalog.t(spark, sfDir, "part")
+      .where(col("p_type").like("PROMO%")).select("p_partkey").collect()
+      .map(_.getLong(0)).toSet
+    val li = Catalog.t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-03-01") && col("l_shipdate") < lit("1996-04-01"))
+      .select("l_partkey", "l_extendedprice", "l_discount").collect()
+    def rev(r: org.apache.spark.sql.Row) =
+      BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP) *
+        (1 - BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+    val total = li.map(rev).sum.toDouble
+    val promo = li.filter(r => promoKeys(r.getLong(0))).map(rev).sum.toDouble
+    val row = q.head()
+    assert(math.abs(row.getAs[Double]("total_revenue") - total) < 1e-6)
+    assert(math.abs(row.getAs[Double]("promo_revenue") - promo) < 1e-6)
+    assert(row.getAs[Double]("promo_pct") == row.getAs[Double]("promo_revenue") * 100.0 /
+      row.getAs[Double]("total_revenue"))
+  }
+
   test("c40/c41: TPC-H composites plan broadcast dims + pushed dates; Q3 top-10 is TakeOrdered") {
     val q3 = Catalog.byName("c40_tpch_q3").build(spark, sfDir)
     val p3 = q3.queryExecution.executedPlan.toString
