@@ -1230,7 +1230,69 @@ object StockOps {
                 FROM j)
               SELECT promo_revenue, total_revenue,
                      promo_revenue * 100.0 / total_revenue AS promo_pct
-              FROM a"""))
+              FROM a""")),
+
+    // TPC-H Q8 (national market share) — the deepest composite this
+    // schema supports (8 relations, the nation dimension playing TWO
+    // roles): per order-year, one supplier nation's share of promo-part
+    // volume sold into one region. Plan shape: every bounded dimension
+    // chain broadcasts (region→nation→customer-filter, nation→supplier,
+    // promo parts); the only wide shuffles are the two fact joins
+    // (orders⋈customer on the customer key, then ⋈lineitem on the order
+    // key) and the 2-row year rollup. Share = one IEEE division of two
+    // exact-decimal sums.
+    Q("c47_tpch_q8",
+      (s, d) => {
+        val amNations = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").where(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("c_natkey"))
+        val cust = t(s, d, "customer")
+          .join(broadcast(amNations), col("c_nationkey") === col("c_natkey"))
+          .select("c_custkey")
+        val ord = t(s, d, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val supN = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val parts = t(s, d, "part").where(col("p_type").like("PROMO%")).select("p_partkey")
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("volume"))
+        ord.join(cust, col("o_custkey") === col("c_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_3", col("volume")).otherwise(lit(0)))
+              .cast(DoubleType).as("nation_volume"),
+            sum(col("volume")).cast(DoubleType).as("total_volume"))
+          .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+          .orderBy("o_year")
+      },
+      Some("""WITH j AS (
+                SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                       CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+                       n2.n_name AS supp_nation
+                FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+                WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+                  AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+                  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+                  AND p_type LIKE 'PROMO%'),
+              a AS (
+                SELECT o_year,
+                       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE) AS nation_volume,
+                       CAST(SUM(volume) AS DOUBLE) AS total_volume
+                FROM j GROUP BY o_year)
+              SELECT o_year, nation_volume, total_volume,
+                     nation_volume / total_volume AS mkt_share
+              FROM a ORDER BY o_year"""))
   )
 
 

@@ -202,7 +202,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim27_sq_recall" -> 8, // sim26 plan + brute-force truth + recall join
     "m09_phash_neardup" -> 4, // band equi-join + candidate distinct + two sig joins (broadcast at spec SF); top-20 is TakeOrdered
     "r05_session_funnel" -> 5, // user-window tag + three co-partitioned (user,sid) agg passes; 1-row report
-    "c46_tpch_q14" -> 0) // pushed date scan + broadcast part dim + single-row global agg
+    "c46_tpch_q14" -> 0, // pushed date scan + broadcast part dim + single-row global agg
+    "c47_tpch_q8" -> 3) // two fact shuffle pairs (measured 2 at spec SF) + year rollup; all dims broadcast
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

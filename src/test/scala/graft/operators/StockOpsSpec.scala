@@ -303,6 +303,48 @@ class StockOpsSpec extends SparkSpec {
       row.getAs[Double]("total_revenue"))
   }
 
+  test("c47: Q8 market share == driver recompute; dims broadcast; only fact joins shuffle") {
+    val q = Catalog.byName("c47_tpch_q8").build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      "Q8 dimension chains (region/nation×2/part) not broadcast")
+    // driver recompute over the collected fixture (bounded at spec SF)
+    val rKey = Catalog.t(spark, sfDir, "region").where(col("r_name") === "AMERICA")
+      .head().getAs[Int]("r_regionkey")
+    val natRegion = Catalog.t(spark, sfDir, "nation").collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> (r.getAs[Int]("n_regionkey"), r.getAs[String]("n_name"))).toMap
+    val amCust = Catalog.t(spark, sfDir, "customer").collect()
+      .filter(r => natRegion(r.getAs[Int]("c_nationkey"))._1 == rKey)
+      .map(_.getAs[Long]("c_custkey")).toSet
+    val ords = Catalog.t(spark, sfDir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate").collect()
+      .filter(r => amCust(r.getAs[Long]("o_custkey")))
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[java.time.LocalDateTime](2).getYear).toMap
+    val promo = Catalog.t(spark, sfDir, "part").where(col("p_type").like("PROMO%"))
+      .collect().map(_.getAs[Long]("p_partkey")).toSet
+    val supNation = Catalog.t(spark, sfDir, "supplier").collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> natRegion(r.getAs[Int]("s_nationkey"))._2).toMap
+    val byYear = Catalog.t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount").collect()
+      .filter(r => ords.contains(r.getLong(0)) && promo(r.getLong(1)))
+      .groupBy(r => ords(r.getLong(0)))
+    val rows = q.collect()
+    assert(rows.map(_.getAs[Int]("o_year")).toSeq == byYear.keys.toSeq.sorted)
+    rows.foreach { row =>
+      val group = byYear(row.getAs[Int]("o_year"))
+      def vol(rs: Seq[org.apache.spark.sql.Row]) = rs.map { r =>
+        BigDecimal(r.getDouble(3)).setScale(4, BigDecimal.RoundingMode.HALF_UP) *
+          (1 - BigDecimal(r.getDouble(4)).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      }.sum.toDouble
+      assert(math.abs(row.getAs[Double]("total_volume") - vol(group.toSeq)) < 1e-6)
+      assert(math.abs(row.getAs[Double]("nation_volume") -
+        vol(group.filter(r => supNation(r.getLong(2)) == "NATION_3").toSeq)) < 1e-6)
+      assert(row.getAs[Double]("mkt_share") ==
+        row.getAs[Double]("nation_volume") / row.getAs[Double]("total_volume"))
+    }
+  }
+
   test("c40/c41: TPC-H composites plan broadcast dims + pushed dates; Q3 top-10 is TakeOrdered") {
     val q3 = Catalog.byName("c40_tpch_q3").build(spark, sfDir)
     val p3 = q3.queryExecution.executedPlan.toString
