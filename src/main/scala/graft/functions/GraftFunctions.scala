@@ -62,6 +62,8 @@ object GraftFunctions {
         intArg("minhash_signature", 3, exprs(2))), "built-in")
     reg.createOrReplaceTempFunction("scaled_dot",
       exprs => ScaledDot(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("scaled_l2",
+      exprs => ScaledL2(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_bucket",
       exprs => HyperplaneBucket(exprs.head, intArg("hyperplane_bucket", 2, exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("word_set_counts",
@@ -80,6 +82,7 @@ object GraftFunctions {
   def minhash_signature(c: Column, shingleN: Int, numHashes: Int): Column =
     call_function("minhash_signature", c, lit(shingleN), lit(numHashes))
   def scaled_dot(a: Column, b: Column): Column = call_function("scaled_dot", a, b)
+  def scaled_l2(a: Column, b: Column): Column = call_function("scaled_l2", a, b)
   def hyperplane_bucket(v: Column, numPlanes: Int): Column =
     call_function("hyperplane_bucket", v, lit(numPlanes))
   def word_set_counts(c: Column, sets: Seq[Seq[String]]): Column =

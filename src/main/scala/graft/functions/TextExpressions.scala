@@ -257,6 +257,28 @@ object VectorKernels extends Serializable {
     acc
   }
 
+  /** Σ_i floor((a_i − b_i)²·1e15) — exact integer-scaled squared L2.
+    * Element reads honor each side's DECLARED array type (float elements
+    * widen exactly to double), so one kernel serves float embeddings,
+    * double trained codebooks, and double reconstructions. Same
+    * null-element precondition as [[scaledDot]] (fixture arrays carry no
+    * null elements; the zip_with formulation is the executable spec).
+    */
+  def scaledL2(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Long = {
+    if (a == null || b == null) return 0L
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += math.floor(d * d * SCALE).toLong
+      i += 1
+    }
+    acc
+  }
+
   // splitmix64 — deterministic Rademacher source for hyperplane components
   private def mix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
@@ -339,6 +361,43 @@ case class ScaledDot(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ScaledDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `scaled_l2(a, b)` — exact integer-scaled squared L2 distance. Accepts
+  * ARRAY<FLOAT> or ARRAY<DOUBLE> on either side (the element-type flags
+  * bake into codegen), so the probe-vs-reconstruction asymmetric shapes
+  * (sim26) and the float-vs-trained-codebook encodes (sim18) stay inside
+  * whole-stage codegen instead of interpreted zip_with/aggregate lambdas.
+  */
+case class ScaledL2(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def isFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"scaled_l2 expects ARRAY<FLOAT|DOUBLE>, got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "scaled_l2"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.scaledL2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left.dataType), isFloat(right.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.scaledL2($a, $b, ${isFloat(left.dataType)}, ${isFloat(right.dataType)})")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScaledL2 =
     copy(left = newLeft, right = newRight)
 }
 

@@ -440,16 +440,16 @@ object SimilarityOps {
 
   // ——— Product quantization (sim15 encode / sim16 ADC search / sim17 recall) ———
 
-  /** Exact floor-scaled squared L2 between two float-array columns, as
-    * Long: Σ_i floor((a_i − b_i)²·1e15). The per-element floor makes the
-    * value engine-exact; [[sqlScaledL2]] is the term-for-term oracle mirror.
+  /** Exact floor-scaled squared L2 between two vector columns (float or
+    * double elements), as Long: Σ_i floor((a_i − b_i)²·1e15). The
+    * per-element floor makes the value engine-exact; [[sqlScaledL2]] is
+    * the term-for-term oracle mirror. Codegen'd kernel — this sits inside
+    * probes×corpus×dims loops (pqL2Truth, the PQ encodes, sim26's SQ
+    * search); the zip_with/aggregate dataflow formulation is kept as the
+    * executable spec in TextExpressionsSpec.
     */
   def scaledL2(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, c) =>
-        floor((x.cast(DoubleType) - c.cast(DoubleType))
-          * (x.cast(DoubleType) - c.cast(DoubleType)) * lit(SCALE)).cast(LongType)),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.scaled_l2(a, b)
 
   def sqlScaledL2(a: String, b: String, dims: Int): String =
     s"""CAST(list_sum(list_transform(range(1, ${dims + 1}), i ->

@@ -77,6 +77,37 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("scaled_l2 kernel == zip_with/aggregate dataflow, float×float AND float×double") {
+    graft.functions.GraftFunctions.register(spark)
+    def declarative(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a, b, (x, y) =>
+          floor((x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")) * lit(SimilarityOps.SCALE)).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val e = Catalog.t(spark, sfDir, "embeddings")
+    val pairs = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(e.select(col("embedding").as("e2"), col("vec_id").as("v2")).where(col("v2") < 3))
+    // float × float
+    val badFF = pairs.select(
+      SimilarityOps.scaledL2(col("embedding"), col("e2")).as("fast"),
+      declarative(col("embedding"), col("e2")).as("slow"))
+      .where(col("fast") =!= col("slow")).count()
+    assert(badFF === 0, "float×float kernel diverged from the dataflow spec")
+    // float × double (the sim26 asymmetric shape)
+    val withD = pairs.withColumn("d2",
+      org.apache.spark.sql.functions.transform(col("e2"), _.cast("double")))
+    val badFD = withD.select(
+      SimilarityOps.scaledL2(col("embedding"), col("d2")).as("fast"),
+      declarative(col("embedding"), col("d2")).as("slow"))
+      .where(col("fast") =!= col("slow")).count()
+    assert(badFD === 0, "float×double kernel diverged from the dataflow spec")
+    // null propagation matches the declarative form
+    import spark.implicits._
+    val n = Seq((Seq(1.0f, 2.0f), Option.empty[Seq[Float]])).toDF("a", "b")
+    assert(n.select(SimilarityOps.scaledL2(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   test("sim05 Lloyd step == driver-side recomputation from raw embeddings") {
     import spark.implicits._
     val SCALE = SimilarityOps.SCALE
