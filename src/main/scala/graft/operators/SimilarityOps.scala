@@ -1796,6 +1796,82 @@ object SimilarityOps {
               FROM truth t LEFT JOIN sq_top a
                 ON a.qid = t.qid AND a.vec_id = t.vec_id
               GROUP BY t.qid ORDER BY t.qid"""),
+      bench = false),
+
+    // QUANTIZATION PARETO — the serving decision in one table: mean
+    // recall@3 vs index bytes/vector for every compression the engine
+    // implements, all graded against the SAME exact full-precision truth
+    // (so the rows are directly comparable): PQ-ADC (4 B), PQ-ADC with
+    // exact top-20 rerank (4 B index + 20 float reads/probe), int8 SQ
+    // (64 B), and the uncompressed exact search (256 B, recall 1 by
+    // construction — the anchor row). Each row is a bounded 1-row
+    // aggregate (the p05 report shape); every underlying search is the
+    // already-verified sim16/19/26 machinery.
+    Q("sim28_quantization_pareto",
+      (s, d) => {
+        val truth = pqL2Truth(s, d)
+        def row(method: String, bytes: Int, top: DataFrame): DataFrame =
+          truth.join(top.select(col("qid"), col("vec_id"), lit(1).as("hit")),
+              Seq("qid", "vec_id"), "left")
+            .agg((sum(coalesce(col("hit"), lit(0))).cast(DoubleType) / 30).as("mean_recall"))
+            .select(lit(method).as("method"), lit(bytes).as("bytes_per_vec"),
+              col("mean_recall"))
+        val adcTop = byNameLocal("sim16_pq_adc_search").build(s, d).select("qid", "vec_id")
+        val emb = t(s, d, "embeddings")
+        val probes = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val rrTop = StockOps.perKeyTopK(
+            StockOps.perKeyTopK(pqAdcScores(s, d),
+                Seq("qid"), Seq(col("adc_dist"), col("vec_id")), 20)
+              .select("qid", "vec_id")
+              .join(emb, "vec_id").join(broadcast(probes), "qid")
+              .withColumn("l2", scaledL2(col("qvec"), col("embedding")))
+              .select("qid", "vec_id", "l2"),
+            Seq("qid"), Seq(col("l2"), col("vec_id")), 3)
+          .select("qid", "vec_id")
+        val sqTop = byNameLocal("sim26_sq_adc_search").build(s, d).select("qid", "vec_id")
+        row("pq_adc", 4, adcTop)
+          .union(row("pq_adc_rerank", 4, rrTop))
+          .union(row("sq_adc", 64, sqTop))
+          .union(row("full_float", 256, truth))
+          .orderBy("bytes_per_vec", "method")
+      },
+      Some(s"""WITH $sqlPqAdcCtes,
+                 $sqlSqAdcCtes,
+                 $sqlPqTruthCtes,
+                 adctop AS (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
+                     FROM adc) WHERE rk <= 3),
+                 rrcand AS (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
+                     FROM adc) WHERE rk <= 20),
+                 rr AS (SELECT c.qid, c.vec_id,
+                               ${sqlScaledL2("a.embedding", "b.embedding", PqSub * PqDim)} AS l2
+                        FROM rrcand c JOIN embeddings a ON a.vec_id = c.qid
+                                      JOIN embeddings b ON b.vec_id = c.vec_id),
+                 rrtop AS (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2, vec_id) AS rk
+                     FROM rr) WHERE rk <= 3),
+                 sqtop AS (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sq_dist, vec_id) AS rk
+                     FROM adcsq) WHERE rk <= 3)
+              SELECT method, bytes_per_vec, mean_recall FROM (
+                SELECT 'pq_adc' AS method, 4 AS bytes_per_vec,
+                       CAST(COUNT(a.vec_id) AS DOUBLE) / 30 AS mean_recall
+                FROM truth t LEFT JOIN adctop a ON a.qid = t.qid AND a.vec_id = t.vec_id
+                UNION ALL
+                SELECT 'pq_adc_rerank', 4, CAST(COUNT(a.vec_id) AS DOUBLE) / 30
+                FROM truth t LEFT JOIN rrtop a ON a.qid = t.qid AND a.vec_id = t.vec_id
+                UNION ALL
+                SELECT 'sq_adc', 64, CAST(COUNT(a.vec_id) AS DOUBLE) / 30
+                FROM truth t LEFT JOIN sqtop a ON a.qid = t.qid AND a.vec_id = t.vec_id
+                UNION ALL
+                SELECT 'full_float', 256, CAST(COUNT(*) AS DOUBLE) / 30 FROM truth)
+              ORDER BY bytes_per_vec, method"""),
       bench = false)
   )
 

@@ -57,6 +57,9 @@ class PlanAuditSpec extends SparkSpec {
     // (the sim01 exact-baseline shape; ≠ predicate forces BNLJ)
     "sim26_sq_adc_search" -> Set("BroadcastNestedLoopJoin"),
     "sim27_sq_recall" -> Set("BroadcastNestedLoopJoin"),
+    // pareto report: four bounded 1-row recall aggregates (the p05 report
+    // shape) over brute-force-truth branches (bounded broadcast probes)
+    "sim28_quantization_pareto" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
     // one-row normalizers (max per-lang rate / corpus token total): the
     // single-partition agg is 1 row and its crossJoin-back is a 1-row
     // broadcast nested loop — bounded by construction, the c16 pattern
@@ -203,7 +206,8 @@ class PlanAuditSpec extends SparkSpec {
     "m09_phash_neardup" -> 4, // band equi-join + candidate distinct + two sig joins (broadcast at spec SF); top-20 is TakeOrdered
     "r05_session_funnel" -> 5, // user-window tag + three co-partitioned (user,sid) agg passes; 1-row report
     "c46_tpch_q14" -> 0, // pushed date scan + broadcast part dim + single-row global agg
-    "c47_tpch_q8" -> 3) // two fact shuffle pairs (measured 2 at spec SF) + year rollup; all dims broadcast
+    "c47_tpch_q8" -> 3, // two fact shuffle pairs (measured 2 at spec SF) + year rollup; all dims broadcast
+    "sim28_quantization_pareto" -> 28) // 4 recall branches × (search + truth perKeyTopK + 1-row agg); report-shaped
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
@@ -260,6 +264,7 @@ class PlanAuditSpec extends SparkSpec {
     "c38_kmv_sketch" -> "perKeyTopK phase 2: <= k*parts rows per event_type",
     "sim26_sq_adc_search" -> "perKeyTopK phase 2: <= k*parts rows per qid",
     "sim27_sq_recall" -> "perKeyTopK phase 2 (SQ search + brute-force truth): <= k*parts rows per qid",
+    "sim28_quantization_pareto" -> "perKeyTopK phase 2 (all four search branches + truth): <= k*parts rows per qid",
     "r03_interval_overlap" -> "groupedRunningTotal offsets window: <= parts rows per event_type by phase-1 aggregation")
 
   private def lowCardWindowKeys(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =

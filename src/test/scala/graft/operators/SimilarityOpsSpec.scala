@@ -108,6 +108,19 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(n.select(SimilarityOps.scaledL2(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("sim28: pareto rows reconcile with the per-probe recall queries they summarize") {
+    val pareto = Catalog.byName("sim28_quantization_pareto").build(spark, sfDir).collect()
+      .map(r => r.getAs[String]("method") -> r.getAs[Double]("mean_recall")).toMap
+    def meanOf(q: String) = Catalog.byName(q).build(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_hit")).sum.toDouble / 30
+    assert(pareto("pq_adc") == meanOf("sim17_pq_recall"), "pq_adc row != sim17 mean")
+    assert(pareto("sq_adc") == meanOf("sim27_sq_recall"), "sq_adc row != sim27 mean")
+    assert(pareto("pq_adc_rerank") == meanOf("sim19_pq_adc_rerank"), "rerank row != sim19 mean")
+    assert(pareto("full_float") == 1.0, "exact search must anchor at recall 1")
+    // the pareto must be honest: rerank >= raw ADC, SQ >= PQ at 16× the bytes
+    assert(pareto("pq_adc_rerank") >= pareto("pq_adc") && pareto("sq_adc") >= pareto("pq_adc"))
+  }
+
   test("sim05 Lloyd step == driver-side recomputation from raw embeddings") {
     import spark.implicits._
     val SCALE = SimilarityOps.SCALE
