@@ -140,4 +140,50 @@ class SkewOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (the no-salt scale path)") {
+    // Manual salting (k01/k02) is the deterministic lever; AQE's skew-join
+    // split is the runtime one. This pins that the lever actually FIRES in
+    // this engine's configuration: a 90%-hot-key join under lowered skew
+    // thresholds must show skewed AQEShuffleRead partitions in the final
+    // adaptive plan, with results identical to the un-adapted join.
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val left = (1 to 60000)
+        .map(i => (if (i % 10 == 0) i.toLong else 7L, i.toLong, s"payload_$i"))
+        .toDF("key", "id", "pay") // 90% of rows on key 7
+      val right = (1L to 200L).map(k => (k, s"dim_$k")).toDF("key", "name")
+      val joined = left.join(right, "key")
+      // collect() executes THIS frame's queryExecution (count() would build
+      // and execute a derived plan, leaving this one isFinalPlan=false)
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"adaptive plan did not finalize:\n$plan")
+      assert(plan.contains("AQEShuffleRead"), s"no adaptive shuffle read in:\n$plan")
+      assert(plan.contains("skewed"),
+        s"AQE did not mark the hot partition as skewed:\n$plan")
+      // same answer as the un-adapted join
+      conf.set("spark.sql.adaptive.enabled", "false")
+      assert(rows.map(_.toSeq).toSet == left.join(right, "key").collect().map(_.toSeq).toSet,
+        "AQE changed the join result")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
