@@ -249,6 +249,56 @@ object SkewOps {
                       OR MIN(ts) > TIMESTAMP '2024-01-13 00:00:00') AS pruned,
                      CAST(COUNT(*) FILTER (ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
                                             AND TIMESTAMP '2024-01-13 00:00:00') AS BIGINT) AS n_match
-              FROM events GROUP BY 1 ORDER BY 1"""))
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // CLUSTERED-WRITE LOCALITY — the layout lever k05 measures the payoff
+    // of: the SAME rows cut into equal-size (100-row) files two ways — arrival
+    // order (event_id ranges) vs clustered by the lookup key (global
+    // (user_id, event_id) rank ranges — the CLUSTER BY / sort-before-
+    // write move). The metric is the zone-map math of a per-user point
+    // lookup: how many files' (min,max) user spans contain a given user,
+    // averaged over users (exact ppm). Clustered ≈ 1 file/user; natural ≈
+    // every file. The global rank is NOT a single-task window: the
+    // composite order key rides groupedRunningTotal under a constant
+    // group (two-phase prefix count, ≤ parts offset rows — the t20
+    // shape), bit-equal to ROW_NUMBER by uniqueness of (user, event).
+    Q("k07_clustered_layout",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_id"), col("user_id"))
+        val natural = ev.withColumn("file_id", expr("event_id div 100"))
+        val ranked = StockOps.groupedRunningTotal(
+          ev.withColumn("k", lit("all"))
+            .withColumn("ord", col("user_id") * lit(1099511627776L) + col("event_id"))
+            .withColumn("one", lit(1L)),
+          "k", "ord", "one", "rn")
+        val clustered = ranked.withColumn("file_id", expr("(rn - 1) div 100"))
+        def metric(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.select("user_id", "file_id").distinct()
+            .agg(countDistinct(col("file_id")).as("n_files"),
+              count(lit(1)).as("user_file_pairs"),
+              countDistinct(col("user_id")).as("n_users"))
+            .select(lit(name).as("layout"), col("n_files"), col("user_file_pairs"),
+              expr("user_file_pairs * 1000000 div n_users").as("avg_files_per_user_ppm"))
+        metric("arrival_order", natural)
+          .union(metric("clustered_by_user", clustered))
+          .orderBy("layout")
+      },
+      Some("""WITH nat AS (SELECT DISTINCT user_id, event_id // 100 AS file_id FROM events),
+                 rk AS (SELECT user_id,
+                               (ROW_NUMBER() OVER (ORDER BY user_id, event_id) - 1) // 100 AS file_id
+                        FROM events),
+                 cl AS (SELECT DISTINCT user_id, file_id FROM rk),
+                 m AS (
+                   SELECT 'arrival_order' AS layout, COUNT(DISTINCT file_id) AS n_files,
+                          COUNT(*) AS user_file_pairs, COUNT(DISTINCT user_id) AS n_users
+                   FROM nat
+                   UNION ALL
+                   SELECT 'clustered_by_user', COUNT(DISTINCT file_id),
+                          COUNT(*), COUNT(DISTINCT user_id)
+                   FROM cl)
+              SELECT layout, n_files, user_file_pairs,
+                     user_file_pairs * 1000000 // n_users AS avg_files_per_user_ppm
+              FROM m ORDER BY layout"""),
+      bench = false)
   )
 }

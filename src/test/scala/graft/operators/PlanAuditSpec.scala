@@ -53,6 +53,7 @@ class PlanAuditSpec extends SparkSpec {
     "c44_tpch_q6" -> Set("SinglePartition"),
     "r05_session_funnel" -> Set("SinglePartition"),
     "c46_tpch_q14" -> Set("SinglePartition"),
+    "k07_clustered_layout" -> Set("SinglePartition"),
     // SQ serving: corpus streams against the bounded broadcast probe block
     // (the sim01 exact-baseline shape; ≠ predicate forces BNLJ)
     "sim26_sq_adc_search" -> Set("BroadcastNestedLoopJoin"),
@@ -207,7 +208,8 @@ class PlanAuditSpec extends SparkSpec {
     "r05_session_funnel" -> 5, // user-window tag + three co-partitioned (user,sid) agg passes; 1-row report
     "c46_tpch_q14" -> 0, // pushed date scan + broadcast part dim + single-row global agg
     "c47_tpch_q8" -> 3, // two fact shuffle pairs (measured 2 at spec SF) + year rollup; all dims broadcast
-    "sim28_quantization_pareto" -> 28) // 4 recall branches × (search + truth perKeyTopK + 1-row agg); report-shaped
+    "sim28_quantization_pareto" -> 28, // 4 recall branches × (search + truth perKeyTopK + 1-row agg); report-shaped
+    "k07_clustered_layout" -> 8) // two-phase global rank + two distinct-pair dedups + 1-row metric aggs
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

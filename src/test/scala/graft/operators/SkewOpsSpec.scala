@@ -141,6 +141,28 @@ class SkewOpsSpec extends SparkSpec {
     }
   }
 
+  test("k07: layout metrics == driver recompute; clustering strictly improves locality") {
+    val ev = Catalog.t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val natPairs = ev.map { case (e, u) => (u, e / 100) }.distinct
+    val clPairs = ev.sortBy { case (e, u) => (u, e) }.zipWithIndex
+      .map { case ((_, u), i) => (u, i.toLong / 100) }.distinct
+    val nUsers = ev.map(_._2).distinct.length.toLong
+    val out = Catalog.byName("k07_clustered_layout").build(spark, sfDir).collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("user_file_pairs"),
+          r.getAs[Long]("avg_files_per_user_ppm"))).toMap
+    assert(out("arrival_order") == (natPairs.map(_._2).distinct.length.toLong,
+      natPairs.length.toLong, natPairs.length.toLong * 1000000L / nUsers))
+    assert(out("clustered_by_user") == (clPairs.map(_._2).distinct.length.toLong,
+      clPairs.length.toLong, clPairs.length.toLong * 1000000L / nUsers))
+    // same file count, strictly fewer files touched per user lookup
+    assert(out("clustered_by_user")._1 == out("arrival_order")._1)
+    assert(out("clustered_by_user")._3 < out("arrival_order")._3,
+      "clustering did not improve point-lookup locality")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (the no-salt scale path)") {
     // Manual salting (k01/k02) is the deterministic lever; AQE's skew-join
     // split is the runtime one. This pins that the lever actually FIRES in
