@@ -170,6 +170,30 @@ object StockOps {
   val KmvM = 1000000007L
   val KmvK = 8
 
+  /** Latest state per key: max over the unique (us, event_id) order
+    * carried in a struct — one map-side-combined aggregate, deterministic
+    * by key uniqueness. The c48 snapshot/change-batch reducer.
+    */
+  def lastState(df: DataFrame, out: String): DataFrame =
+    df.groupBy("user_id")
+      .agg(max(struct(col("us"), col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as(out))
+
+  /** MERGE INTO semantics over two one-row-per-key sides: full outer join
+    * on the merge key, every output row tagged insert / keep / update /
+    * unchanged. Exposed for c48 and its spec (the fixture never produces
+    * 'insert' — every user predates the split — so the spec exercises
+    * that arm on synthetic frames through this same code path).
+    */
+  def cdcMerge(base: DataFrame, upd: DataFrame): DataFrame =
+    base.join(upd, Seq("user_id"), "full_outer")
+      .select(col("user_id"), col("old_state"),
+        coalesce(col("upd_state"), col("old_state")).as("new_state"),
+        when(col("old_state").isNull, "insert")
+          .when(col("upd_state").isNull, "keep")
+          .when(col("upd_state") =!= col("old_state"), "update")
+          .otherwise("unchanged").as("action"))
+
   /** The KMV oracle (shared by c38 and x22 — KMV partials merge by
     * union + re-take-k, so the streamed union must land on the same
     * estimates). lazy: referenced eagerly by `val all` (the sqlCms
@@ -1292,7 +1316,45 @@ object StockOps {
                 FROM j GROUP BY o_year)
               SELECT o_year, nation_volume, total_volume,
                      nation_volume / total_volume AS mkt_share
-              FROM a ORDER BY o_year"""))
+              FROM a ORDER BY o_year""")),
+
+    // CDC UPSERT (MERGE INTO) — the lakehouse change-data-capture shape:
+    // a dimension snapshot (each user's latest state before the split
+    // instant) merged with a change batch (latest state after it) into
+    // the next snapshot, every row tagged with its MERGE action. Both
+    // sides reduce to one row per key FIRST (a max(struct) aggregate —
+    // map-side combined, deterministic because (ts, event_id) is unique),
+    // so the merge itself is a key-to-key full outer join, never
+    // fact-sized. The same plan at 100 TB: two shuffles on the merge key
+    // and a co-partitioned join.
+    Q("c48_cdc_upsert",
+      (s, d) => {
+        val split = to_timestamp(lit("2024-01-30 00:00:00"))
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+            unix_micros(col("ts")).as("us"))
+        val base = lastState(ev.where(col("ts") < split), "old_state")
+        val upd = lastState(ev.where(col("ts") >= split), "upd_state")
+        cdcMerge(base, upd).orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, ts,
+                                epoch_ns(ts) // 1000 AS us FROM events),
+                 base AS (SELECT user_id, event_type AS old_state FROM (
+                     SELECT user_id, event_type,
+                            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+                     FROM e WHERE ts < TIMESTAMP '2024-01-30 00:00:00') WHERE rn = 1),
+                 upd AS (SELECT user_id, event_type AS upd_state FROM (
+                     SELECT user_id, event_type,
+                            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+                     FROM e WHERE ts >= TIMESTAMP '2024-01-30 00:00:00') WHERE rn = 1)
+              SELECT COALESCE(b.user_id, u.user_id) AS user_id, b.old_state,
+                     COALESCE(u.upd_state, b.old_state) AS new_state,
+                     CASE WHEN b.user_id IS NULL THEN 'insert'
+                          WHEN u.user_id IS NULL THEN 'keep'
+                          WHEN u.upd_state <> b.old_state THEN 'update'
+                          ELSE 'unchanged' END AS action
+              FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id
+              ORDER BY user_id"""))
   )
 
 

@@ -90,4 +90,31 @@ class KernelFuzzSpec extends AnyFunSuite {
       got == sets.toSeq.map(set => ts.count(set.contains))
     })
   }
+
+  test("scaled_l2 kernel == plain-Scala floor-sum on random finite vectors, both element types") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // embedding-magnitude finite values (the fixture contract: no NaN/Inf);
+    // negatives and near-zero exercise the floor's sign behavior
+    val f = Gen.chooseNum(-8.0f, 8.0f)
+    val vec = Gen.listOfN(16, f).map(_.toArray)
+    def ref(a: Array[Float], b: Array[Double], n: Int): Long =
+      (0 until n).map { i =>
+        val d = a(i).toDouble - b(i)
+        math.floor(d * d * 1e15).toLong
+      }.sum
+    checked(Prop.forAll(vec, vec) { (a, b) =>
+      val fa = new GenericArrayData(a.map(x => x: Any))
+      val fb = new GenericArrayData(b.map(x => x: Any))
+      val db = new GenericArrayData(b.map(x => x.toDouble: Any))
+      val exp = ref(a, b.map(_.toDouble), 16)
+      VectorKernels.scaledL2(fa, fb, true, true) == exp &&
+        VectorKernels.scaledL2(fa, db, true, false) == exp
+    })
+    // unequal lengths truncate to the shorter side (the scaledDot
+    // convention) — pinned so a silent fixture-dim drift fails loudly in
+    // the shape guards, not here
+    val a = new GenericArrayData(Array[Any](1.0f, 2.0f, 3.0f))
+    val b = new GenericArrayData(Array[Any](1.5f))
+    assert(VectorKernels.scaledL2(a, b, true, true) == ref(Array(1.0f), Array(1.5), 1))
+  }
 }

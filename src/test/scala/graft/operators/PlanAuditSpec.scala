@@ -209,7 +209,8 @@ class PlanAuditSpec extends SparkSpec {
     "c46_tpch_q14" -> 0, // pushed date scan + broadcast part dim + single-row global agg
     "c47_tpch_q8" -> 3, // two fact shuffle pairs (measured 2 at spec SF) + year rollup; all dims broadcast
     "sim28_quantization_pareto" -> 28, // 4 recall branches × (search + truth perKeyTopK + 1-row agg); report-shaped
-    "k07_clustered_layout" -> 8) // two-phase global rank + two distinct-pair dedups + 1-row metric aggs
+    "k07_clustered_layout" -> 8, // two-phase global rank + two distinct-pair dedups + 1-row metric aggs
+    "c48_cdc_upsert" -> 3) // two per-key snapshot aggs + the key-to-key full outer merge + sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
