@@ -1101,6 +1101,61 @@ object StreamShape {
                        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
                 FROM events) WHERE rk <= 5
               ORDER BY event_type, rk"""),
+      bench = false),
+
+    // STREAMING CDC SNAPSHOT MAINTENANCE — c48's dimension snapshot kept
+    // current by a stream (materialized-view maintenance, the x22/x24
+    // mergeable-summary shape for LATEST-STATE): each micro-batch reduces
+    // to one (user, max(us, event_id, state)) row per key — a valid
+    // partial, because max over the unique (us, event_id) order is
+    // associative and commutative — appended to a snapshot store; the
+    // drained union re-reduces and must equal the batch latest-state
+    // table exactly. The staged files interleave each user's TIMELINE
+    // across batches (odd/even event ids), so the merge genuinely picks
+    // winners across batch boundaries, not within one.
+    Q("x25_stream_cdc_upsert",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ckpt = java.nio.file.Files.createTempDirectory("x25ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x25src").toString
+        val store = java.nio.file.Files.createTempDirectory("x25snap").toString
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        ev.where(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/f0")
+        ev.where(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/f1")
+        def reduceBatch(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id")
+            .agg(max(struct(col("us"), col("event_id"), col("event_type"))).as("m"))
+            .select(col("user_id"), col("m.us").as("us"),
+              col("m.event_id").as("event_id"), col("m.event_type").as("event_type"))
+        val sq = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty)
+              reduceBatch(batch.toDF()).write.mode("append").parquet(store)
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fedBatches = sq.recentProgress.count(_.numInputRows > 0)
+        require(fedBatches >= 2,
+          s"x25 drained in $fedBatches micro-batch(es) — the snapshot merge was not exercised")
+        reduceBatch(s.read.parquet(store).distinct())
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("state"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id AS last_event_id, event_type AS state FROM (
+                SELECT user_id, event_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+              ORDER BY user_id"""),
       bench = false)
   )
 }
