@@ -1354,7 +1354,40 @@ object StockOps {
                           WHEN u.upd_state <> b.old_state THEN 'update'
                           ELSE 'unchanged' END AS action
               FROM base b FULL OUTER JOIN upd u ON b.user_id = u.user_id
-              ORDER BY user_id"""))
+              ORDER BY user_id""")),
+
+    // ROLLING-WINDOW DISTINCT — 7-day rolling active users, the classic
+    // product metric distinct counts make hard at scale (distinct does
+    // not decompose over a sliding window). Exact scale shape: dedup to
+    // (user, day) pairs FIRST (the corpus shrinks to ≤ users×days), then
+    // each pair covers report days [day, day+6] via a bounded ×7
+    // sequence-explode + equi-join against the observed-day spine —
+    // never an inequality join, never re-reading events per window. The
+    // oracle states the same windows as a range join (DuckDB IEJoin).
+    Q("c49_rolling_distinct",
+      (s, d) => {
+        val ud = t(s, d, "events")
+          .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        val spine = ud.select("day").distinct()
+        val cov = ud.select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("rday"))
+          .join(spine.withColumnRenamed("day", "rday"), "rday")
+        val roll = cov.distinct().groupBy("rday")
+          .agg(count(lit(1)).as("n_active_7d"))
+        ud.groupBy("day").agg(count(lit(1)).as("n_active_1d"))
+          .join(roll, col("day") === col("rday"))
+          .select("day", "n_active_1d", "n_active_7d")
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day
+                          FROM events),
+                 spine AS (SELECT DISTINCT day FROM ud),
+                 roll AS (SELECT s.day AS rday, COUNT(DISTINCT u.user_id) AS n_active_7d
+                          FROM spine s JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
+                          GROUP BY 1),
+                 daily AS (SELECT day, COUNT(DISTINCT user_id) AS n_active_1d FROM ud GROUP BY 1)
+              SELECT d.day, n_active_1d, n_active_7d
+              FROM daily d JOIN roll r ON r.rday = d.day ORDER BY day"""))
   )
 
 

@@ -1416,6 +1416,64 @@ object TextOps {
                  rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rnk FROM base)
               SELECT source, w AS n_tokens,
                      CAST(fl + CASE WHEN rnk <= (SELECT extra FROM r) THEN 1 ELSE 0 END AS BIGINT) AS quota
-              FROM rk ORDER BY source"""))
+              FROM rk ORDER BY source""")),
+
+    // DATA EXPECTATIONS — the deequ / Great-Expectations move: declared
+    // constraints audited as exact violation counts, one report row per
+    // check (key uniqueness, referential integrity, value ranges,
+    // non-emptiness). Each check is a bounded aggregate or an anti-join
+    // count — the same plans at any scale; the report unions six 1-row
+    // results (the p05 bounded-report shape). Honesty note: the
+    // lineitem (orderkey, linenumber) uniqueness check FAILS from sf0.01
+    // up — a real fixture quirk (NOTES round 1) surfaced as a failing
+    // expectation instead of silently worked around.
+    Q("p06_data_expectations",
+      (s, d) => {
+        def row(name: String, violations: DataFrame) =
+          violations.select(lit(name).as("check_name"), col("n_violations"),
+            (col("n_violations") === 0L).as("pass"))
+        val ord = t(s, d, "orders")
+        val li = t(s, d, "lineitem")
+        val pkUnique = ord.agg((count(lit(1)) - count_distinct(col("o_orderkey"))).as("n_violations"))
+        val fkCust = ord.join(t(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+        val qtyRange = li.agg(count_if(
+          !(col("l_quantity") >= 1 && col("l_quantity") <= 50)).as("n_violations"))
+        val lineUnique = li.agg((count(lit(1)) -
+          count_distinct(col("l_orderkey"), col("l_linenumber"))).as("n_violations"))
+        val textNonEmpty = t(s, d, "documents").agg(count_if(
+          col("text").isNull || length(col("text")) === 0).as("n_violations"))
+        val valueNonNeg = t(s, d, "events").agg(count_if(
+          col("value") < 0).as("n_violations"))
+        row("orders_pk_unique", pkUnique)
+          .union(row("orders_fk_customer", fkCust))
+          .union(row("lineitem_qty_in_1_50", qtyRange))
+          .union(row("lineitem_line_unique", lineUnique))
+          .union(row("documents_text_nonempty", textNonEmpty))
+          .union(row("events_value_nonneg", valueNonNeg))
+          .orderBy("check_name")
+      },
+      Some("""SELECT check_name, n_violations, n_violations = 0 AS pass FROM (
+                SELECT 'orders_pk_unique' AS check_name,
+                       COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations FROM orders
+                UNION ALL
+                SELECT 'orders_fk_customer', COUNT(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+                UNION ALL
+                SELECT 'lineitem_qty_in_1_50',
+                       CAST(COUNT(*) FILTER (NOT (l_quantity >= 1 AND l_quantity <= 50)) AS BIGINT)
+                FROM lineitem
+                UNION ALL
+                SELECT 'lineitem_line_unique',
+                       COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+                UNION ALL
+                SELECT 'documents_text_nonempty',
+                       CAST(COUNT(*) FILTER (text IS NULL OR length(text) = 0) AS BIGINT)
+                FROM documents
+                UNION ALL
+                SELECT 'events_value_nonneg',
+                       CAST(COUNT(*) FILTER (value < 0) AS BIGINT) FROM events)
+              ORDER BY check_name"""))
   )
 }

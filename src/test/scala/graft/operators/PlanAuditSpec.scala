@@ -54,6 +54,8 @@ class PlanAuditSpec extends SparkSpec {
     "r05_session_funnel" -> Set("SinglePartition"),
     "c46_tpch_q14" -> Set("SinglePartition"),
     "k07_clustered_layout" -> Set("SinglePartition"),
+    // expectations report: six bounded 1-row constraint aggregates unioned
+    "p06_data_expectations" -> Set("SinglePartition"),
     // SQ serving: corpus streams against the bounded broadcast probe block
     // (the sim01 exact-baseline shape; ≠ predicate forces BNLJ)
     "sim26_sq_adc_search" -> Set("BroadcastNestedLoopJoin"),
@@ -210,7 +212,9 @@ class PlanAuditSpec extends SparkSpec {
     "c47_tpch_q8" -> 3, // two fact shuffle pairs (measured 2 at spec SF) + year rollup; all dims broadcast
     "sim28_quantization_pareto" -> 28, // 4 recall branches × (search + truth perKeyTopK + 1-row agg); report-shaped
     "k07_clustered_layout" -> 8, // two-phase global rank + two distinct-pair dedups + 1-row metric aggs
-    "c48_cdc_upsert" -> 3) // two per-key snapshot aggs + the key-to-key full outer merge + sort
+    "c48_cdc_upsert" -> 3, // two per-key snapshot aggs + the key-to-key full outer merge + sort
+    "c49_rolling_distinct" -> 7, // (user,day) dedup + ×7 coverage explode join + two distinct aggs + sort
+    "p06_data_expectations" -> 2) // six 1-row constraint aggs (anti-join broadcast at spec SF) + sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

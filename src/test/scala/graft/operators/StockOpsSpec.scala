@@ -379,6 +379,23 @@ class StockOpsSpec extends SparkSpec {
       3L -> ("x", "update"), 4L -> ("n", "insert")))
   }
 
+  test("c49: rolling distinct == driver recompute; 7d >= 1d everywhere") {
+    val ud = Catalog.t(spark, sfDir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val days = ud.map(_._2).distinct.sorted
+    val out = Catalog.byName("c49_rolling_distinct").build(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).toSeq == days.toSeq)
+    out.foreach { r =>
+      val day = r.getLong(0)
+      val d1 = ud.filter(_._2 == day).map(_._1).distinct.length.toLong
+      val d7 = ud.filter(p => p._2 >= day - 6 && p._2 <= day).map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("n_active_1d") == d1, s"day $day 1d")
+      assert(r.getAs[Long]("n_active_7d") == d7, s"day $day 7d")
+      assert(d7 >= d1)
+    }
+  }
+
   test("c40/c41: TPC-H composites plan broadcast dims + pushed dates; Q3 top-10 is TakeOrdered") {
     val q3 = Catalog.byName("c40_tpch_q3").build(spark, sfDir)
     val p3 = q3.queryExecution.executedPlan.toString

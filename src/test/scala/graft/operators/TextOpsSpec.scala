@@ -358,4 +358,24 @@ class TextOpsSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
     assert(f(4) == p02Total, s"funnel stage 4 (${f(4)}) != p02 total ($p02Total)")
   }
+
+  test("p06: expectation violation counts == driver recompute; report covers pass AND fail") {
+    val li = Catalog.t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity").collect()
+    val out = Catalog.byName("p06_data_expectations").build(spark, sfDir).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        (r.getAs[Long]("n_violations"), r.getAs[Boolean]("pass"))).toMap
+    assert(out.size == 6 && out.values.forall { case (n, p) => p == (n == 0L) })
+    val dupLines = li.length.toLong -
+      li.map(r => (r.getLong(0), r.getInt(1))).distinct.length.toLong
+    assert(out("lineitem_line_unique")._1 == dupLines)
+    assert(out("lineitem_qty_in_1_50")._1 ==
+      li.count(r => !(r.getDouble(2) >= 1 && r.getDouble(2) <= 50)).toLong)
+    val ordKeys = Catalog.t(spark, sfDir, "orders").select("o_orderkey", "o_custkey").collect()
+    assert(out("orders_pk_unique")._1 ==
+      ordKeys.length.toLong - ordKeys.map(_.getLong(0)).distinct.length.toLong)
+    val custKeys = Catalog.t(spark, sfDir, "customer").select("c_custkey").collect()
+      .map(_.getLong(0)).toSet
+    assert(out("orders_fk_customer")._1 == ordKeys.count(r => !custKeys(r.getLong(1))).toLong)
+  }
 }
