@@ -686,6 +686,53 @@ object SimilarityOps {
     })
   }
 
+  /** Sign signature of an embedding column as TWO 32-bit words (word k
+    * packs dims 32k..32k+31, bit j = dim > 0, Horner MSB-first) —
+    * 1-bit-per-dimension binary quantization, the extreme end of the
+    * compression pareto (8 bytes/vector). 32-bit words keep every Horner
+    * intermediate far inside a signed 64-bit value on BOTH engines (a
+    * single 64-bit word overflows the top bit under ANSI arithmetic and
+    * DuckDB's checked `<<` alike — the m09 band-word lesson). Map-only;
+    * search is symmetric hamming. At corpus scale the scan side is
+    * banded like d08 (the words as equi-join keys); the full
+    * probe×corpus form here is the bounded exact-baseline shape.
+    */
+  def signWord(emb: Column, word: Int): Column =
+    aggregate(sequence(lit(word * 32), lit(word * 32 + 31)), lit(0L),
+      (acc, i) => acc * 2 +
+        when(element_at(emb, i + 1) > 0f, lit(1L)).otherwise(lit(0L)))
+
+  /** DuckDB mirror of [[signWord]]. */
+  def sqlSignWord(word: Int): String =
+    s"""list_reduce(list_transform(range(${word * 32 + 1}, ${word * 32 + 33}),
+        i -> CAST(CASE WHEN embedding[CAST(i AS INT)] > 0 THEN 1 ELSE 0 END AS BIGINT)),
+        (acc, x) -> acc * 2 + x)"""
+
+  /** Oracle CTEs for binary-hamming search: per-vector sign words (`bw`)
+    * and the probe×corpus hamming distances (`bham`) — shared by sim29
+    * and the sim28 pareto row.
+    */
+  lazy val sqlBinHamCtes: String =
+    s"""bw AS (SELECT vec_id, ${sqlSignWord(0)} AS w0, ${sqlSignWord(1)} AS w1 FROM embeddings),
+        bham AS (
+          SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+                 CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS INT) AS hamming
+          FROM bw q JOIN bw c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)"""
+
+  /** Probe×corpus hamming over sign signatures (the sim29/sim28 engine
+    * side): map-only signatures, bounded broadcast probes.
+    */
+  def binHamScores(s: SparkSession, d: String): DataFrame = {
+    val bw = t(s, d, "embeddings").select(col("vec_id"),
+      signWord(col("embedding"), 0).as("w0"), signWord(col("embedding"), 1).as("w1"))
+    val probes = bw.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("w0").as("qw0"), col("w1").as("qw1"))
+    bw.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (bit_count(col("qw0").bitwiseXOR(col("w0"))) +
+          bit_count(col("qw1").bitwiseXOR(col("w1")))).cast(IntegerType).as("hamming"))
+  }
+
   /** Oracle CTEs for SQ serving: exploded doubles (`ex`), per-dim ranges
     * (`rng`), reconstructed values (`rc`), and the probe×corpus asymmetric
     * distances (`adcsq`) — the grouped integer sum is order-free, so it
@@ -1802,8 +1849,9 @@ object SimilarityOps {
     // recall@3 vs index bytes/vector for every compression the engine
     // implements, all graded against the SAME exact full-precision truth
     // (so the rows are directly comparable): PQ-ADC (4 B), PQ-ADC with
-    // exact top-20 rerank (4 B index + 20 float reads/probe), int8 SQ
-    // (64 B), and the uncompressed exact search (256 B, recall 1 by
+    // exact top-20 rerank (4 B index + 20 float reads/probe), 1-bit
+    // binary-hamming (8 B, sim29's signatures), int8 SQ (64 B), and the
+    // uncompressed exact search (256 B, recall 1 by
     // construction — the anchor row). Each row is a bounded 1-row
     // aggregate (the p05 report shape); every underlying search is the
     // already-verified sim16/19/26 machinery.
@@ -1830,15 +1878,24 @@ object SimilarityOps {
             Seq("qid"), Seq(col("l2"), col("vec_id")), 3)
           .select("qid", "vec_id")
         val sqTop = byNameLocal("sim26_sq_adc_search").build(s, d).select("qid", "vec_id")
+        val binTop = StockOps.perKeyTopK(binHamScores(s, d),
+            Seq("qid"), Seq(col("hamming"), col("vec_id")), 3)
+          .select("qid", "vec_id")
         row("pq_adc", 4, adcTop)
           .union(row("pq_adc_rerank", 4, rrTop))
+          .union(row("binary_hamming", 8, binTop))
           .union(row("sq_adc", 64, sqTop))
           .union(row("full_float", 256, truth))
           .orderBy("bytes_per_vec", "method")
       },
       Some(s"""WITH $sqlPqAdcCtes,
                  $sqlSqAdcCtes,
+                 $sqlBinHamCtes,
                  $sqlPqTruthCtes,
+                 bintop AS (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rk
+                     FROM bham) WHERE rk <= 3),
                  adctop AS (SELECT qid, vec_id FROM (
                      SELECT qid, vec_id,
                             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
@@ -1867,12 +1924,34 @@ object SimilarityOps {
                 SELECT 'pq_adc_rerank', 4, CAST(COUNT(a.vec_id) AS DOUBLE) / 30
                 FROM truth t LEFT JOIN rrtop a ON a.qid = t.qid AND a.vec_id = t.vec_id
                 UNION ALL
+                SELECT 'binary_hamming', 8, CAST(COUNT(a.vec_id) AS DOUBLE) / 30
+                FROM truth t LEFT JOIN bintop a ON a.qid = t.qid AND a.vec_id = t.vec_id
+                UNION ALL
                 SELECT 'sq_adc', 64, CAST(COUNT(a.vec_id) AS DOUBLE) / 30
                 FROM truth t LEFT JOIN sqtop a ON a.qid = t.qid AND a.vec_id = t.vec_id
                 UNION ALL
                 SELECT 'full_float', 256, CAST(COUNT(*) AS DOUBLE) / 30 FROM truth)
               ORDER BY bytes_per_vec, method"""),
-      bench = false)
+      bench = false),
+
+    // BINARY (1-BIT) QUANTIZED SEARCH — the extreme compression point:
+    // each vector collapses to its 64 sign bits (8 bytes, a 32×
+    // reduction), distance is symmetric hamming (one XOR + popcount per
+    // pair — the cheapest possible scan). Map-only signatures, bounded
+    // broadcast probes, two-phase per-probe top-3; at corpus scale the
+    // scan side bands the word into 16-bit equi-join keys (the d08
+    // move). Recall joins the sim28 pareto as the 8-byte row.
+    Q("sim29_binary_search",
+      (s, d) => StockOps.perKeyTopK(binHamScores(s, d),
+          Seq("qid"), Seq(col("hamming"), col("vec_id")), 3)
+        .select("qid", "rk", "vec_id", "hamming")
+        .orderBy("qid", "rk"),
+      Some(s"""WITH $sqlBinHamCtes
+              SELECT qid, CAST(rk AS INT) AS rk, vec_id, hamming FROM (
+                SELECT qid, vec_id, hamming,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rk
+                FROM bham) WHERE rk <= 3
+              ORDER BY qid, rk"""))
   )
 
   /** Local alias to avoid a Catalog init cycle. */

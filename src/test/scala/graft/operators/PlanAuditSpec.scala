@@ -63,6 +63,7 @@ class PlanAuditSpec extends SparkSpec {
     // pareto report: four bounded 1-row recall aggregates (the p05 report
     // shape) over brute-force-truth branches (bounded broadcast probes)
     "sim28_quantization_pareto" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
+    "sim29_binary_search" -> Set("BroadcastNestedLoopJoin"),
     // one-row normalizers (max per-lang rate / corpus token total): the
     // single-partition agg is 1 row and its crossJoin-back is a 1-row
     // broadcast nested loop — bounded by construction, the c16 pattern
@@ -210,7 +211,8 @@ class PlanAuditSpec extends SparkSpec {
     "r05_session_funnel" -> 5, // user-window tag + three co-partitioned (user,sid) agg passes; 1-row report
     "c46_tpch_q14" -> 0, // pushed date scan + broadcast part dim + single-row global agg
     "c47_tpch_q8" -> 3, // two fact shuffle pairs (measured 2 at spec SF) + year rollup; all dims broadcast
-    "sim28_quantization_pareto" -> 28, // 4 recall branches × (search + truth perKeyTopK + 1-row agg); report-shaped
+    "sim28_quantization_pareto" -> 34, // 5 recall branches × (search + truth perKeyTopK + 1-row agg); report-shaped
+    "sim29_binary_search" -> 3, // map-only sign words; perKeyTopK (local+final) + sort
     "k07_clustered_layout" -> 8, // two-phase global rank + two distinct-pair dedups + 1-row metric aggs
     "c48_cdc_upsert" -> 3, // two per-key snapshot aggs + the key-to-key full outer merge + sort
     "c49_rolling_distinct" -> 7, // (user,day) dedup + ×7 coverage explode join + two distinct aggs + sort
@@ -271,7 +273,8 @@ class PlanAuditSpec extends SparkSpec {
     "c38_kmv_sketch" -> "perKeyTopK phase 2: <= k*parts rows per event_type",
     "sim26_sq_adc_search" -> "perKeyTopK phase 2: <= k*parts rows per qid",
     "sim27_sq_recall" -> "perKeyTopK phase 2 (SQ search + brute-force truth): <= k*parts rows per qid",
-    "sim28_quantization_pareto" -> "perKeyTopK phase 2 (all four search branches + truth): <= k*parts rows per qid",
+    "sim28_quantization_pareto" -> "perKeyTopK phase 2 (all five search branches + truth): <= k*parts rows per qid",
+    "sim29_binary_search" -> "perKeyTopK phase 2: <= k*parts rows per qid",
     "r03_interval_overlap" -> "groupedRunningTotal offsets window: <= parts rows per event_type by phase-1 aggregation")
 
   private def lowCardWindowKeys(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
