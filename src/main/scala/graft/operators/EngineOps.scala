@@ -165,6 +165,38 @@ object EngineOps {
                GROUP BY 1 ORDER BY topic0"""),
       bench = false),
 
+    // S16/S19's narrow-read contract in the hard gate: COLUMN PRUNING
+    // through the connector (SupportsPushDownRequiredColumns) — a
+    // 3-column analytic over the 22-column blocks dataset must reach the
+    // scan as a 3-column read (in-query require on the BatchScan's output
+    // list; at 100 TB this is the difference between reading 3 columns'
+    // row groups and the whole table), and the per-miner rollup must
+    // match the chain dump byte-for-byte.
+    Q("e10_eth_column_pruning",
+      (s, d) => {
+        val blocks = s.read.format("graft-eth").option("dataset", "blocks")
+          .option("startBlock", "0").option("endBlock", "999").load() // the dump's extent
+        val q = blocks.select(col("number"), col("gasUsed"), col("miner"))
+          .where(col("gasUsed") > 0)
+          .groupBy(expr("number div 500").as("chunk"))
+          .agg(count(lit(1)).as("n_blocks"), sum("gasUsed").as("total_gas"))
+          .orderBy("chunk")
+        val plan = q.queryExecution.executedPlan.toString
+        // Catalyst prunes past the user's 3-column select: `miner` feeds
+        // nothing downstream, so the scan must read exactly (number, gasUsed)
+        val scanCols = raw"BatchScan graft-eth:blocks\[([^\]]*)\]".r
+          .findFirstMatchIn(plan).map(_.group(1).split(",").length)
+        require(scanCols.contains(2),
+          s"blocks scan not pruned to the 2 live columns:\n$plan")
+        q
+      },
+      Some(s"""SELECT number // 500 AS chunk, COUNT(*) AS n_blocks,
+                      CAST(SUM(gasUsed) AS BIGINT) AS total_gas
+               FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet'
+               WHERE gasUsed > 0
+               GROUP BY 1 ORDER BY chunk"""),
+      bench = false),
+
     // S8/S9 in the HARD gate: the connector's MICRO-BATCH streaming path —
     // readStream(graft-eth) drains blocks 0..2999 under Trigger.AvailableNow
     // (3 bounded batches of maxBlocksPerTrigger=1000, offset-contiguous) into
