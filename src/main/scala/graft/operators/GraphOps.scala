@@ -117,6 +117,21 @@ object GraphOps {
     */
   val CommunityCap = 2000L
 
+  /** g07's hot-pivot degree cap: wedges are generated per shared neighbor
+    * (the pivot), and the wedge count is Σ deg(pivot)² — a single hub
+    * pivot of degree 10⁶ alone contributes 10¹² pairs. Pivots above this
+    * degree are excluded from wedge GENERATION only (their own candidacy
+    * as endpoints is unaffected), the d02 hot-shingle convention: at the
+    * fixture's binomial in-degree profile (max observed well under 64)
+    * the cap is a no-op, and it is mirrored term-for-term in the oracle
+    * so the outputs stay bit-identical at any scale. The bias it buys is
+    * the standard one — hub-mediated similarity is the least informative
+    * link-prediction evidence. Declared BEFORE `val all` (the sqlCms
+    * interpolation lesson).
+    */
+  val LinkPredPivotCap = 64
+  val LinkPredK = 20
+
   val all: Seq[Q] = Seq(
     // PAGERANK — 3 damped integer-mass iterations over the derived link
     // graph; output is the full (doc_id, mass) rank table. The oracle
@@ -349,6 +364,64 @@ object GraphOps {
                        LEFT JOIN lbl l USING (doc_id)),
                sizes AS (SELECT community, COUNT(*) AS n_members FROM mem GROUP BY community)
              SELECT n_members, COUNT(*) AS n_communities
-             FROM sizes GROUP BY n_members ORDER BY n_members"""))
+             FROM sizes GROUP BY n_members ORDER BY n_members""")),
+
+    // LINK PREDICTION — common-neighbor / Jaccard scoring of NON-edges,
+    // the classic missing-link ranking (Liben-Nowell & Kleinberg). Scale
+    // shape: candidates come only from WEDGES (pairs sharing a neighbor)
+    // generated by one self-equi-join of the adjacency list on the pivot
+    // — never the node-pair space; the Σ deg(pivot)² wedge bound is held
+    // down by [[LinkPredPivotCap]] (a no-op at fixture scale, mirrored in
+    // the oracle). Existing edges leave by an anti-join, the Jaccard
+    // score |N(a)∩N(b)| / |N(a)∪N(b)| is an exact integer ppm floor
+    // (cross-multiplied — no float ratio to diverge on), and the top-20
+    // is a distributed TakeOrdered under the total order (score desc, a,
+    // b) — deterministic at every SF (the m09 retrieval-cut convention).
+    Q("g07_link_prediction",
+      (s, d) => {
+        val n = nodeCount(s, d)
+        val docs = t(s, d, "documents")
+        val base = linkEdges(docs, n).where(col("src") =!= col("dst"))
+        val und = base.select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v")).distinct()
+        val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+          .union(und.select(col("v").as("node"), col("u").as("nbr")))
+        val deg = adj.groupBy("node").agg(count(lit(1)).as("dg"))
+        val capped = adj
+          .join(deg.select(col("node").as("nbr"), col("dg").as("piv_dg")), "nbr")
+          .where(col("piv_dg") <= LinkPredPivotCap)
+          .select("node", "nbr")
+        val pairs = capped.as("x").join(capped.as("y"),
+            col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+          .select(col("x.node").as("a"), col("y.node").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+        val nonEdge = pairs.join(und,
+          pairs("a") === und("u") && pairs("b") === und("v"), "left_anti")
+        nonEdge
+          .join(deg.select(col("node").as("a"), col("dg").as("dga")), "a")
+          .join(deg.select(col("node").as("b"), col("dg").as("dgb")), "b")
+          .select(col("a"), col("b"), col("n_common"),
+            expr("n_common * 1000000 div (dga + dgb - n_common)").as("score_ppm"))
+          .orderBy(desc("score_ppm"), col("a"), col("b"))
+          .limit(LinkPredK)
+      },
+      Some(
+        s"""WITH $sqlEdges,
+               und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                       FROM e WHERE src <> dst),
+               adj AS (SELECT u AS node, v AS nbr FROM und UNION SELECT v, u FROM und),
+               deg AS (SELECT node, COUNT(*) AS dg FROM adj GROUP BY node),
+               capped AS (SELECT a.node, a.nbr FROM adj a
+                          JOIN deg p ON p.node = a.nbr WHERE p.dg <= $LinkPredPivotCap),
+               pairs AS (SELECT x.node AS a, y.node AS b, COUNT(*) AS n_common
+                         FROM capped x JOIN capped y
+                           ON x.nbr = y.nbr AND x.node < y.node
+                         GROUP BY 1, 2),
+               ne AS (SELECT p.* FROM pairs p
+                      WHERE NOT EXISTS (SELECT 1 FROM und WHERE u = p.a AND v = p.b))
+             SELECT ne.a, ne.b, CAST(n_common AS BIGINT) AS n_common,
+                    CAST(n_common * 1000000 // (da.dg + db.dg - n_common) AS BIGINT) AS score_ppm
+             FROM ne JOIN deg da ON da.node = ne.a JOIN deg db ON db.node = ne.b
+             ORDER BY score_ppm DESC, ne.a, ne.b LIMIT $LinkPredK"""))
   )
 }

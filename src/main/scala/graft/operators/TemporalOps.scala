@@ -319,6 +319,52 @@ object TemporalOps {
               SELECT n_sessions, n_view, n_view_click, n_full_funnel,
                      n_view_click * 1000000 // n_view AS cr_view_click_ppm,
                      n_full_funnel * 1000000 // n_view_click AS cr_click_purchase_ppm
-              FROM f"""))
+              FROM f""")),
+
+    // OHLC RESAMPLE — downsample the event stream to hourly bars per
+    // event type: open/close (argmin/argmax of value by arrival order),
+    // high/low, count, and an exact-decimal volume. The canonical
+    // time-series densification every feature pipeline runs before
+    // modeling. Scale shape: ONE map-side-combined aggregate on the
+    // composite key (event_type, hour-bucket) — the key cardinality grows
+    // with the covered time span, so parallelism grows with the data (no
+    // bounded-domain funnel); open/close ride min_by/max_by under the
+    // TOTAL order (us, event_id) (event_id unique ⇒ deterministic at
+    // every SF — no first()/last() arrival nondeterminism), never a
+    // per-bucket sort. The oracle expresses the same argmin/argmax with
+    // ROW_NUMBER (DuckDB's arg_min rejects struct keys).
+    Q("r06_resample_ohlc",
+      (s, d) => {
+        val hourUs = 3600000000L
+        t(s, d, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("value"))
+          .withColumn("bucket", expr(s"us div $hourUs"))
+          .groupBy("event_type", "bucket")
+          .agg(
+            min_by(col("value"), struct(col("us"), col("event_id"))).as("open"),
+            max_by(col("value"), struct(col("us"), col("event_id"))).as("close"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            count(lit(1)).as("n_events"),
+            dsum(col("value")).as("volume"))
+          .orderBy("event_type", "bucket")
+      },
+      Some(s"""WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us, event_id, value
+                          FROM events),
+                 b AS (SELECT event_type, us // 3600000000 AS bucket, us, event_id, value FROM e),
+                 r AS (SELECT *,
+                              ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY us, event_id) AS rn_a,
+                              ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY us DESC, event_id DESC) AS rn_d
+                       FROM b)
+              SELECT event_type, bucket,
+                     MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+                     MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+                     MAX(value) AS high, MIN(value) AS low,
+                     COUNT(*) AS n_events,
+                     ${sqlDsum("value")} AS volume
+              FROM r GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

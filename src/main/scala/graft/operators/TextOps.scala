@@ -1474,6 +1474,48 @@ object TextOps {
                 UNION ALL
                 SELECT 'events_value_nonneg',
                        CAST(COUNT(*) FILTER (value < 0) AS BIGINT) FROM events)
-              ORDER BY check_name"""))
+              ORDER BY check_name""")),
+
+    // SHARD MANIFEST — the artifact a training job actually consumes:
+    // every document deterministically routed to a (split, shard) cell
+    // (t21's hash split × an 8-way shard hash), each cell summarized by
+    // doc count, exact token total, and an order-free content signature
+    // (per-doc 60-bit md5 summed EXACTLY in DECIMAL(38,0), folded mod
+    // 2⁶¹−1 — a shard re-materialized anywhere must reproduce its
+    // signature bit-for-bit, and a single changed/dropped document
+    // changes it). Scale shape: ONE map-side-combined aggregate over
+    // map-only per-doc columns — the manifest is ≤ splits×shards rows no
+    // matter the corpus; nothing is ordered, so no window, no funnel.
+    // Summation (not xor) keeps duplicate documents visible in the
+    // signature. All operands non-negative ⇒ DuckDB `%` == pmod.
+    Q("p07_shard_manifest",
+      (s, d) => {
+        val h = docHash(col("doc_id"), 1000L)
+        val fold = "2305843009213693951" // 2^61 - 1
+        t(s, d, "documents")
+          .select(
+            when(h < 800, "train").when(h < 900, "val").otherwise("test").as("split"),
+            docHash(col("doc_id"), 8L).as("shard"),
+            size(tokens(col("text"))).cast(LongType).as("n_toks"),
+            conv(substring(md5(col("text").cast(BinaryType)), 1, 15), 16, 10)
+              .cast(DecimalType(38, 0)).as("sig"))
+          .groupBy("split", "shard")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+            pmod(sum(col("sig")), lit(fold).cast(DecimalType(38, 0)))
+              .cast(LongType).as("content_sig"))
+          .orderBy("split", "shard")
+      },
+      Some(s"""WITH m AS (
+                 SELECT CASE WHEN ${sqlDocHash("doc_id", 1000L)} < 800 THEN 'train'
+                             WHEN ${sqlDocHash("doc_id", 1000L)} < 900 THEN 'val'
+                             ELSE 'test' END AS split,
+                        ${sqlDocHash("doc_id", 8L)} AS shard,
+                        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+                        CAST(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS HUGEINT) AS sig
+                 FROM documents)
+              SELECT split, CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+                     CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                     CAST(SUM(sig) % 2305843009213693951 AS BIGINT) AS content_sig
+              FROM m GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -134,4 +134,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == expected, s"histogram mismatch: $got vs $expected")
     assert(got.keys.sum > 0 && got.values.sum >= 1)
   }
+
+  test("g07: top-20 == driver brute-force Jaccard over non-edges; cap is a fixture no-op") {
+    val und = GraphOps.linkEdges(docs, n).where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    und.foreach { case (u, v) => adj(u) = adj(u) + v; adj(v) = adj(v) + u }
+    // the pivot cap must be a no-op on this fixture — if the degree profile
+    // ever grows past it the oracle stays aligned, but the spec should say so
+    assert(adj.values.forall(_.size <= GraphOps.LinkPredPivotCap),
+      "fixture degree profile crossed LinkPredPivotCap — brute force below must apply the cap")
+    val edgeSet = und.toSet
+    val common = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+    for ((_, nbrs) <- adj; s = nbrs.toSeq.sorted; i <- s.indices; j <- (i + 1) until s.size)
+      common((s(i), s(j))) += 1
+    val expect = common.toSeq.collect { case ((a, b), c) if !edgeSet((a, b)) =>
+      (a, b, c, c * 1000000L / (adj(a).size + adj(b).size - c))
+    }.sortBy { case (a, b, _, sc) => (-sc, a, b) }.take(GraphOps.LinkPredK)
+    val got = Catalog.byName("g07_link_prediction").build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect, s"link-prediction top-k mismatch:\n$got\nvs\n$expect")
+    // predictions must be genuinely informative: at least one multi-witness pair
+    assert(got.exists(_._3 >= 2), s"degenerate prediction set (all single-witness): $got")
+  }
 }

@@ -216,7 +216,11 @@ class PlanAuditSpec extends SparkSpec {
     "k07_clustered_layout" -> 8, // two-phase global rank + two distinct-pair dedups + 1-row metric aggs
     "c48_cdc_upsert" -> 3, // two per-key snapshot aggs + the key-to-key full outer merge + sort
     "c49_rolling_distinct" -> 7, // (user,day) dedup + ×7 coverage explode join + two distinct aggs + sort
-    "p06_data_expectations" -> 2) // six 1-row constraint aggs (anti-join broadcast at spec SF) + sort
+    "p06_data_expectations" -> 2, // six 1-row constraint aggs (anti-join broadcast at spec SF) + sort
+    // round-6 fourth-session queries (ceilings = measured at spec SF)
+    "g07_link_prediction" -> 18, // adjacency dedup + degree joins + wedge self-join + pair agg; top-20 is TakeOrdered
+    "r06_resample_ohlc" -> 2, // one map-side-combined (event_type, bucket) agg split + final sort
+    "p07_shard_manifest" -> 2) // map-only routing + one map-side-combined agg split + final sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

@@ -159,4 +159,25 @@ class TemporalOpsSpec extends SparkSpec {
     // monotone funnel + a non-degenerate fixture at every step
     assert(nv >= nvc && nvc >= nf && nf > 0)
   }
+
+  test("r06: hourly bars == driver recompute (argmin/argmax open/close, exact volume)") {
+    val hourUs = 3600000000L
+    val expect = events.groupBy { case (_, _, us, tp, _) => (tp, us / hourUs) }
+      .map { case ((tp, b), rows) =>
+        val ordered = rows.sortBy { case (id, _, us, _, _) => (us, id) }
+        val vol = rows.map { case (_, _, _, _, v) =>
+          BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble
+        (tp, b, ordered.head._5, ordered.last._5,
+          rows.map(_._5).max, rows.map(_._5).min, rows.size.toLong, vol)
+      }.toSet
+    val got = Catalog.byName("r06_resample_ohlc").build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7))).toSet
+    assert(got == expect, s"OHLC mismatch: ${got.diff(expect)} vs ${expect.diff(got)}")
+    // bars must be well-formed: low <= open/close <= high
+    got.foreach { case (_, _, o, c, h, l, _, _) =>
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+  }
 }

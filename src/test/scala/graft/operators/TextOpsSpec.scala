@@ -378,4 +378,36 @@ class TextOpsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     assert(out("orders_fk_customer")._1 == ordKeys.count(r => !custKeys(r.getLong(1))).toLong)
   }
+
+  test("p07: manifest == driver recompute; split totals reconcile with t21") {
+    def docHash(id: Long, m: Long): Long = ((id & 0x7fffffffL) * 2654435761L) % m
+    def md5_60(text: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val fold = BigInt("2305843009213693951")
+    val docs = Catalog.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.groupBy { case (id, _) =>
+      val h = docHash(id, 1000L)
+      (if (h < 800) "train" else if (h < 900) "val" else "test", docHash(id, 8L))
+    }.map { case ((split, shard), rows) =>
+      // Spark's trim strips SPACES only (not tabs/newlines) — mirror it
+      val nToks = rows.map { case (_, t) =>
+        t.replaceAll("^ +", "").replaceAll(" +$", "").split("\\s+", -1).length.toLong
+      }.sum
+      val sig = (rows.map { case (_, t) => BigInt(md5_60(t)) }.sum mod fold).toLong
+      (split, shard, rows.length.toLong, nToks, sig)
+    }.toSet
+    val m = Catalog.byName("p07_shard_manifest").build(spark, sfDir).collect()
+    val got = m.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect, s"manifest mismatch: ${got.diff(expect)} vs ${expect.diff(got)}")
+    // the manifest's split totals must reconcile with the t21 split report
+    val bySplit = m.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val t21 = Catalog.byName("t21_train_val_test").build(spark, sfDir).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit == t21, s"p07 split totals $bySplit != t21 $t21")
+  }
 }
