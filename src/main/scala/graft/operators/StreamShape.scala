@@ -1156,6 +1156,54 @@ object StreamShape {
                          ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
                 FROM events) WHERE rn = 1
               ORDER BY user_id"""),
+      bench = false),
+
+    // STREAMING OHLC MAINTENANCE — r06's hourly bars kept current by a
+    // stream: the x25 latest-state shape extended to a COMPOSITE
+    // mergeable summary. Each micro-batch reduces to one partial bar per
+    // (event_type, bucket) — open/close ride min/max over the TOTAL
+    // (us, event_id, value) struct order (associative + commutative, so
+    // any batch split yields valid partials; law spec-pinned across
+    // arbitrary shard layouts in TemporalOpsSpec), high/low/count are
+    // semilattice/monoid members, volume sums EXACTLY in decimal. The
+    // partials append to a bar store; the drained union re-reduces
+    // (TemporalOps.ohlcMerge) and must equal r06's batch bars
+    // bit-for-bit — the SAME oracle grades both. Staged files interleave
+    // each bucket's events across batches (odd/even event ids), so the
+    // merge genuinely reconciles competing opens/closes across batch
+    // boundaries.
+    Q("x26_stream_ohlc",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ckpt = java.nio.file.Files.createTempDirectory("x26ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x26src").toString
+        val store = java.nio.file.Files.createTempDirectory("x26bars").toString
+        val ev = t(s, d, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("value"))
+          .withColumn("bucket", expr(s"us div ${TemporalOps.OhlcHourUs}"))
+        ev.where(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/f0")
+        ev.where(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/f1")
+        val sq = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty)
+              TemporalOps.ohlcPartials(batch.toDF()).write.mode("append").parquet(store)
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fedBatches = sq.recentProgress.count(_.numInputRows > 0)
+        require(fedBatches >= 2,
+          s"x26 drained in $fedBatches micro-batch(es) — the bar merge was not exercised")
+        TemporalOps.ohlcMerge(s.read.parquet(store))
+          .orderBy("event_type", "bucket")
+      },
+      Some(TemporalOps.sqlOhlc),
       bench = false)
   )
 }

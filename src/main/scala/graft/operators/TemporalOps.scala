@@ -95,6 +95,57 @@ object TemporalOps {
       .drop("__bucket")
   }
 
+  /** Hour length in micros — r06/x26's bar width. */
+  val OhlcHourUs = 3600000000L
+
+  /** Per-shard OHLC bar PARTIALS for (event_type, bucket): open/close as
+    * min/max over the TOTAL (us, event_id, value) struct order —
+    * associative and commutative, so ANY split of the input rows yields
+    * partials that [[ohlcMerge]] reconciles to the whole-input bars
+    * (law spec-pinned under arbitrary shard layouts, the x24 convention).
+    * Volume sums exactly in decimal (a commutative monoid).
+    */
+  def ohlcPartials(df: DataFrame): DataFrame =
+    df.groupBy("event_type", "bucket").agg(
+      min(struct(col("us"), col("event_id"), col("value"))).as("o"),
+      max(struct(col("us"), col("event_id"), col("value"))).as("c"),
+      max("value").as("high"), min("value").as("low"),
+      count(lit(1)).as("n_events"), sum(dec(col("value"))).as("vol"))
+
+  /** Re-reduce bar partials to final bars — the same semilattice/monoid
+    * members one level up; output schema matches r06 exactly.
+    */
+  def ohlcMerge(partials: DataFrame): DataFrame =
+    partials.groupBy("event_type", "bucket").agg(
+        min(col("o")).as("o"), max(col("c")).as("c"),
+        max("high").as("high"), min("low").as("low"),
+        sum("n_events").as("n_events"), sum("vol").as("vol"))
+      .select(col("event_type"), col("bucket"),
+        col("o.value").as("open"), col("c.value").as("close"),
+        col("high"), col("low"), col("n_events"),
+        col("vol").cast(org.apache.spark.sql.types.DoubleType).as("volume"))
+
+  /** r06's oracle — also the truth for the streaming maintenance path
+    * (x26), which must reconcile its merged partials to the same bars.
+    */
+  val sqlOhlc: String =
+    s"""WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us, event_id, value
+                   FROM events),
+          b AS (SELECT event_type, us // $OhlcHourUs AS bucket, us, event_id, value FROM e),
+          r AS (SELECT *,
+                       ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                         ORDER BY us, event_id) AS rn_a,
+                       ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                         ORDER BY us DESC, event_id DESC) AS rn_d
+                FROM b)
+       SELECT event_type, bucket,
+              MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+              MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+              MAX(value) AS high, MIN(value) AS low,
+              COUNT(*) AS n_events,
+              ${sqlDsum("value")} AS volume
+       FROM r GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val all: Seq[Q] = Seq(
     // As-of join: each purchase matched to the user's latest preceding (or
     // simultaneous) click. Oracle: DuckDB's native ASOF LEFT JOIN... which
@@ -335,11 +386,10 @@ object TemporalOps {
     // ROW_NUMBER (DuckDB's arg_min rejects struct keys).
     Q("r06_resample_ohlc",
       (s, d) => {
-        val hourUs = 3600000000L
         t(s, d, "events")
           .select(col("event_type"), unix_micros(col("ts")).as("us"),
             col("event_id"), col("value"))
-          .withColumn("bucket", expr(s"us div $hourUs"))
+          .withColumn("bucket", expr(s"us div $OhlcHourUs"))
           .groupBy("event_type", "bucket")
           .agg(
             min_by(col("value"), struct(col("us"), col("event_id"))).as("open"),
@@ -350,21 +400,6 @@ object TemporalOps {
             dsum(col("value")).as("volume"))
           .orderBy("event_type", "bucket")
       },
-      Some(s"""WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us, event_id, value
-                          FROM events),
-                 b AS (SELECT event_type, us // 3600000000 AS bucket, us, event_id, value FROM e),
-                 r AS (SELECT *,
-                              ROW_NUMBER() OVER (PARTITION BY event_type, bucket
-                                ORDER BY us, event_id) AS rn_a,
-                              ROW_NUMBER() OVER (PARTITION BY event_type, bucket
-                                ORDER BY us DESC, event_id DESC) AS rn_d
-                       FROM b)
-              SELECT event_type, bucket,
-                     MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
-                     MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
-                     MAX(value) AS high, MIN(value) AS low,
-                     COUNT(*) AS n_events,
-                     ${sqlDsum("value")} AS volume
-              FROM r GROUP BY 1, 2 ORDER BY 1, 2"""))
+      Some(sqlOhlc))
   )
 }

@@ -22,7 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     "x15_stream_arrow_sink", "x16_reorg_removal", "x17_stream_ann_serve",
     "x18_stream_late_data", "x19_stream_cms_merge", "x20_stream_static_enrich",
     "x21_stream_outer_join", "x22_stream_kmv_merge", "x23_stream_partitioned_sink",
-    "x24_stream_topk", "x25_stream_cdc_upsert",
+    "x24_stream_topk", "x25_stream_cdc_upsert", "x26_stream_ohlc",
     // Arrow IPC roundtrip: the build writes+reads IPC files eagerly; the
     // returned frame is a bounded local relation (scan itself is audited
     // via e01's plan — same connector path)

@@ -180,4 +180,28 @@ class TemporalOpsSpec extends SparkSpec {
       assert(l <= o && o <= h && l <= c && c <= h)
     }
   }
+
+  test("OHLC partials merge to the whole-input bars under arbitrary shard layouts (x26's law)") {
+    val ev = Catalog.t(spark, sfDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .withColumn("bucket", expr(s"us div ${TemporalOps.OhlcHourUs}"))
+    val whole = Catalog.byName("r06_resample_ohlc").build(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    // parity split + 3 pseudo-random 3-way layouts: shard-local partials
+    // re-reduced must reproduce the one-pass bars EXACTLY (opens/closes
+    // ride a total struct order; volume is exact decimal)
+    val layouts: Seq[Seq[org.apache.spark.sql.DataFrame]] =
+      Seq(Seq(ev.where(col("event_id") % 2 === 0), ev.where(col("event_id") % 2 === 1))) ++
+        (0 until 3).map { salt =>
+          val shardOf = Catalog.docHash(col("event_id") + lit(salt.toLong * 7919L), 3L)
+          (0L until 3L).map(i => ev.where(shardOf === i)).toSeq
+        }
+    layouts.zipWithIndex.foreach { case (shards, i) =>
+      val merged = TemporalOps.ohlcMerge(
+          shards.map(TemporalOps.ohlcPartials).reduce(_ union _))
+        .collect().map(_.toSeq).toSet
+      assert(merged == whole, s"layout $i: merged bar partials != one-pass bars")
+    }
+  }
 }
