@@ -80,6 +80,12 @@ object SimilarityOps {
     */
   val MrlDims = 16
 
+  /** sim30's cosine radius. On this corpus it keeps every probe's result
+    * nonempty yet bounded (37/43/147 pairs at sf0.001/0.01/0.1). Declared
+    * before `val all`: the oracle string interpolates it at init.
+    */
+  val RangeTau = 0.3
+
   // Random-hyperplane LSH: `NumPlanes` Rademacher (±1) hyperplanes from a
   // deterministic splitmix64 of (plane, dim-index); sign bits form the
   // bucket word. Codegen'd kernel — bucket assignment is a map-only scan.
@@ -1951,7 +1957,34 @@ object SimilarityOps {
                 SELECT qid, vec_id, hamming,
                        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rk
                 FROM bham) WHERE rk <= 3
-              ORDER BY qid, rk"""))
+              ORDER BY qid, rk""")),
+
+    // RANGE (radius) SEARCH — the similarity query top-k cannot answer:
+    // ALL corpus vectors within a fixed cosine radius of each probe
+    // (FAISS/Milvus `range_search`; the shape behind "every document at
+    // least this close to the query"). Same bounded-probe broadcast scan
+    // as sim01 — probes broadcast, corpus streams, zero shuffle on the
+    // corpus side — but the result is RADIUS-bounded, not k-bounded, so
+    // the per-probe `n_in_range` count rides along (computed by a tiny
+    // post-filter aggregate + broadcast join back, NOT a window over the
+    // low-cardinality qid — the t20 lesson): it is the caller's guard
+    // against a radius that explodes at corpus scale. Exact
+    // integer-scaled cosine → direct DuckDB oracle.
+    Q("sim30_range_search",
+      (s, d) => {
+        val pairs = probePairs(s, d, 10)
+          .where(col("cos_sim") >= RangeTau)
+          .select("qid", "vec_id", "cos_sim")
+        val cnt = pairs.groupBy("qid").agg(count(lit(1)).as("n_in_range"))
+        pairs.join(broadcast(cnt), "qid")
+          .select("qid", "vec_id", "cos_sim", "n_in_range")
+          .orderBy("qid", "vec_id")
+      },
+      Some(s"""WITH pp AS (${sqlProbePairs(10)})
+              SELECT qid, vec_id, cos_sim,
+                     CAST(COUNT(*) OVER (PARTITION BY qid) AS BIGINT) AS n_in_range
+              FROM pp WHERE cos_sim >= $RangeTau
+              ORDER BY qid, vec_id"""))
   )
 
   /** Local alias to avoid a Catalog init cycle. */

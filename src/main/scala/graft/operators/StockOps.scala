@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -928,32 +928,8 @@ object StockOps {
     // the data. Approximation contract (spec-pinned): true quantile lies
     // in [approx_value, approx_value + 1000).
     Q("c37_quantile_sketch",
-      (s, d) => {
-        val orders = t(s, d, "orders")
-        val bc = orders
-          .select(floor(col("o_totalprice") / 1000).cast(LongType).as("bucket"))
-          .groupBy("bucket").agg(count(lit(1)).as("c"))
-        val cum = groupedRunningTotal(bc.withColumn("k", lit(1)), "k", "bucket", "c", "cum")
-        val n = orders.agg(count(lit(1)).as("n_total"))
-        val qs = s.range(1)
-          .select(explode(array(lit(25), lit(50), lit(75), lit(95))).as("q_pct"))
-          .crossJoin(broadcast(n))
-        qs.join(cum, col("cum") * 100 >= col("q_pct") * col("n_total"))
-          .groupBy("q_pct").agg(min("bucket").as("bucket"),
-            (min("bucket") * 1000).cast(LongType).as("approx_value"),
-            max("n_total").as("n_total"))
-          .orderBy("q_pct")
-      },
-      Some("""WITH bc AS (SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bucket, COUNT(*) AS c
-                          FROM orders GROUP BY 1),
-                 cum AS (SELECT bucket, SUM(c) OVER (ORDER BY bucket) AS cum FROM bc),
-                 n AS (SELECT COUNT(*) AS n_total FROM orders),
-                 qs AS (SELECT UNNEST([25, 50, 75, 95]) AS q_pct)
-              SELECT q.q_pct, MIN(c.bucket) AS bucket,
-                     CAST(MIN(c.bucket) * 1000 AS BIGINT) AS approx_value,
-                     (SELECT n_total FROM n) AS n_total
-              FROM qs q JOIN cum c ON c.cum * 100 >= q.q_pct * (SELECT n_total FROM n)
-              GROUP BY 1 ORDER BY q_pct""")),
+      (s, d) => histQuantiles(s, histPartial(t(s, d, "orders"))),
+      Some(sqlHistQuantiles)),
 
     // MERGEABLE KMV DISTINCT SKETCH — the k-minimum-values estimator
     // (Bar-Yossef et al. 2002): keep each group's k smallest DISTINCT hash
@@ -1387,9 +1363,121 @@ object StockOps {
                           GROUP BY 1),
                  daily AS (SELECT day, COUNT(DISTINCT user_id) AS n_active_1d FROM ud GROUP BY 1)
               SELECT d.day, n_active_1d, n_active_7d
-              FROM daily d JOIN roll r ON r.rday = d.day ORDER BY day"""))
+              FROM daily d JOIN roll r ON r.rday = d.day ORDER BY day""")),
+
+    // ROBUST STATS — exact grouped median / MAD / mode, the outlier-proof
+    // complement of c22's moments (mean/stddev collapse under heavy
+    // tails; data-quality monitors want the robust trio). Scale shape:
+    // the exact median is value-at-rank ⌈n/2⌉, and the per-group rank is
+    // NOT a per-group window (one task per event_type — the t20 funnel)
+    // but groupedRunningTotal of 1s ordered by value: two-phase
+    // range-partitioned prefix count, so the sort spreads over the
+    // cluster regardless of group cardinality. MAD re-runs the same rank
+    // machinery on |value − median| (median broadcast, 5 rows); the mode
+    // is an ordinary two-level aggregate with a deterministic
+    // max(struct(cnt, −v)) tie-break (smallest value wins). Value ties at
+    // the rank boundary are safe: tied rows share the value, so
+    // value-at-rank is tie-order-invariant.
+    Q("c50_robust_stats",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"), col("value"))
+        val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        def atMedianRank(df: DataFrame, ord: String, out: String): DataFrame =
+          groupedRunningTotal(df.withColumn("one", lit(1L)), "event_type", ord, "one", "rk")
+            .join(broadcast(n), "event_type")
+            .where(col("rk") === expr("(n + 1) div 2"))
+            .groupBy("event_type").agg(min(col(ord)).as(out))
+        val med = atMedianRank(ev, "value", "median")
+        val mad = atMedianRank(
+          ev.join(broadcast(med), "event_type")
+            .withColumn("dev", abs(col("value") - col("median"))),
+          "dev", "mad")
+        val mode = ev
+          .select(col("event_type"), floor(col("value")).cast(LongType).as("mv"))
+          .groupBy("event_type", "mv").agg(count(lit(1)).as("cnt"))
+          .groupBy("event_type")
+          .agg(max(struct(col("cnt"), (-col("mv")).as("nmv"))).as("m"))
+          .select(col("event_type"), (-col("m.nmv")).as("mode_value"),
+            col("m.cnt").as("mode_n"))
+        n.join(med, "event_type").join(mad, "event_type").join(mode, "event_type")
+          .select("event_type", "n", "median", "mad", "mode_value", "mode_n")
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, value FROM events),
+                 n AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1),
+                 r AS (SELECT event_type, value,
+                              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rk
+                       FROM e),
+                 med AS (SELECT r.event_type, r.value AS median
+                         FROM r JOIN n ON n.event_type = r.event_type
+                          AND r.rk = (n.n + 1) // 2),
+                 dv AS (SELECT e.event_type, ABS(e.value - m.median) AS dev
+                        FROM e JOIN med m ON m.event_type = e.event_type),
+                 rd AS (SELECT event_type, dev,
+                               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rk
+                        FROM dv),
+                 mad AS (SELECT rd.event_type, rd.dev AS mad
+                         FROM rd JOIN n ON n.event_type = rd.event_type
+                          AND rd.rk = (n.n + 1) // 2),
+                 mc AS (SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS mv, COUNT(*) AS cnt
+                        FROM e GROUP BY 1, 2),
+                 mo AS (SELECT event_type, mv AS mode_value, cnt AS mode_n FROM (
+                          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, mv) AS rn FROM mc) WHERE rn = 1)
+              SELECT n.event_type, n.n, med.median, mad.mad, mo.mode_value, mo.mode_n
+              FROM n JOIN med ON med.event_type = n.event_type
+                     JOIN mad ON mad.event_type = n.event_type
+                     JOIN mo ON mo.event_type = n.event_type
+              ORDER BY n.event_type"""))
   )
 
+
+  /** c37's fixed-width histogram sketch (width 1000 over o_totalprice) as
+    * a (bucket, c) counter table — a pure counter table like the CMS, so
+    * partial sketches from any split of the input MERGE by addition: the
+    * property x27 exercises across micro-batches. Shared by the batch
+    * sketch (c37) and the streaming maintenance path (x27).
+    */
+  def histPartial(orders: DataFrame): DataFrame =
+    orders.select(floor(col("o_totalprice") / 1000).cast(LongType).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+
+  /** Quantile read-out over a (possibly merged) bucket-count sketch.
+    * n_total is derived FROM the sketch (Σc — every input row lands in
+    * exactly one bucket), so a merged sketch is self-contained: the
+    * streamed union must land on exactly the batch read-out. The prefix
+    * sum rides groupedRunningTotal (two-phase range-partitioned); the
+    * threshold probe is exact integer cross-multiplication against the
+    * BOUNDED sketch domain, never the data.
+    */
+  def histQuantiles(s: SparkSession, sketch: DataFrame): DataFrame = {
+    val cum = groupedRunningTotal(sketch.withColumn("k", lit(1)), "k", "bucket", "c", "cum")
+    val n = sketch.agg(sum("c").as("n_total"))
+    val qs = s.range(1)
+      .select(explode(array(lit(25), lit(50), lit(75), lit(95))).as("q_pct"))
+      .crossJoin(broadcast(n))
+    qs.join(cum, col("cum") * 100 >= col("q_pct") * col("n_total"))
+      .groupBy("q_pct").agg(min("bucket").as("bucket"),
+        (min("bucket") * 1000).cast(LongType).as("approx_value"),
+        max("n_total").as("n_total"))
+      .orderBy("q_pct")
+  }
+
+  /** The histogram-quantile oracle, shared verbatim by c37 and x27 (the
+    * sketch merges by addition, so the streamed union must reproduce it).
+    * lazy: referenced eagerly by `val all`, which initializes first.
+    */
+  lazy val sqlHistQuantiles: String =
+    """WITH bc AS (SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bucket, COUNT(*) AS c
+                   FROM orders GROUP BY 1),
+          cum AS (SELECT bucket, SUM(c) OVER (ORDER BY bucket) AS cum FROM bc),
+          n AS (SELECT COUNT(*) AS n_total FROM orders),
+          qs AS (SELECT UNNEST([25, 50, 75, 95]) AS q_pct)
+       SELECT q.q_pct, MIN(c.bucket) AS bucket,
+              CAST(MIN(c.bucket) * 1000 AS BIGINT) AS approx_value,
+              (SELECT n_total FROM n) AS n_total
+       FROM qs q JOIN cum c ON c.cum * 100 >= q.q_pct * (SELECT n_total FROM n)
+       GROUP BY 1 ORDER BY q_pct"""
 
   /** Count-Min sketch machinery, shared by c34 (batch) and x19 (streaming
     * merge): d=4 hash rows (distinct public multipliers over the masked

@@ -1204,6 +1204,48 @@ object StreamShape {
           .orderBy("event_type", "bucket")
       },
       Some(TemporalOps.sqlOhlc),
+      bench = false),
+
+    // STREAMING QUANTILE-SKETCH MAINTENANCE — the quantile member of the
+    // streamed mergeable-sketch family (x19 = CMS/frequency, x22 = KMV/
+    // distinct, x24 = top-k, x26 = OHLC bars): c37's fixed-width histogram
+    // is a pure counter table, so per-micro-batch partials appended to a
+    // store merge by ADDITION, and the read-out over the merged sketch
+    // must land on exactly the batch sketch's quantiles — the oracle IS
+    // c37's (shared verbatim). This is how a live pipeline serves p50/p95
+    // over unbounded ingest without ever re-scanning history: per-batch
+    // O(batch) partials, merge O(sketch domain), read-out O(sketch).
+    Q("x27_stream_hist_merge",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ckpt = java.nio.file.Files.createTempDirectory("x27ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x27src").toString
+        val store = java.nio.file.Files.createTempDirectory("x27sketch").toString
+        val ord = s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_totalprice")
+        ord.where(col("o_orderkey") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/f0")
+        ord.where(col("o_orderkey") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/f1")
+        val sq = s.readStream.schema(ord.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty)
+              StockOps.histPartial(batch.toDF()).write.mode("append").parquet(store)
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fedBatches = sq.recentProgress.count(_.numInputRows > 0)
+        require(fedBatches >= 2,
+          s"x27 drained in $fedBatches micro-batch(es) — the sketch merge was not exercised")
+        val merged = s.read.parquet(store)
+          .groupBy("bucket").agg(sum("c").as("c"))
+        StockOps.histQuantiles(s, merged)
+      },
+      Some(StockOps.sqlHistQuantiles),
       bench = false)
   )
 }

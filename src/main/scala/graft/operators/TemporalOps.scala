@@ -98,6 +98,11 @@ object TemporalOps {
   /** Hour length in micros — r06/x26's bar width. */
   val OhlcHourUs = 3600000000L
 
+  /** r07's nearest-match tolerance (±1 h, µs). Declared before `val all`:
+    * the oracle string interpolates it at init.
+    */
+  val NearTolUs = 3600000000L
+
   /** Per-shard OHLC bar PARTIALS for (event_type, bucket): open/close as
     * min/max over the TOTAL (us, event_id, value) struct order —
     * associative and commutative, so ANY split of the input rows yields
@@ -400,6 +405,70 @@ object TemporalOps {
             dsum(col("value")).as("volume"))
           .orderBy("event_type", "bucket")
       },
-      Some(sqlOhlc))
+      Some(sqlOhlc)),
+
+    // NEAREST as-of join with tolerance — the pandas `merge_asof(
+    // direction='nearest', tolerance=...)` semantics r01's backward-only
+    // asof cannot express: each purchase matched to the CLOSEST click in
+    // either time direction, but only within ±1 h; ties between an equally
+    // distant past and future click break to the past one. Scale shape:
+    // the nearest match is either the nearest-backward or nearest-forward
+    // candidate, so it is TWO asofJoin passes (the forward one is the
+    // backward machinery on NEGATED timestamps — one implementation, both
+    // directions) + an equi-join on the unique left key to pick the
+    // winner: three key-partitioned shuffles total, never a pair-space
+    // join. Right-side ties at equal |Δt|: backward keeps the largest
+    // click_id, forward the smallest — pinned in the oracle's explicit
+    // rank (the fixture is tie-free per side, r01, but the rule is
+    // deterministic regardless).
+    Q("r07_asof_nearest",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("nus", -col("us"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("cus"),
+            col("event_id").as("click_id"))
+          .withColumn("ncus", -col("cus"))
+          .withColumn("nid", -col("click_id"))
+        val back = asofJoin(purchases, clicks, "user_id", "us", "cus",
+            Seq("click_id", "cus"), "click_id")
+          .select(col("event_id"), col("user_id"), col("us"),
+            col("asof_click_id").as("b_id"), col("asof_cus").as("b_cus"))
+        val fwd = asofJoin(purchases, clicks, "user_id", "nus", "ncus",
+            Seq("click_id", "cus"), "nid")
+          .select(col("event_id"), col("asof_click_id").as("f_id"),
+            col("asof_cus").as("f_cus"))
+        back.join(fwd, "event_id")
+          .withColumn("b_ok",
+            col("b_id").isNotNull && (col("us") - col("b_cus")) <= NearTolUs)
+          .withColumn("f_ok",
+            col("f_id").isNotNull && (col("f_cus") - col("us")) <= NearTolUs)
+          .withColumn("pick_b",
+            col("b_ok") && (!col("f_ok") ||
+              (col("us") - col("b_cus")) <= (col("f_cus") - col("us"))))
+          .select(col("event_id"), col("user_id"),
+            when(col("pick_b"), col("b_id"))
+              .when(col("f_ok"), col("f_id")).as("click_id"),
+            when(col("pick_b"), col("b_cus") - col("us"))
+              .when(col("f_ok"), col("f_cus") - col("us")).as("dt_us"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+                          FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS cus
+                       FROM events WHERE event_type = 'click'),
+                 cand AS (SELECT p.event_id, c.click_id, c.cus - p.us AS dt_us,
+                                 ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                   ORDER BY ABS(c.cus - p.us),
+                                            CASE WHEN c.cus <= p.us THEN 0 ELSE 1 END,
+                                            CASE WHEN c.cus <= p.us THEN -c.click_id ELSE c.click_id END) AS rn
+                          FROM p JOIN c ON c.user_id = p.user_id
+                           AND ABS(c.cus - p.us) <= $NearTolUs)
+              SELECT p.event_id, p.user_id, w.click_id, w.dt_us
+              FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) w
+                ON w.event_id = p.event_id
+              ORDER BY p.event_id"""))
   )
 }
