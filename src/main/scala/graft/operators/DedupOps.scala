@@ -174,6 +174,39 @@ object DedupOps {
     t(s, d, "documents").select(col("doc_id"),
       graft.functions.GraftFunctions.minhash_signature(col("text"), 3, NumHashes).as("sig"))
 
+  /** (doc_id, band, sig) LSH bucket rows of a documents-shaped frame: the
+    * banded signature d03 equi-joins on. A pure per-row projection —
+    * batch plan == streaming micro-batch plan — shared by the batch
+    * pipeline (d03) and the streaming signature store (x28).
+    */
+  def bandBuckets(docs: DataFrame): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.minhash_signature(col("text"), 3, NumHashes).as("sig"))
+    val bandCols = (0 until NumHashes / BandSize).map { bnd =>
+      val cols = (0 until BandSize).map(j => element_at(col("sig"), bnd * BandSize + j + 1))
+      struct(lit(bnd).as("band"), xxhash64(cols: _*).as("sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
+  /** The d03 verify stage on an ARBITRARY (da, db) candidate set: exact
+    * 3-shingle Jaccard ≥ 0.5, computed only on the blocked pairs — shared
+    * by the batch pipeline and x28's incrementally discovered candidates.
+    */
+  def jaccardVerified(s: SparkSession, d: String, candidates: DataFrame): DataFrame = {
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+    val sa = sh.select(col("doc_id").as("da"), col("sh").as("sha"))
+    val sb = sh.select(col("doc_id").as("db"), col("sh").as("shb"))
+    candidates.join(sa, "da").join(sb, "db")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast(LongType))
+      .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
+      .where(col("jaccard") >= 0.5)
+      .select("da", "db", "jaccard")
+  }
+
   /** Min-label propagation to fixpoint over an undirected edge list
     * (da, db): every connected node ends up labeled with the smallest
     * doc_id in its component. Each iteration is one join + one aggregate;
@@ -461,28 +494,12 @@ object DedupOps {
     // proxy); the spec suite additionally pins recall/precision.
     Q("d03_minhash_lsh",
       (s, d) => {
-        val sigs = minhashSignatures(s, d)
-        val bandCols = (0 until NumHashes / BandSize).map { bnd =>
-          val cols = (0 until BandSize).map(j => element_at(col("sig"), bnd * BandSize + j + 1))
-          struct(lit(bnd).as("band"), xxhash64(cols: _*).as("sig"))
-        }
-        val buckets = sigs
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+        val buckets = bandBuckets(t(s, d, "documents"))
         val l = buckets.select(col("doc_id").as("da"), col("band"), col("sig"))
         val r = buckets.select(col("doc_id").as("db"), col("band"), col("sig"))
         val candidates = l.join(r, Seq("band", "sig")).where(col("da") < col("db"))
           .select("da", "db").distinct()
-        val sh = t(s, d, "documents")
-          .select(col("doc_id"), shingles3(col("text")).as("sh"))
-        val sa = sh.select(col("doc_id").as("da"), col("sh").as("sha"))
-        val sb = sh.select(col("doc_id").as("db"), col("sh").as("shb"))
-        candidates.join(sa, "da").join(sb, "db")
-          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast(LongType))
-          .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
-          .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
-          .where(col("jaccard") >= 0.5)
-          .select("da", "db", "jaccard")
+        jaccardVerified(s, d, candidates)
           .orderBy("da", "db")
       },
       Some(s"""WITH $sqlLshCtes

@@ -391,6 +391,37 @@ object EngineOps {
                       CAST(SUM(n_tx) AS BIGINT) AS tx_total
                FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet'
                WHERE number <= 999
-               GROUP BY 1 ORDER BY epoch"""))
+               GROUP BY 1 ORDER BY epoch""")),
+
+    // ERC-721 TRANSFER DECODE — the indexed-parameter complement of e08:
+    // an NFT Transfer(from, to, tokenId) puts ALL THREE parameters in
+    // topic slots (4 topics total, empty data word), so the token id
+    // decodes from topics[4], not from `data` — the other of the two
+    // standard event-ABI layouts a chain consumer must handle. The
+    // synthetic chain's 4-topic logs are exactly this shape. Same
+    // map-only decode plan as e08 (codegen'd hex_to_decimal on the
+    // pruned scan); oracle = the independent driver-side chain dump.
+    Q("e11_erc721_decode",
+      (s, d) => {
+        GraftFunctions.register(s)
+        s.read.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", "0").option("endBlock", "2999").load()
+          .where(size(col("topics")) === 4)
+          .select(col("blockNumber"), col("logIndex"), col("address").as("collection"),
+            concat(lit("0x"), substring(element_at(col("topics"), 2), 27, 40)).as("from_addr"),
+            concat(lit("0x"), substring(element_at(col("topics"), 3), 27, 40)).as("to_addr"),
+            GraftFunctions.hex_to_decimal(element_at(col("topics"), 4))
+              .cast(LongType).as("token_id"))
+          .orderBy("blockNumber", "logIndex")
+      },
+      // topic words carry 16-bit values by construction (SyntheticRpc
+      // masks with 0xffff), so the UBIGINT hex cast is exact here
+      Some(s"""SELECT blockNumber, logIndex, address AS collection,
+                      '0x' || substring(topics[2], 27, 40) AS from_addr,
+                      '0x' || substring(topics[3], 27, 40) AS to_addr,
+                      CAST(CAST(topics[4] AS UBIGINT) AS BIGINT) AS token_id
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE len(topics) = 4
+               ORDER BY blockNumber, logIndex"""))
   )
 }

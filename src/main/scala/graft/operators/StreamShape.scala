@@ -1246,6 +1246,69 @@ object StreamShape {
         StockOps.histQuantiles(s, merged)
       },
       Some(StockOps.sqlHistQuantiles),
+      bench = false),
+
+    // STREAMING NEAR-DUP DISCOVERY — d03's MinHash-LSH as continuous
+    // ingest: each micro-batch's banded signatures (a pure projection —
+    // the batch plan IS the streaming plan) append into a signature
+    // store, and the batch's docs equi-join the store-so-far on
+    // (band, sig) to discover candidate pairs INCREMENTALLY — a pair
+    // surfaces exactly when its second member arrives, so the union of
+    // per-batch discoveries over any delivery order is the batch
+    // pipeline's candidate set. The drained pairs go through the shared
+    // exact-Jaccard verify, and the gate pins the streamed result to
+    // d03's batch oracle verbatim. This is the 100 TB dedup-at-ingest
+    // shape: per-batch work is O(batch × store-bucket collisions), never
+    // a corpus rescan.
+    Q("x28_stream_lsh_neardup",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ckpt = java.nio.file.Files.createTempDirectory("x28ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x28src").toString
+        val sigStore = java.nio.file.Files.createTempDirectory("x28sigs").toString
+        val pairStore = java.nio.file.Files.createTempDirectory("x28pairs").toString
+        val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+        docs.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/f0")
+        docs.where(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/f1")
+        val sq = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty) {
+              val bb = DedupOps.bandBuckets(batch.toDF())
+              bb.write.mode("append").parquet(sigStore)
+              // store-so-far INCLUDES this batch — within-batch pairs are
+              // found here too; least/greatest canonicalizes direction
+              val store = s.read.parquet(sigStore)
+              bb.select(col("doc_id").as("da"), col("band"), col("sig"))
+                .join(store.select(col("doc_id").as("db"), col("band"), col("sig")),
+                  Seq("band", "sig"))
+                .where(col("da") =!= col("db"))
+                .select(least(col("da"), col("db")).as("da"),
+                  greatest(col("da"), col("db")).as("db"))
+                .distinct()
+                .write.mode("append").parquet(pairStore)
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fedBatches = sq.recentProgress.count(_.numInputRows > 0)
+        require(fedBatches >= 2,
+          s"x28 drained in $fedBatches micro-batch(es) — incremental discovery was not exercised")
+        // explicit schema: a corpus with zero bucket collisions leaves the
+        // pair store empty, which schema inference would reject
+        val pairSchema = StructType(Seq(
+          StructField("da", LongType), StructField("db", LongType)))
+        val candidates = s.read.schema(pairSchema).parquet(pairStore).distinct()
+        DedupOps.jaccardVerified(s, d, candidates)
+          .orderBy("da", "db")
+      },
+      Some(s"""WITH ${DedupOps.sqlLshCtes}
+               SELECT da, db, jaccard FROM lshpairs ORDER BY da, db"""),
       bench = false)
   )
 }
