@@ -324,7 +324,8 @@ object SimilarityOps {
     * so the probe-side tie-break can never diverge between queries that
     * share an oracle.
     */
-  def probeCells(corpus: DataFrame, cents: Array[(Array[Double], Long)], nProbes: Int): DataFrame = {
+  def probeCells(corpus: DataFrame, cents: Array[(Array[Double], Long)], nProbes: Int,
+      probe: Int = IvfProbe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wc = Window.partitionBy(col("qid")).orderBy(desc("cell_score"), col("cell"))
     corpus.where(col("vec_id") < nProbes)
@@ -333,14 +334,14 @@ object SimilarityOps {
         graft.functions.GraftFunctions.centroid_scores(col("qvec"), cents.map(_._1), cents.map(_._2)))
       .select(col("*"), posexplode(col("__dots")).as(Seq("cell", "cell_score")))
       .withColumn("__rk", row_number().over(wc))
-      .where(col("__rk") <= IvfProbe)
+      .where(col("__rk") <= probe)
       .drop("__dots", "cell_score", "__rk")
   }
 
   def ivfSearch(s: SparkSession, d: String, cents: Array[(Array[Double], Long)],
-      nProbes: Int, k: Int): DataFrame = {
+      nProbes: Int, k: Int, probe: Int = IvfProbe): DataFrame = {
     val corpus = withNorm(s, d)
-    val probes = probeCells(corpus, cents, nProbes)
+    val probes = probeCells(corpus, cents, nProbes, probe)
     // per-probe candidates grow with the corpus (cell members), so the
     // top-k is the two-phase perKeyTopK, never a per-qid window funnel
     val scored = assignCells(corpus, cents).join(broadcast(probes), Seq("cell"))
@@ -1984,7 +1985,78 @@ object SimilarityOps {
               SELECT qid, vec_id, cos_sim,
                      CAST(COUNT(*) OVER (PARTITION BY qid) AS BIGINT) AS n_in_range
               FROM pp WHERE cos_sim >= $RangeTau
-              ORDER BY qid, vec_id"""))
+              ORDER BY qid, vec_id""")),
+
+    // NPROBE SWEEP — the IVF serving pareto: recall@3 vs the number of
+    // probed cells (1, 2, 4, 8), all under the sim03 seed centroids and
+    // all graded against the SAME exact brute-force truth. nprobe is THE
+    // knob an IVF deployment turns at 100 TB — candidates scanned scale
+    // linearly with it while recall saturates — and this query prices
+    // each setting the way sim28 prices the quantizers. Four bounded
+    // searches (each the sim03 bucketed shape) + driver-side hit counts
+    // (the sim09 convention, 4 small counts); truth is checkpointed once
+    // and reused across the sweep.
+    Q("sim31_nprobe_sweep",
+      (s, d) => {
+        val cents = ivfCentroids(withNorm(s, d))
+        val truth = StockOps.perKeyTopK(probePairs(s, d, 10),
+            Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
+          .select("qid", "vec_id")
+          .localCheckpoint()
+        val total = truth.count()
+        val rows = Seq(1, 2, 4, 8).map { p =>
+          val hits = ivfSearch(s, d, cents, nProbes = 10, k = 3, probe = p)
+            .select("qid", "vec_id")
+            .join(truth, Seq("qid", "vec_id"), "left_semi").count()
+          (p, total, hits, hits.toDouble / total.toDouble)
+        }
+        import s.implicits._
+        rows.toDF("nprobe", "n_truth", "n_hit", "recall").orderBy("nprobe")
+      },
+      Some {
+        val sweep = Seq(1, 2, 4, 8).map { p =>
+          s"""pcells_$p AS (
+                SELECT vec_id AS qid, cell FROM (
+                  SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+                  FROM cscores WHERE vec_id < 10) WHERE rn <= $p),
+              icand_$p AS (
+                SELECT p.qid, s.vec_id FROM pcells_$p p JOIN assigned s ON s.cell = p.cell
+                WHERE s.vec_id <> p.qid),
+              iscored_$p AS (
+                SELECT ic.qid, ic.vec_id,
+                       $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                FROM icand_$p ic JOIN nv a ON a.vec_id = ic.qid
+                                 JOIN nv b ON b.vec_id = ic.vec_id),
+              top_$p AS (
+                SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                  FROM iscored_$p) WHERE rk <= 3),
+              rec_$p AS (
+                SELECT $p AS nprobe,
+                       (SELECT COUNT(*) FROM brute_top) AS n_truth,
+                       COUNT(*) AS n_hit
+                FROM top_$p i JOIN brute_top b USING (qid, vec_id))"""
+        }.mkString(",\n")
+        s"""WITH $sqlIvfAssignCtes,
+              bpairs AS (
+                SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                       $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                FROM nv a JOIN nv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+              brute_top AS (
+                SELECT qid, vec_id FROM (
+                  SELECT qid, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                  FROM bpairs) WHERE rk <= 3),
+              $sweep
+           SELECT nprobe, n_truth, n_hit,
+                  CAST(n_hit AS DOUBLE) / n_truth AS recall
+           FROM (SELECT * FROM rec_1 UNION ALL SELECT * FROM rec_2
+                 UNION ALL SELECT * FROM rec_4 UNION ALL SELECT * FROM rec_8)
+           ORDER BY nprobe"""
+      },
+      bench = false)
   )
 
   /** Local alias to avoid a Catalog init cycle. */
