@@ -408,4 +408,31 @@ class DedupOpsSpec extends SparkSpec {
       .where(col("jaccard") >= 0.2)
     assert(jp.exceptAll(pg).isEmpty && pg.exceptAll(jp).isEmpty)
   }
+  test("incremental LSH discovery over a sharded delivery equals the batch candidate set") {
+    val docs = Catalog.t(spark, sfDir, "documents").select("doc_id", "text")
+    val full = DedupOps.bandBuckets(docs)
+    val batchPairs = full.select(col("doc_id").as("da"), col("band"), col("sig"))
+      .join(full.select(col("doc_id").as("db"), col("band"), col("sig")), Seq("band", "sig"))
+      .where(col("da") < col("db")).select("da", "db").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 3-shard delivery (x28's shape generalized): each arriving shard joins
+    // the signature store so far INCLUDING itself; a pair must surface
+    // exactly when its second member arrives
+    val shards = (0L until 3L).map(i =>
+      DedupOps.bandBuckets(docs.where(pmod(col("doc_id"), lit(3L)) === i)))
+    var store: Option[org.apache.spark.sql.DataFrame] = None
+    val found = scala.collection.mutable.Set.empty[(Long, Long)]
+    shards.foreach { sh =>
+      val all = store.map(_.union(sh)).getOrElse(sh)
+      found ++= sh.select(col("doc_id").as("da"), col("band"), col("sig"))
+        .join(all.select(col("doc_id").as("db"), col("band"), col("sig")), Seq("band", "sig"))
+        .where(col("da") =!= col("db"))
+        .select(least(col("da"), col("db")).as("pa"), greatest(col("da"), col("db")).as("pb"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      store = Some(all)
+    }
+    assert(found.toSet == batchPairs,
+      s"missing=${(batchPairs -- found).take(5)} extra=${(found.toSet -- batchPairs).take(5)}")
+  }
+
 }

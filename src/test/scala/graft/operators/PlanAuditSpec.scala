@@ -23,6 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     "x18_stream_late_data", "x19_stream_cms_merge", "x20_stream_static_enrich",
     "x21_stream_outer_join", "x22_stream_kmv_merge", "x23_stream_partitioned_sink",
     "x24_stream_topk", "x25_stream_cdc_upsert", "x26_stream_ohlc",
+    "x27_stream_hist_merge", "x28_stream_lsh_neardup",
     // Arrow IPC roundtrip: the build writes+reads IPC files eagerly; the
     // returned frame is a bounded local relation (scan itself is audited
     // via e01's plan — same connector path)
@@ -64,6 +65,9 @@ class PlanAuditSpec extends SparkSpec {
     // shape) over brute-force-truth branches (bounded broadcast probes)
     "sim28_quantization_pareto" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
     "sim29_binary_search" -> Set("BroadcastNestedLoopJoin"),
+    // range search: the sim01 exact-baseline shape (corpus streams against
+    // the bounded broadcast probe block; ≠ predicate forces BNLJ)
+    "sim30_range_search" -> Set("BroadcastNestedLoopJoin"),
     // one-row normalizers (max per-lang rate / corpus token total): the
     // single-partition agg is 1 row and its crossJoin-back is a 1-row
     // broadcast nested loop — bounded by construction, the c16 pattern
@@ -183,7 +187,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim23_knn_classify" -> 3, // neighbor topk + vote argmax + sort
     "sim24_mmr_rerank" -> 71, // greedy loop: 8 bounded pool-sized argmax stages (≤ k·parts rows each)
     "c36_bloom_semijoin" -> 6, // bloom build agg + probe + exact side + compare join
-    "c37_quantile_sketch" -> 5, // bucket agg + two-phase prefix sum + probe join + sort
+    "c37_quantile_sketch" -> 6, // bucket agg + two-phase prefix sum + n-from-sketch agg split + probe join + sort
     "c38_kmv_sketch" -> 6, // distinct hashes + perKeyTopK (local+final) + estimate agg + tru join
     "c39_decayed_agg" -> 2, // 1-row anchor broadcast; grouped agg + sort
     "r03_interval_overlap" -> 5, // delta explode + two-phase prefix sum + per-type max
@@ -220,7 +224,13 @@ class PlanAuditSpec extends SparkSpec {
     // round-6 fourth-session queries (ceilings = measured at spec SF)
     "g07_link_prediction" -> 18, // adjacency dedup + degree joins + wedge self-join + pair agg; top-20 is TakeOrdered
     "r06_resample_ohlc" -> 2, // one map-side-combined (event_type, bucket) agg split + final sort
-    "p07_shard_manifest" -> 2) // map-only routing + one map-side-combined agg split + final sort
+    "p07_shard_manifest" -> 2, // map-only routing + one map-side-combined agg split + final sort
+    // round-6 fifth-session queries (ceilings = measured at spec SF)
+    "sim30_range_search" -> 2, // broadcast-probe scan + tiny post-filter count agg join + sort
+    "sim31_nprobe_sweep" -> 1, // searches execute on build (4 bounded counts); emitted table is 4 rows + sort
+    "r07_asof_nearest" -> 3, // two asof union windows (user-keyed) + unique-key winner join + sort
+    "c50_robust_stats" -> 14, // 3 passes (median, MAD, mode) over two-phase prefix ranks + report joins
+    "e11_erc721_decode" -> 1) // map-only ABI decode + final sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
@@ -279,7 +289,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim27_sq_recall" -> "perKeyTopK phase 2 (SQ search + brute-force truth): <= k*parts rows per qid",
     "sim28_quantization_pareto" -> "perKeyTopK phase 2 (all five search branches + truth): <= k*parts rows per qid",
     "sim29_binary_search" -> "perKeyTopK phase 2: <= k*parts rows per qid",
-    "r03_interval_overlap" -> "groupedRunningTotal offsets window: <= parts rows per event_type by phase-1 aggregation")
+    "r03_interval_overlap" -> "groupedRunningTotal offsets window: <= parts rows per event_type by phase-1 aggregation",
+    "c50_robust_stats" -> "groupedRunningTotal offsets windows (median + MAD passes): <= parts rows per event_type by phase-1 aggregation")
 
   private def lowCardWindowKeys(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
     df.queryExecution.sparkPlan.collect {

@@ -510,4 +510,38 @@ class StockOpsSpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("revenue") - exp) < 1e-6,
       s"Q10 top revenue ${top.getAs[Double]("revenue")} != driver $exp")
   }
+  test("c50 robust stats match driver-side exact median/MAD/mode") {
+    val rows = Catalog.t(spark, sfDir, "events").select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s((s.size + 1) / 2 - 1)
+    }
+    val expected = rows.groupBy(_._1).map { case (et, g) =>
+      val vs = g.map(_._2).toSeq
+      val med = medianOf(vs)
+      val mad = medianOf(vs.map(v => math.abs(v - med)))
+      val (mv, cnt) = vs.map(v => math.floor(v).toLong)
+        .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+        .toSeq.minBy { case (k, c) => (-c, k) }
+      et -> ((vs.size.toLong, med, mad, mv, cnt))
+    }
+    val got = Catalog.byName("c50_robust_stats").build(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected)
+  }
+
+  test("histogram sketch partials merge to the batch read-out under arbitrary splits") {
+    val orders = Catalog.t(spark, sfDir, "orders")
+    val batch = StockOps.histQuantiles(spark, StockOps.histPartial(orders))
+      .collect().toSeq
+    Seq(2L, 3L, 5L).foreach { k =>
+      val parts = (0L until k).map(i =>
+        StockOps.histPartial(orders.where(pmod(col("o_orderkey"), lit(k)) === i)))
+      val merged = parts.reduce(_ union _).groupBy("bucket").agg(sum("c").as("c"))
+      val got = StockOps.histQuantiles(spark, merged).collect().toSeq
+      assert(got == batch, s"merge law failed for $k-way split")
+    }
+  }
+
 }

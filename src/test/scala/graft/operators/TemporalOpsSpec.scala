@@ -204,4 +204,22 @@ class TemporalOpsSpec extends SparkSpec {
       assert(merged == whole, s"layout $i: merged bar partials != one-pass bars")
     }
   }
+  test("r07 nearest as-of matches brute-force nearest-within-tolerance") {
+    val purchases = events.filter(_._4 == "purchase")
+    val clicks = events.filter(_._4 == "click")
+    val T = TemporalOps.NearTolUs
+    val expected = purchases.map { case (pid, user, pus, _, _) =>
+      val best = clicks.filter(c => c._2 == user && math.abs(c._3 - pus) <= T)
+        .sortBy(c => (math.abs(c._3 - pus),
+          if (c._3 <= pus) 0L else 1L,
+          if (c._3 <= pus) -c._1 else c._1)).headOption
+      pid -> best.map(c => (c._1, c._3 - pus))
+    }.toMap
+    val got = Catalog.byName("r07_asof_nearest").build(spark, sfDir)
+      .select("event_id", "click_id", "dt_us").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))).toMap
+    assert(got == expected)
+  }
+
 }
