@@ -8,8 +8,7 @@ object ScratchCount {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
-    val names = Seq("sim30_range_search", "sim31_nprobe_sweep", "r07_asof_nearest",
-      "c50_robust_stats", "e11_erc721_decode", "c37_quantile_sketch", "d03_minhash_lsh")
+    val names = Seq("g08_label_propagation", "t33_token_diversity")
     names.foreach { n =>
       val df = graft.operators.Catalog.byName(n).build(spark, "/root/testdata/sf0.001")
       val plan = df.queryExecution.executedPlan.toString

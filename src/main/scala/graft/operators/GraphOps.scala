@@ -132,6 +132,12 @@ object GraphOps {
   val LinkPredPivotCap = 64
   val LinkPredK = 20
 
+  /** g08's seed spacing (every 50th doc is a labeled seed) and round
+    * count. Before `val all` — interpolated into the oracle at init.
+    */
+  val LpSeedMod = 50L
+  val LpRounds = 3
+
   val all: Seq[Q] = Seq(
     // PAGERANK — 3 damped integer-mass iterations over the derived link
     // graph; output is the full (doc_id, mass) rank table. The oracle
@@ -422,6 +428,55 @@ object GraphOps {
              SELECT ne.a, ne.b, CAST(n_common AS BIGINT) AS n_common,
                     CAST(n_common * 1000000 // (da.dg + db.dg - n_common) AS BIGINT) AS score_ppm
              FROM ne JOIN deg da ON da.node = ne.a JOIN deg db ON db.node = ne.b
-             ORDER BY score_ppm DESC, ne.a, ne.b LIMIT $LinkPredK"""))
+             ORDER BY score_ppm DESC, ne.a, ne.b LIMIT $LinkPredK""")),
+
+    // SEMI-SUPERVISED LABEL PROPAGATION — the labeling counterpart of
+    // d06's connected components: a SPARSE seed set (every LpSeedMod-th
+    // doc carries its own id as label) spreads over the undirected link
+    // graph for a FIXED number of synchronous rounds; unreached nodes
+    // stay NULL. This is how sparse human labels (topic tags, quality
+    // judgments) extend over a web-scale crawl graph. Deterministic:
+    // label'(v) = least(label(v), min over neighbors), min is
+    // tie-order-free. Each round is one equi-join + one
+    // map-side-combined MIN aggregate + a left join back (the g01
+    // Pregel-as-relational layout); lineage truncated per round. The
+    // oracle replays all three rounds as CTEs.
+    Q("g08_label_propagation",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val e = linkEdges(docs, nodeCount(s, d))
+        val sym = e.select(col("src"), col("dst"))
+          .union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .localCheckpoint()
+        var m = docs.select(col("doc_id"),
+          when(col("doc_id") % LpSeedMod === 0, col("doc_id")).as("label"))
+          .localCheckpoint()
+        (1 to LpRounds).foreach { _ =>
+          val g = sym
+            .join(m.withColumnRenamed("doc_id", "src").where(col("label").isNotNull), "src")
+            .groupBy(col("dst")).agg(min("label").as("nl"))
+            .withColumnRenamed("dst", "doc_id")
+          m = m.join(g, Seq("doc_id"), "left")
+            .select(col("doc_id"), least(col("label"), col("nl")).as("label"))
+            .localCheckpoint()
+        }
+        m.orderBy("doc_id")
+      },
+      Some {
+        val rounds = (1 to LpRounds).map { i =>
+          s"""g$i AS (SELECT s.dst AS doc_id, MIN(m.label) AS nl
+                      FROM sym s JOIN m${i - 1} m ON m.doc_id = s.src
+                      WHERE m.label IS NOT NULL GROUP BY s.dst),
+              m$i AS (SELECT p.doc_id, LEAST(p.label, g.nl) AS label
+                      FROM m${i - 1} p LEFT JOIN g$i g USING (doc_id))"""
+        }.mkString(",\n")
+        s"""WITH $sqlEdges,
+              sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+              m0 AS (SELECT doc_id,
+                            CASE WHEN doc_id % $LpSeedMod = 0 THEN doc_id END AS label
+                     FROM documents),
+              $rounds
+           SELECT doc_id, label FROM m$LpRounds ORDER BY doc_id"""
+      })
   )
 }

@@ -1516,6 +1516,46 @@ object TextOps {
               SELECT split, CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
                      CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
                      CAST(SUM(sig) % 2305843009213693951 AS BIGINT) AS content_sig
-              FROM m GROUP BY 1, 2 ORDER BY 1, 2"""))
+              FROM m GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // TOKEN DIVERSITY — lexical-richness signals per document, all in
+    // exact ppm integers (no log(), no float accumulation): type-token
+    // ratio, the Simpson repeat-probability Σcᵢ(cᵢ−1)/(n(n−1)) — the
+    // probability two random token draws are the same type, the exact
+    // complement of Shannon diversity that needs no transcendental — and
+    // the top-token share. The trio separates template/spam pages (high
+    // repeat, low TTR) from prose the way t11's n-gram repetition can't:
+    // it is position-free, so shuffled boilerplate still scores high.
+    // Scale shape: one (doc, token) count aggregate + one per-doc
+    // aggregate, both map-side-combined; keys are corpus-cardinality.
+    Q("t33_token_diversity",
+      (s, d) => {
+        val tc = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(filter(tokens(col("text")), x => length(x) > 0)).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        tc.groupBy("doc_id")
+          .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+            sum(expr("c * (c - 1)")).as("rep2"), max("c").as("cmax"))
+          .where(col("n_tokens") >= 2)
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            expr("1000000 * n_types div n_tokens").as("ttr_ppm"),
+            expr("1000000 * rep2 div (n_tokens * (n_tokens - 1))").as("simpson_ppm"),
+            expr("1000000 * cmax div n_tokens").as("top_share_ppm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+                           FROM documents),
+                 tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok WHERE tok <> '' GROUP BY 1, 2),
+                 per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                                COUNT(*) AS n_types,
+                                CAST(SUM(c * (c - 1)) AS BIGINT) AS rep2,
+                                CAST(MAX(c) AS BIGINT) AS cmax
+                         FROM tc GROUP BY 1)
+              SELECT doc_id, n_tokens, n_types,
+                     (1000000 * n_types) // n_tokens AS ttr_ppm,
+                     (1000000 * rep2) // (n_tokens * (n_tokens - 1)) AS simpson_ppm,
+                     (1000000 * cmax) // n_tokens AS top_share_ppm
+              FROM per WHERE n_tokens >= 2 ORDER BY doc_id"""))
   )
 }

@@ -230,7 +230,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim31_nprobe_sweep" -> 1, // searches execute on build (4 bounded counts); emitted table is 4 rows + sort
     "r07_asof_nearest" -> 3, // two asof union windows (user-keyed) + unique-key winner join + sort
     "c50_robust_stats" -> 14, // 3 passes (median, MAD, mode) over two-phase prefix ranks + report joins
-    "e11_erc721_decode" -> 1) // map-only ABI decode + final sort
+    "e11_erc721_decode" -> 1, // map-only ABI decode + final sort
+    "g08_label_propagation" -> 1, // rounds checkpoint on build; emitted table needs the final sort only
+    "t33_token_diversity" -> 3) // (doc,token) agg + per-doc agg + final sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
