@@ -1556,6 +1556,51 @@ object TextOps {
                      (1000000 * n_types) // n_tokens AS ttr_ppm,
                      (1000000 * rep2) // (n_tokens * (n_tokens - 1)) AS simpson_ppm,
                      (1000000 * cmax) // n_tokens AS top_share_ppm
-              FROM per WHERE n_tokens >= 2 ORDER BY doc_id"""))
+              FROM per WHERE n_tokens >= 2 ORDER BY doc_id""")),
+
+    // CURATION DRIFT — does dedup silently change WHAT the corpus is made
+    // of? Per-source composition before vs after first-occurrence exact
+    // dedup (d01's keep rule inlined), with shares and their shift in
+    // exact ppm integers. Dedup removes duplicates unevenly across
+    // sources — a crawl slice that syndicates heavily shrinks more — so a
+    // recipe tuned on pre-dedup shares trains on a different mix than
+    // intended; this is the report that catches it before t09/t14
+    // re-weighting. Scale shape: one content-digest aggregate + a
+    // min-id semi-join + two bounded per-source aggregates; the 1-row
+    // totals crossJoin back (the c16/t14 bounded-normalizer pattern).
+    Q("p08_curation_drift",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val keep = docs.groupBy(md5(col("text").cast(BinaryType)).as("dg"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val v2 = docs.join(keep, "doc_id")
+        val before = docs.groupBy("source").agg(count(lit(1)).as("n_before"))
+        val after = v2.groupBy("source").agg(count(lit(1)).as("n_after"))
+        val t1 = docs.agg(count(lit(1)).as("t1"))
+        val t2 = v2.agg(count(lit(1)).as("t2"))
+        before.join(after, Seq("source"), "left")
+          .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+          .select(col("source"), col("n_before"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"),
+            expr("1000000 * n_before div t1").as("share_before_ppm"),
+            expr("1000000 * coalesce(n_after, 0L) div t2").as("share_after_ppm"),
+            abs(expr("1000000 * coalesce(n_after, 0L) div t2") -
+              expr("1000000 * n_before div t1")).as("drift_ppm"))
+          .orderBy("source")
+      },
+      Some("""WITH k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+                 v2 AS (SELECT d.source FROM documents d JOIN k USING (doc_id)),
+                 b AS (SELECT source, COUNT(*) AS n_before FROM documents GROUP BY 1),
+                 a AS (SELECT source, COUNT(*) AS n_after FROM v2 GROUP BY 1),
+                 tb AS (SELECT COUNT(*) AS t1 FROM documents),
+                 ta AS (SELECT COUNT(*) AS t2 FROM v2)
+              SELECT b.source, b.n_before, COALESCE(a.n_after, 0) AS n_after,
+                     (1000000 * b.n_before) // (SELECT t1 FROM tb) AS share_before_ppm,
+                     (1000000 * COALESCE(a.n_after, 0)) // (SELECT t2 FROM ta) AS share_after_ppm,
+                     ABS((1000000 * COALESCE(a.n_after, 0)) // (SELECT t2 FROM ta)
+                         - (1000000 * b.n_before) // (SELECT t1 FROM tb)) AS drift_ppm
+              FROM b LEFT JOIN a USING (source) ORDER BY source"""),
+      bench = false)
   )
 }

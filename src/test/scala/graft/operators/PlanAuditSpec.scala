@@ -93,7 +93,10 @@ class PlanAuditSpec extends SparkSpec {
     "g05_kcore" -> Set("SinglePartition"),
     // allocation table: 1-row totals crossJoined back + a ranking window
     // over the <= |sources| aggregate — bounded by construction
-    "t32_token_budget" -> Set("SinglePartition", "BroadcastNestedLoopJoin"))
+    "t32_token_budget" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
+    // drift report: two 1-row corpus totals crossJoined back onto the
+    // bounded per-source table — the c16/t14 bounded-normalizer pattern
+    "p08_curation_drift" -> Set("SinglePartition", "BroadcastNestedLoopJoin"))
 
   test("no catalog query plans cartesian / nested-loop / single-partition shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -232,7 +235,8 @@ class PlanAuditSpec extends SparkSpec {
     "c50_robust_stats" -> 14, // 3 passes (median, MAD, mode) over two-phase prefix ranks + report joins
     "e11_erc721_decode" -> 1, // map-only ABI decode + final sort
     "g08_label_propagation" -> 1, // rounds checkpoint on build; emitted table needs the final sort only
-    "t33_token_diversity" -> 3) // (doc,token) agg + per-doc agg + final sort
+    "t33_token_diversity" -> 3, // (doc,token) agg + per-doc agg + final sort
+    "p08_curation_drift" -> 5) // digest keep-agg + semi-join + two per-source aggs + sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
