@@ -476,6 +476,64 @@ object DedupOps {
     // (jaccardPairs), so emitted values are true Jaccard even under an
     // active cap; a no-op at test SFs (max df 25 < 50), both properties
     // pinned in DedupOpsSpec.
+    // THRESHOLD SWEEP — the dedup-aggressiveness pareto: at each Jaccard
+    // cut (0.02/0.05/0.10/0.50 — chosen where this corpus's pair-graph
+    // distribution actually moves: ~8k pairs at 2%, ~170 at 5%, ~80 at
+    // 10%+, near-identical dups at 50%+), how many near-dup pairs fire, how many
+    // docs the first-occurrence pairwise rule removes (a doc is dropped
+    // iff it has a smaller-id partner at that cut), and how many tokens
+    // leave the corpus. The number a pipeline owner reads before picking
+    // THE dedup threshold — too low eats legitimate boilerplate-sharing
+    // docs, too high ships duplicates. Thresholds compare in exact
+    // cross-multiplied integers (inter·100 ≥ τ%·uni — no float cut); the
+    // pair graph is built ONCE (checkpointed) and each cut is a bounded
+    // driver-side count (the sim09/sim31 convention, 12 small actions).
+    Q("d22_threshold_sweep",
+      (s, d) => {
+        val pg = shinglePairGraph(s, d, HotShingleDfCap)
+          .select("da", "db", "inter", "uni").localCheckpoint()
+        val ntoks = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast(LongType).as("n_toks"))
+          .localCheckpoint()
+        val nDocs = ntoks.count()
+        val rows = Seq(2, 5, 10, 50).map { taupct =>
+          val pairs = pg.where(col("inter") * 100 >= lit(taupct) * col("uni"))
+          val removed = pairs.select(col("db").as("doc_id")).distinct()
+          val nPairs = pairs.count()
+          val nRem = removed.count()
+          val tokRem = removed.join(ntoks, "doc_id")
+            .agg(coalesce(sum("n_toks"), lit(0L)).as("tr")).first().getLong(0)
+          (taupct, nPairs, nRem, nDocs - nRem, tokRem)
+        }
+        import s.implicits._
+        rows.toDF("tau_pct", "n_pairs", "n_removed", "n_kept", "tokens_removed")
+          .orderBy("tau_pct")
+      },
+      Some {
+        val sweep = Seq(2, 5, 10, 50).map { p =>
+          s"""rem_$p AS (SELECT DISTINCT db AS doc_id FROM pgraph
+                         WHERE inter * 100 >= $p * uni),
+              sw_$p AS (SELECT $p AS tau_pct,
+                (SELECT COUNT(*) FROM pgraph WHERE inter * 100 >= $p * uni) AS n_pairs,
+                (SELECT COUNT(*) FROM rem_$p) AS n_removed,
+                (SELECT n_docs FROM tot) - (SELECT COUNT(*) FROM rem_$p) AS n_kept,
+                (SELECT CAST(COALESCE(SUM(n_toks), 0) AS BIGINT)
+                 FROM rem_$p JOIN nt USING (doc_id)) AS tokens_removed)"""
+        }.mkString(",\n")
+        s"""WITH $sqlPairGraphCtes,
+              nt AS (SELECT doc_id,
+                            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks
+                     FROM documents),
+              tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+              $sweep
+           SELECT tau_pct, n_pairs, n_removed, n_kept, tokens_removed
+           FROM (SELECT * FROM sw_2 UNION ALL SELECT * FROM sw_5
+                 UNION ALL SELECT * FROM sw_10 UNION ALL SELECT * FROM sw_50)
+           ORDER BY tau_pct"""
+      },
+      bench = false),
+
     Q("d02_ngram_jaccard",
       (s, d) => jaccardPairs(s, d, HotShingleDfCap)
         .select("da", "db", "inter", "uni", "jaccard")

@@ -236,7 +236,8 @@ class PlanAuditSpec extends SparkSpec {
     "e11_erc721_decode" -> 1, // map-only ABI decode + final sort
     "g08_label_propagation" -> 1, // rounds checkpoint on build; emitted table needs the final sort only
     "t33_token_diversity" -> 3, // (doc,token) agg + per-doc agg + final sort
-    "p08_curation_drift" -> 5) // digest keep-agg + semi-join + two per-source aggs + sort
+    "p08_curation_drift" -> 5, // digest keep-agg + semi-join + two per-source aggs + sort
+    "d22_threshold_sweep" -> 1) // pair graph checkpoints on build; emitted table is 4 rows + sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
