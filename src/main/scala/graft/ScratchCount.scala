@@ -8,7 +8,8 @@ object ScratchCount {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
-    val names = Seq("d22_threshold_sweep")
+    val names = Seq("r08_period_delta", "k08_skew_report", "c51_recursive_cte",
+      "c52_ignore_nulls_window", "p09_quality_sweep", "sim32_assignment_churn")
     names.foreach { n =>
       val df = graft.operators.Catalog.byName(n).build(spark, "/root/testdata/sf0.001")
       val plan = df.queryExecution.executedPlan.toString

@@ -138,6 +138,11 @@ object GraphOps {
   val LpSeedMod = 50L
   val LpRounds = 3
 
+  /** c51's walk-depth bound. Declared before `val all`: the engine SQL and
+    * the oracle string both interpolate it at init.
+    */
+  val ReachDepth = 3
+
   val all: Seq[Q] = Seq(
     // PAGERANK — 3 damped integer-mass iterations over the derived link
     // graph; output is the full (doc_id, mass) rank table. The oracle
@@ -477,6 +482,42 @@ object GraphOps {
                      FROM documents),
               $rounds
            SELECT doc_id, label FROM m$LpRounds ORDER BY doc_id"""
-      })
+      }),
+
+    // RECURSIVE CTE — Spark 4's native `WITH RECURSIVE` (UnionLoop),
+    // exercised as bounded graph reachability: all walks of length ≤
+    // [[ReachDepth]] from node 0 over the link graph, reduced to each
+    // reached node's minimum hop distance and walk count. The engine runs
+    // the RECURSIVE SQL ITSELF (where g05/g08 unroll driver-side loops,
+    // this is the declarative fixed-depth form Catalyst plans as a
+    // UnionLoop); the recursion is depth-bounded so the intermediate is ≤
+    // OutDeg^depth rows per seed — the shape a SQL user writes for
+    // org-chart / BOM / escalation-chain walks. DuckDB executes the
+    // equivalent recursion natively, making the oracle a true
+    // cross-engine recursive-SQL parity check.
+    Q("c51_recursive_cte",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val view = s"graft_edges_${Catalog.pathTag(d)}"
+        linkEdges(docs, nodeCount(s, d)).createOrReplaceTempView(view)
+        s.sql(
+          s"""WITH RECURSIVE reach(node, depth) AS (
+                SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+                UNION ALL
+                SELECT e.dst, r.depth + 1
+                FROM reach r JOIN $view e ON e.src = r.node
+                WHERE r.depth < $ReachDepth)
+              SELECT node, MIN(depth) AS min_depth, COUNT(*) AS n_walks
+              FROM reach GROUP BY node ORDER BY node""")
+      },
+      Some(s"""WITH RECURSIVE $sqlEdges,
+                 reach(node, depth) AS (
+                   SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+                   UNION ALL
+                   SELECT e.dst, r.depth + 1
+                   FROM reach r JOIN e ON e.src = r.node
+                   WHERE r.depth < $ReachDepth)
+               SELECT node, MIN(depth) AS min_depth, COUNT(*) AS n_walks
+               FROM reach GROUP BY node ORDER BY node"""))
   )
 }

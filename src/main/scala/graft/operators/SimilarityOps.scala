@@ -2056,6 +2056,39 @@ object SimilarityOps {
                  UNION ALL SELECT * FROM rec_4 UNION ALL SELECT * FROM rec_8)
            ORDER BY nprobe"""
       },
+      bench = false),
+
+    // ASSIGNMENT CHURN — the cluster-stability report a training pipeline
+    // reads before trusting a quantizer snapshot: between Lloyd iteration
+    // 1 and iteration 2, which cells exchanged vectors and how many held
+    // still (the full before×after transition matrix; the diagonal is the
+    // stable mass, off-diagonal the churn — a quantizer still moving
+    // vectors wholesale is not ready to serve sim11's persisted index).
+    // Scale shape: two map-only trained-argmax assignment scans (the
+    // sim08 kernel path — centroids are collected 16-row artifacts,
+    // re-broadcast as codegen reference objects) + ONE equi-join on the
+    // unique vec_id + a map-side-combined aggregate whose output is ≤
+    // cells² rows. The oracle replays both training iterations in SQL
+    // (the sim07 trajectory CTEs) and joins a1 to a2 — both engines
+    // reproduce the identical trajectory bit-for-bit.
+    Q("sim32_assignment_churn",
+      (s, d) => {
+        val corpus = withNorm(s, d)
+        val a1 = assignCells(corpus, trainedCentroids(s, d, iters = 1))
+          .select(col("vec_id"), col("cell").as("cell_before"))
+        val a2 = assignCells(corpus, trainedCentroids(s, d, iters = 2))
+          .select(col("vec_id"), col("cell").as("cell_after"))
+        a1.join(a2, "vec_id")
+          .groupBy("cell_before", "cell_after")
+          .agg(count(lit(1)).as("n_vecs"))
+          .orderBy("cell_before", "cell_after")
+      },
+      Some(s"""WITH $sqlTrainedAssignCtes
+               SELECT CAST(x.cell AS INT) AS cell_before,
+                      CAST(y.cell AS INT) AS cell_after,
+                      COUNT(*) AS n_vecs
+               FROM a1 x JOIN a2 y USING (vec_id)
+               GROUP BY 1, 2 ORDER BY 1, 2"""),
       bench = false)
   )
 

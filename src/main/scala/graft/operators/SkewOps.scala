@@ -299,6 +299,67 @@ object SkewOps {
               SELECT layout, n_files, user_file_pairs,
                      user_file_pairs * 1000000 // n_users AS avg_files_per_user_ppm
               FROM m ORDER BY layout"""),
+      bench = false),
+
+    // KEY-SKEW REPORT — the number an engineer reads BEFORE picking a
+    // shuffle key or a salting factor (k01/k02 are the mitigations; this
+    // is the diagnosis): per candidate key, distinct-key count, the
+    // hottest key's row share, and the hot/mean ratio, each in exact
+    // integers; the recommended salt-bucket count is the smallest power
+    // of two covering the ratio (bounded CASE ladder — a log2() would
+    // hang the gate on libm ulp parity and a pow() on rounding). Scale
+    // shape: one map-side-combined aggregate per key column (output =
+    // |keys| rows) reduced to a 1-row summary — the report is bounded by
+    // construction at any corpus size (the p05/p06 report convention,
+    // allowlisted).
+    Q("k08_skew_report",
+      (s, d) => {
+        def dim(keyCol: String) =
+          t(s, d, "events")
+            .groupBy(col(keyCol).cast(org.apache.spark.sql.types.StringType).as("k"))
+            .agg(count(lit(1)).as("n"))
+            .agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"),
+              max("n").as("max_key_rows"))
+            .select(lit(keyCol).as("dimension"), col("n_keys"), col("n_rows"),
+              col("max_key_rows"),
+              expr("max_key_rows * 1000000 div n_rows").as("top_share_ppm"),
+              expr("max_key_rows * 100 * n_keys div n_rows").as("skew_x100"))
+            .withColumn("salt_parts",
+              // next power of two >= ceil(max/mean); ratio first as an
+              // exact non-negative integer ceil-div
+              expr("""CASE WHEN (skew_x100 + 99) div 100 <= 1 THEN 1
+                           WHEN (skew_x100 + 99) div 100 <= 2 THEN 2
+                           WHEN (skew_x100 + 99) div 100 <= 4 THEN 4
+                           WHEN (skew_x100 + 99) div 100 <= 8 THEN 8
+                           WHEN (skew_x100 + 99) div 100 <= 16 THEN 16
+                           WHEN (skew_x100 + 99) div 100 <= 32 THEN 32
+                           ELSE 64 END"""))
+        dim("user_id").unionByName(dim("event_type")).orderBy("dimension")
+      },
+      Some("""WITH per_u AS (SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS n
+                             FROM events GROUP BY 1),
+                 per_t AS (SELECT event_type AS k, COUNT(*) AS n
+                           FROM events GROUP BY 1),
+                 m AS (
+                   SELECT 'user_id' AS dimension, COUNT(*) AS n_keys,
+                          CAST(SUM(n) AS BIGINT) AS n_rows, MAX(n) AS max_key_rows
+                   FROM per_u
+                   UNION ALL
+                   SELECT 'event_type', COUNT(*), CAST(SUM(n) AS BIGINT), MAX(n)
+                   FROM per_t),
+                 r AS (SELECT *,
+                              max_key_rows * 1000000 // n_rows AS top_share_ppm,
+                              max_key_rows * 100 * n_keys // n_rows AS skew_x100
+                       FROM m)
+              SELECT dimension, n_keys, n_rows, max_key_rows, top_share_ppm, skew_x100,
+                     CASE WHEN (skew_x100 + 99) // 100 <= 1 THEN 1
+                          WHEN (skew_x100 + 99) // 100 <= 2 THEN 2
+                          WHEN (skew_x100 + 99) // 100 <= 4 THEN 4
+                          WHEN (skew_x100 + 99) // 100 <= 8 THEN 8
+                          WHEN (skew_x100 + 99) // 100 <= 16 THEN 16
+                          WHEN (skew_x100 + 99) // 100 <= 32 THEN 32
+                          ELSE 64 END AS salt_parts
+              FROM r ORDER BY dimension"""),
       bench = false)
   )
 }

@@ -1428,7 +1428,49 @@ object StockOps {
               FROM n JOIN med ON med.event_type = n.event_type
                      JOIN mad ON mad.event_type = n.event_type
                      JOIN mo ON mo.event_type = n.event_type
-              ORDER BY n.event_type"""))
+              ORDER BY n.event_type""")),
+
+    // IGNORE NULLS window family — the null-skipping frame navigation
+    // every sensor/telemetry consumer leans on (the declarative LOCF
+    // r04's two-join form scales out): a deterministically NULLed reading
+    // (every 5th event) forward-filled with `last(_, ignoreNulls)` over
+    // the running frame, the partition's first real reading via
+    // `first(_, ignoreNulls)` over the full frame, and the second real
+    // reading via `nth_value(_, 2, ignoreNulls)`. Ordering is the unique
+    // (us, event_id) so every answer is total-order determined; the
+    // window partitions on user_id (unbounded domain — grows with the
+    // data, never a funnel). Values compare exactly: both engines
+    // navigate to the SAME stored double, no arithmetic.
+    Q("c52_ignore_nulls_window",
+      (s, d) => {
+        val base = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+            when(pmod(col("event_id"), lit(5L)) =!= 0L, col("value")).as("v"))
+        val ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        base
+          .withColumn("filled", last(col("v"), ignoreNulls = true).over(run))
+          .withColumn("first_real", first(col("v"), ignoreNulls = true).over(full))
+          .withColumn("second_real", nth_value(col("v"), 2, ignoreNulls = true).over(full))
+          .select("event_id", "user_id", "us", "v", "filled", "first_real", "second_real")
+          .orderBy("event_id")
+      },
+      Some("""WITH base AS (
+                 SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+                        CASE WHEN event_id % 5 <> 0 THEN value END AS v
+                 FROM events)
+              SELECT event_id, user_id, us, v,
+                     LAST_VALUE(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+                     FIRST_VALUE(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_real,
+                     NTH_VALUE(v, 2 IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_real
+              FROM base ORDER BY event_id"""))
   )
 
 

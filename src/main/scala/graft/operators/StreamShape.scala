@@ -1309,6 +1309,55 @@ object StreamShape {
       },
       Some(s"""WITH ${DedupOps.sqlLshCtes}
                SELECT da, db, jaccard FROM lshpairs ORDER BY da, db"""),
+      bench = false),
+
+    // BACKFILL → LIVE HANDOFF — the reference's backfill state machine
+    // (SURVEY S14–S15: batch-read history, then switch to the live
+    // subscription without dropping or double-sending a block) as the
+    // idiomatic Spark shape: a BATCH connector read covers [0, boundary),
+    // a CHECKPOINTED stream resumes at exactly `boundary` (startBlock is
+    // the stream's initial offset), and both phases land in one parquet
+    // dataset. The handoff law is asserted in-query — the backfill's max
+    // block stays below the boundary, the stream's min block starts at or
+    // after it (offset-contiguous micro-batches guarantee no interior
+    // gaps) — and then PINNED by the oracle: the union must equal the
+    // independent driver-side chain dump over the full range, so any
+    // dropped or doubled block at the seam hash-fails the gate. This is
+    // the FSM the reference hand-codes, subsumed by offset arithmetic.
+    Q("x29_backfill_handoff",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val boundary = 400L
+        val root = java.nio.file.Files.createTempDirectory("x29out").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("x29ckpt").toString
+        s.read.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", "0").option("endBlock", (boundary - 1).toString).load()
+          .select("blockNumber", "logIndex", "address", "data")
+          .write.mode("overwrite").parquet(s"$root/backfill")
+        val sq = s.readStream.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", boundary.toString).option("head", "999")
+          .option("maxBlocksPerTrigger", "200").load()
+          .select("blockNumber", "logIndex", "address", "data")
+          .writeStream.format("parquet").option("path", s"$root/live")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        val fed = sq.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 2,
+          s"x29 live phase drained in $fed micro-batch(es) — the multi-batch live path was not exercised")
+        val back = s.read.parquet(s"$root/backfill")
+        val live = s.read.parquet(s"$root/live")
+        val maxBack = back.agg(max("blockNumber")).first().getLong(0)
+        val minLive = live.agg(min("blockNumber")).first().getLong(0)
+        require(maxBack < boundary && minLive >= boundary,
+          s"x29 handoff violated: backfill reaches $maxBack, live starts at $minLive, boundary $boundary")
+        back.unionByName(live).orderBy("blockNumber", "logIndex")
+      },
+      Some(s"""SELECT blockNumber, logIndex, address, data
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE blockNumber <= 999
+               ORDER BY blockNumber, logIndex"""),
       bench = false)
   )
 }

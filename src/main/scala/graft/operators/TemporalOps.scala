@@ -103,6 +103,11 @@ object TemporalOps {
     */
   val NearTolUs = 3600000000L
 
+  /** Day length in micros — r08's reporting period. Declared before
+    * `val all`: the oracle string interpolates it at init.
+    */
+  val DayUs = 86400000000L
+
   /** Per-shard OHLC bar PARTIALS for (event_type, bucket): open/close as
     * min/max over the TOTAL (us, event_id, value) struct order —
     * associative and commutative, so ANY split of the input rows yields
@@ -469,6 +474,45 @@ object TemporalOps {
               SELECT p.event_id, p.user_id, w.click_id, w.dt_us
               FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) w
                 ON w.event_id = p.event_id
-              ORDER BY p.event_id"""))
+              ORDER BY p.event_id""")),
+
+    // PERIOD-OVER-PERIOD DELTA — the day-over-day movement report every
+    // metrics pipeline ships (DAU deltas, volume swings): per-(event_type,
+    // day) counts and exact-decimal value totals, then each day compared
+    // to the previous OBSERVED day via lag. Scale shape: the heavy work is
+    // ONE map-side-combined aggregate (output = types × days rows,
+    // sub-linear in events); the lag window runs on that aggregate, so a
+    // partition holds at most #days rows per type no matter the corpus
+    // size — the post-aggregation exception to the bounded-domain-window
+    // rule (reasoned in PlanAuditSpec). delta_ppm is one IEEE division of
+    // exact integers (the t15 convention), NULL on each type's first day
+    // on both engines.
+    Q("r08_period_delta",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+          .withColumn("day", expr(s"us div $DayUs"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        daily
+          .withColumn("n_prev", lag("n", 1).over(w))
+          .withColumn("delta", col("n") - col("n_prev"))
+          .withColumn("delta_ppm",
+            (col("delta") * 1000000L).cast(org.apache.spark.sql.types.DoubleType)
+              / col("n_prev"))
+          .select("event_type", "day", "n", "total", "n_prev", "delta", "delta_ppm")
+          .orderBy("event_type", "day")
+      },
+      Some(s"""WITH daily AS (
+                 SELECT event_type, (epoch_ns(ts) // 1000) // $DayUs AS day,
+                        COUNT(*) AS n, ${sqlDsum("value")} AS total
+                 FROM events GROUP BY 1, 2)
+               SELECT event_type, day, n, total,
+                      LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS n_prev,
+                      n - (LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day)) AS delta,
+                      CAST((n - (LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day))) * 1000000 AS DOUBLE)
+                        / (LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day)) AS delta_ppm
+               FROM daily ORDER BY event_type, day"""))
   )
 }

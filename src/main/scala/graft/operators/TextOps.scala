@@ -1601,6 +1601,47 @@ object TextOps {
                      ABS((1000000 * COALESCE(a.n_after, 0)) // (SELECT t2 FROM ta)
                          - (1000000 * b.n_before) // (SELECT t1 FROM tb)) AS drift_ppm
               FROM b LEFT JOIN a USING (source) ORDER BY source"""),
+      bench = false),
+
+    // QUALITY-THRESHOLD SWEEP — d22's ablation pendant on the FILTER side:
+    // at each minimum-length cut (10/20/50/100 tokens), how many documents
+    // and tokens survive and what corpus share that is (exact ppm — the
+    // number read before pinning t06's threshold: too high starves the
+    // corpus, too low ships fragments). Scale shape: ONE documents pass
+    // computes token counts, the 4-way cut fan-out is a bounded explode
+    // (×|cuts| rows of two longs, not of text), and each cut's totals are
+    // one map-side-combined aggregate; the corpus totals are the 1-row
+    // broadcast normalizer (the t15/c16 pattern, allowlisted). No
+    // driver-side loop: all cuts reduce in a single distributed aggregate.
+    Q("p09_quality_sweep",
+      (s, d) => {
+        val nt = t(s, d, "documents")
+          .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_toks"))
+        val tot = nt.agg(count(lit(1)).as("__docs"), sum("n_toks").as("__toks"))
+        nt.crossJoin(broadcast(tot))
+          .select(col("n_toks"), col("__docs"), col("__toks"),
+            explode(array(lit(10L), lit(20L), lit(50L), lit(100L))).as("min_toks"))
+          .where(col("n_toks") >= col("min_toks"))
+          .groupBy("min_toks", "__docs", "__toks")
+          .agg(count(lit(1)).as("n_docs_kept"), sum("n_toks").as("n_tokens_kept"))
+          .select(col("min_toks"), col("n_docs_kept"), col("n_tokens_kept"),
+            expr("n_docs_kept * 1000000 div __docs").as("doc_share_ppm"),
+            expr("n_tokens_kept * 1000000 div __toks").as("tok_share_ppm"))
+          .orderBy("min_toks")
+      },
+      Some("""WITH nt AS (SELECT doc_id,
+                                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+                          FROM documents),
+                 tot AS (SELECT COUNT(*) AS docs, CAST(SUM(n_toks) AS BIGINT) AS toks FROM nt),
+                 sw AS (SELECT c.min_toks, COUNT(*) AS n_docs_kept,
+                               CAST(SUM(n_toks) AS BIGINT) AS n_tokens_kept
+                        FROM nt, (SELECT UNNEST([10, 20, 50, 100]) AS min_toks) c
+                        WHERE nt.n_toks >= c.min_toks
+                        GROUP BY 1)
+              SELECT CAST(min_toks AS BIGINT) AS min_toks, n_docs_kept, n_tokens_kept,
+                     n_docs_kept * 1000000 // (SELECT docs FROM tot) AS doc_share_ppm,
+                     n_tokens_kept * 1000000 // (SELECT toks FROM tot) AS tok_share_ppm
+              FROM sw ORDER BY min_toks"""),
       bench = false)
   )
 }

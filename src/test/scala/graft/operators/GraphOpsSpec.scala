@@ -158,4 +158,35 @@ class GraphOpsSpec extends SparkSpec {
     // predictions must be genuinely informative: at least one multi-witness pair
     assert(got.exists(_._3 >= 2), s"degenerate prediction set (all single-witness): $got")
   }
+
+  test("c51 recursive CTE matches a driver-side walk DP; total walk mass is OutDeg-geometric") {
+    val docs = Catalog.t(spark, sfDir, "documents")
+    val n = docs.count()
+    val edges = GraphOps.linkEdges(docs, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // walk DP: w_0 = {0: 1}; w_{k+1}(v) = Σ over edge multiset (u,v) of w_k(u)
+    var w = Map(0L -> 1L)
+    val minDepth = scala.collection.mutable.Map(0L -> 0)
+    val walks = scala.collection.mutable.Map(0L -> 1L)
+    for (k <- 1 to GraphOps.ReachDepth) {
+      val next = scala.collection.mutable.Map.empty[Long, Long]
+      edges.foreach { case (u, v) =>
+        w.get(u).foreach(c => next(v) = next.getOrElse(v, 0L) + c)
+      }
+      w = next.toMap
+      w.foreach { case (v, c) =>
+        if (!minDepth.contains(v)) minDepth(v) = k
+        walks(v) = walks.getOrElse(v, 0L) + c
+      }
+    }
+    val got = Catalog.byName("c51_recursive_cte").build(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got == minDepth.map { case (v, d) => v -> (d, walks(v)) }.toMap)
+    // every walk of every length 0..depth is counted exactly once:
+    // Σ n_walks = Σ_k OutDeg^k (each node has exactly OutDeg out-edges)
+    val geom = (0 to GraphOps.ReachDepth)
+      .map(k => math.pow(GraphOps.OutDeg, k).toLong).sum
+    assert(got.values.map(_._2).sum == geom, s"walk mass != $geom")
+    assert(got(0L)._1 == 0, "seed node must report depth 0")
+  }
 }

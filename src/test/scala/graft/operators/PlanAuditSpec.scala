@@ -23,7 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     "x18_stream_late_data", "x19_stream_cms_merge", "x20_stream_static_enrich",
     "x21_stream_outer_join", "x22_stream_kmv_merge", "x23_stream_partitioned_sink",
     "x24_stream_topk", "x25_stream_cdc_upsert", "x26_stream_ohlc",
-    "x27_stream_hist_merge", "x28_stream_lsh_neardup",
+    "x27_stream_hist_merge", "x28_stream_lsh_neardup", "x29_backfill_handoff",
     // Arrow IPC roundtrip: the build writes+reads IPC files eagerly; the
     // returned frame is a bounded local relation (scan itself is audited
     // via e01's plan — same connector path)
@@ -96,7 +96,12 @@ class PlanAuditSpec extends SparkSpec {
     "t32_token_budget" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
     // drift report: two 1-row corpus totals crossJoined back onto the
     // bounded per-source table — the c16/t14 bounded-normalizer pattern
-    "p08_curation_drift" -> Set("SinglePartition", "BroadcastNestedLoopJoin"))
+    "p08_curation_drift" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
+    // skew report: two 1-row per-dimension summaries unioned — the p06
+    // bounded-report shape
+    "k08_skew_report" -> Set("SinglePartition"),
+    // sweep: 1-row corpus-totals normalizer crossJoined back (c16/t15)
+    "p09_quality_sweep" -> Set("SinglePartition", "BroadcastNestedLoopJoin"))
 
   test("no catalog query plans cartesian / nested-loop / single-partition shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -237,7 +242,14 @@ class PlanAuditSpec extends SparkSpec {
     "g08_label_propagation" -> 1, // rounds checkpoint on build; emitted table needs the final sort only
     "t33_token_diversity" -> 3, // (doc,token) agg + per-doc agg + final sort
     "p08_curation_drift" -> 5, // digest keep-agg + semi-join + two per-source aggs + sort
-    "d22_threshold_sweep" -> 1) // pair graph checkpoints on build; emitted table is 4 rows + sort
+    "d22_threshold_sweep" -> 1, // pair graph checkpoints on build; emitted table is 4 rows + sort
+    // round-6 sixth-session queries (ceilings = measured at spec SF)
+    "r08_period_delta" -> 3, // one map-side-combined daily agg split + post-agg lag window + sort
+    "k08_skew_report" -> 2, // two per-dimension key aggs reduced to 1-row summaries + union sort
+    "c51_recursive_cte" -> 2, // UnionLoop iterations + final min/count agg split
+    "c52_ignore_nulls_window" -> 2, // one user-keyed window pass (both frames share it) + final sort
+    "p09_quality_sweep" -> 2, // token-count scan + bounded cut-explode agg + 1-row normalizer
+    "sim32_assignment_churn" -> 2) // two map-only assignment scans + vec_id join + cells² agg
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
@@ -297,7 +309,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim28_quantization_pareto" -> "perKeyTopK phase 2 (all five search branches + truth): <= k*parts rows per qid",
     "sim29_binary_search" -> "perKeyTopK phase 2: <= k*parts rows per qid",
     "r03_interval_overlap" -> "groupedRunningTotal offsets window: <= parts rows per event_type by phase-1 aggregation",
-    "c50_robust_stats" -> "groupedRunningTotal offsets windows (median + MAD passes): <= parts rows per event_type by phase-1 aggregation")
+    "c50_robust_stats" -> "groupedRunningTotal offsets windows (median + MAD passes): <= parts rows per event_type by phase-1 aggregation",
+    "r08_period_delta" -> "lag window runs POST-aggregation: <= #days rows per event_type regardless of event volume")
 
   private def lowCardWindowKeys(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
     df.queryExecution.sparkPlan.collect {

@@ -467,4 +467,25 @@ class SimilarityOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_hit") == expHits.toLong, s"probe $q recall hits")
     }
   }
+
+  test("sim32 churn matrix conserves mass and its marginals are the two assignments") {
+    import org.apache.spark.sql.functions._
+    val corpus = SimilarityOps.withNorm(spark, sfDir)
+    val n = corpus.count()
+    val churn = Catalog.byName("sim32_assignment_churn").build(spark, sfDir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(churn.values.sum == n, "churn matrix must conserve the corpus")
+    def hist(iters: Int): Map[Int, Long] =
+      SimilarityOps.assignCells(corpus,
+          SimilarityOps.trainedCentroids(spark, sfDir, iters))
+        .groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val before = churn.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val after = churn.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    assert(before == hist(1), "row marginal != iteration-1 assignment histogram")
+    assert(after == hist(2), "column marginal != iteration-2 assignment histogram")
+    // the report is informative at fixture scale: some mass moved, most held
+    val stable = churn.collect { case ((a, b), c) if a == b => c }.sum
+    assert(stable > 0, "no stable mass at all — degenerate training")
+  }
 }

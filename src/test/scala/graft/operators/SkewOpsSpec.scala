@@ -208,4 +208,31 @@ class SkewOpsSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("k08 skew report matches a driver-side recompute; salt is the covering power of two") {
+    val ev = Catalog.t(spark, sfDir, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0).toString, r.getString(1)))
+    def expect(dim: String, keys: Seq[String]) = {
+      val per = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nKeys = per.size.toLong
+      val nRows = keys.size.toLong
+      val maxRows = per.values.max
+      val skewX100 = maxRows * 100 * nKeys / nRows
+      val ratio = (skewX100 + 99) / 100
+      val salt = Seq(1L, 2L, 4L, 8L, 16L, 32L).find(_ >= ratio).getOrElse(64L)
+      (dim, nKeys, nRows, maxRows, maxRows * 1000000 / nRows, skewX100, salt.toInt)
+    }
+    val want = Seq(expect("event_type", ev.map(_._2)), expect("user_id", ev.map(_._1)))
+    val got = Catalog.byName("k08_skew_report").build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6))).toSeq
+    assert(got == want, s"skew report mismatch:\n$got\nvs\n$want")
+    // the salt law itself: a power of two, and (salt) covers the hot/mean ratio
+    got.foreach { case (_, _, _, _, _, skewX100, salt) =>
+      assert((salt & (salt - 1)) == 0, s"salt $salt is not a power of two")
+      assert(salt == 64 || salt * 100L >= skewX100,
+        s"salt $salt does not cover skew ${skewX100 / 100.0}")
+    }
+  }
 }

@@ -544,4 +544,31 @@ class StockOpsSpec extends SparkSpec {
     }
   }
 
+  test("c52 IGNORE NULLS navigation matches a driver-side forward fill") {
+    val ev = Catalog.t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // .toSeq before flatMap: Map#flatMap would collapse the per-row tuples
+    // back into a Map keyed per user (the r04 lesson)
+    val expect = ev.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1)).toSeq
+      val vs = ordered.map(r => if (r._1 % 5 != 0) Some(r._4) else None)
+      val reals = vs.flatten
+      ordered.zipWithIndex.map { case (r, i) =>
+        val filled = vs.take(i + 1).flatten.lastOption
+        r._1 -> (filled, reals.headOption, reals.drop(1).headOption)
+      }
+    }.toMap
+    val got = Catalog.byName("c52_ignore_nulls_window").build(spark, sfDir)
+      .select("event_id", "filled", "first_real", "second_real").collect()
+      .map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        r.getLong(0) -> (opt(1), opt(2), opt(3))
+      }.toMap
+    assert(got == expect)
+    // the NULLing is genuinely exercised: some rows carry no v yet are filled
+    assert(ev.exists(r => r._1 % 5 == 0), "fixture has no NULLed readings")
+  }
+
 }

@@ -222,4 +222,30 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("r08 period deltas match a driver-side recompute, first day NULL per type") {
+    val daily = events.groupBy(e => (e._4, e._3 / TemporalOps.DayUs))
+      .view.mapValues(_.size.toLong).toMap
+    val got = Catalog.byName("r08_period_delta").build(spark, sfDir)
+      .select("event_type", "day", "n", "n_prev", "delta").collect()
+    assert(got.nonEmpty)
+    val byType = got.groupBy(_.getString(0))
+    byType.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.head.isNullAt(3) && sorted.head.isNullAt(4),
+        "first observed day must have NULL n_prev/delta")
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) =>
+          assert(cur.getLong(3) == prev.getLong(2), "n_prev must be the previous day's n")
+          assert(cur.getLong(4) == cur.getLong(2) - prev.getLong(2))
+        case _ =>
+      }
+    }
+    got.foreach { r =>
+      assert(r.getLong(2) == daily((r.getString(0), r.getLong(1))),
+        s"count mismatch at ${r.getString(0)}/${r.getLong(1)}")
+    }
+    // reconciliation: the report's counts sum back to the event total
+    assert(got.map(_.getLong(2)).sum == events.length.toLong)
+  }
+
 }

@@ -410,4 +410,29 @@ class TextOpsSpec extends SparkSpec {
       .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
     assert(bySplit == t21, s"p07 split totals $bySplit != t21 $t21")
   }
+
+  test("p09 sweep matches a driver-side recompute and is monotone in the cut") {
+    // mirror Spark's split(trim(text), \s+) exactly: trim strips SPACES
+    // only (Java String.trim would also strip tab/newline edges)
+    val ntoks = Catalog.t(spark, sfDir, "documents").select("text").collect()
+      .map(_.getString(0).replaceAll("^ +", "").replaceAll(" +$", "")
+        .split("\\s+", -1).length.toLong)
+    val totDocs = ntoks.length.toLong
+    val totToks = ntoks.sum
+    val expect = Seq(10L, 20L, 50L, 100L).flatMap { cut =>
+      val kept = ntoks.filter(_ >= cut)
+      if (kept.isEmpty) None
+      else Some((cut, kept.length.toLong, kept.sum,
+        kept.length * 1000000L / totDocs, kept.sum * 1000000L / totToks))
+    }
+    val got = Catalog.byName("p09_quality_sweep").build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect, s"sweep mismatch:\n$got\nvs\n$expect")
+    // docs and tokens kept must be non-increasing as the cut rises
+    got.sliding(2).foreach {
+      case Seq(lo, hi) =>
+        assert(hi._2 <= lo._2 && hi._3 <= lo._3, s"sweep not monotone: $lo -> $hi")
+      case _ =>
+    }
+  }
 }
