@@ -8,8 +8,7 @@ object ScratchCount {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
-    val names = Seq("r08_period_delta", "k08_skew_report", "c51_recursive_cte",
-      "c52_ignore_nulls_window", "p09_quality_sweep", "sim32_assignment_churn")
+    val names = Seq("c53_tpch_q7", "c54_tpch_q15", "c55_tpch_q13", "e12_address_activity")
     names.foreach { n =>
       val df = graft.operators.Catalog.byName(n).build(spark, "/root/testdata/sf0.001")
       val plan = df.queryExecution.executedPlan.toString

@@ -422,6 +422,33 @@ object EngineOps {
                       CAST(CAST(topics[4] AS UBIGINT) AS BIGINT) AS token_id
                FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
                WHERE len(topics) = 4
-               ORDER BY blockNumber, logIndex"""))
+               ORDER BY blockNumber, logIndex""")),
+
+    // ADDRESS ACTIVITY SUMMARY — the "account history" card every chain
+    // explorer serves (first/last seen, event volume, transaction spread):
+    // ONE map-side-combined aggregate keyed on the emitting contract over
+    // the connector scan, with the scan pruned to the three touched
+    // columns (the e09 discipline — at chain scale this reads 3 of 9
+    // fields). Output is |addresses| rows — sub-linear in logs. The
+    // distinct-tx count is exact here; c26's HLL is the documented sketch
+    // path when the per-key tx cardinality itself explodes. Oracle: the
+    // independent driver-side chain dump.
+    Q("e12_address_activity",
+      (s, d) => s.read.format("graft-eth").option("dataset", "logs")
+        .option("startBlock", "0").option("endBlock", "2999").load()
+        .select("address", "blockNumber", "transactionHash")
+        .groupBy("address")
+        .agg(count(lit(1)).as("n_logs"),
+          min("blockNumber").as("first_block"),
+          max("blockNumber").as("last_block"),
+          countDistinct(col("transactionHash")).as("n_txs"))
+        .orderBy("address"),
+      Some(s"""SELECT address, COUNT(*) AS n_logs,
+                      MIN(blockNumber) AS first_block,
+                      MAX(blockNumber) AS last_block,
+                      COUNT(DISTINCT transactionHash) AS n_txs
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE blockNumber <= 2999
+               GROUP BY address ORDER BY address"""))
   )
 }

@@ -1470,7 +1470,125 @@ object StockOps {
                      NTH_VALUE(v, 2 IGNORE NULLS) OVER (
                        PARTITION BY user_id ORDER BY us, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_real
-              FROM base ORDER BY event_id"""))
+              FROM base ORDER BY event_id""")),
+
+    // TPC-H Q7 (volume shipping) — the two-role-nation bidirectional
+    // composite: supplier-side and customer-side nations each restricted
+    // to a two-nation pair, revenue bucketed by (supp_nation, cust_nation,
+    // ship year) over a two-year window. Scale shape: both nation-filtered
+    // dimension chains (supplier, customer) are selective → broadcast;
+    // the one wide move is the lineitem⋈orders fact-fact join on the
+    // order key; the OR of the two direction pairs is applied AFTER the
+    // broadcast joins (a residual filter on broadcast-joined columns, no
+    // extra shuffle). Dates reach the scan pushed; revenue is
+    // exact-decimal until the final read-out cast.
+    Q("c53_tpch_q7",
+      (s, d) => {
+        val n1 = lit("NATION_13")
+        val n2 = lit("NATION_19")
+        val sup = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+              .where(col("n_name").isin("NATION_13", "NATION_19"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cust = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")
+              .where(col("n_name").isin("NATION_13", "NATION_19"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val li = t(s, d, "lineitem")
+          .where(col("l_shipdate") >= lit("1995-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).as("l_year"),
+            (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("rev"))
+        li.join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .where((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+            (col("supp_nation") === n2 && col("cust_nation") === n1))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(sum("rev").cast(DoubleType).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS INT) AS l_year,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+              FROM supplier, lineitem, orders, customer, nation n1, nation n2
+              WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+                AND c_nationkey = n2.n_nationkey
+                AND ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+                  OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+                AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // TPC-H Q15 (top supplier) — the view-plus-scalar-max composite: a
+    // quarter's revenue per supplier (one map-side-combined aggregate),
+    // then the supplier(s) achieving the maximum. The max is compared in
+    // EXACT DECIMAL (a double max-equality would be a cross-engine
+    // last-ulp trap) and attached as a broadcast EQUI-join on the revenue
+    // value — not a scalar-subquery nested loop — so the plan stays
+    // join-shaped at any fact size. Supplier names come from the
+    // broadcast dimension; read-out casts to double at the very end.
+    Q("c54_tpch_q15",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1996-04-01"))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .as("rev_d"))
+        val maxRev = rev.agg(max("rev_d").as("rev_d"))
+        rev.join(broadcast(maxRev), Seq("rev_d"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("supplier_no") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("rev_d").cast(DoubleType).as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (
+                 SELECT l_suppkey AS supplier_no,
+                        SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev_d
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+                 GROUP BY 1)
+              SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_revenue
+              FROM supplier JOIN rev ON s_suppkey = supplier_no
+              WHERE rev_d = (SELECT MAX(rev_d) FROM rev)
+              ORDER BY s_suppkey""")),
+
+    // TPC-H Q13 (customer order-count distribution) — the LEFT-JOIN-with-
+    // join-predicate + double-aggregation shape: every customer (including
+    // the order-less ones — that zero bucket is the query's point) joined
+    // to its non-excluded orders, counted per customer, then a histogram
+    // of those counts. The fixture has no o_comment, so the original
+    // NOT LIKE '%special%requests%' exclusion is adapted to an
+    // o_orderpriority <> '1-URGENT' predicate INSIDE the join condition —
+    // same shape, same null-preserving semantics (an excluded-orders-only
+    // customer still counts 0). Scale: one fact shuffle on the customer
+    // key, then a map-side-combined histogram over the per-customer
+    // counts (output ≤ max order count rows).
+    Q("c55_tpch_q13",
+      (s, d) => {
+        val cust = t(s, d, "customer").select("c_custkey")
+        val ord = t(s, d, "orders")
+          .where(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_orderkey", "o_custkey")
+        cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+                 SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                 FROM customer LEFT JOIN orders
+                   ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                 GROUP BY c_custkey)
+              GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
   )
 
 

@@ -101,7 +101,11 @@ class PlanAuditSpec extends SparkSpec {
     // bounded-report shape
     "k08_skew_report" -> Set("SinglePartition"),
     // sweep: 1-row corpus-totals normalizer crossJoined back (c16/t15)
-    "p09_quality_sweep" -> Set("SinglePartition", "BroadcastNestedLoopJoin"))
+    "p09_quality_sweep" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
+    // Q15's scalar max: a 1-row global aggregate whose broadcast feeds an
+    // EQUI-join on the revenue value (not a nested loop) — the c16 bounded
+    // single-row reduction
+    "c54_tpch_q15" -> Set("SinglePartition"))
 
   test("no catalog query plans cartesian / nested-loop / single-partition shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -249,7 +253,11 @@ class PlanAuditSpec extends SparkSpec {
     "c51_recursive_cte" -> 2, // UnionLoop iterations + final min/count agg split
     "c52_ignore_nulls_window" -> 2, // one user-keyed window pass (both frames share it) + final sort
     "p09_quality_sweep" -> 2, // token-count scan + bounded cut-explode agg + 1-row normalizer
-    "sim32_assignment_churn" -> 2) // two map-only assignment scans + vec_id join + cells² agg
+    "sim32_assignment_churn" -> 2, // two map-only assignment scans + vec_id join + cells² agg
+    "c53_tpch_q7" -> 2, // one fact-fact order-key shuffle pair; both nation chains broadcast
+    "c54_tpch_q15" -> 3, // quarter revenue agg split + broadcast max equi-join; dimension broadcast
+    "c55_tpch_q13" -> 3, // customer-key left join + per-customer count + histogram agg
+    "e12_address_activity" -> 3) // address agg with exact distinct-tx expansion + final sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

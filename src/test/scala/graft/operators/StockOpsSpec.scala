@@ -571,4 +571,53 @@ class StockOpsSpec extends SparkSpec {
     assert(ev.exists(r => r._1 % 5 == 0), "fixture has no NULLed readings")
   }
 
+  test("c53: Q7 keeps both shipping directions, broadcasts both nation chains") {
+    val q = Catalog.byName("c53_tpch_q7").build(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "Q7 nation-filtered supplier/customer chains not broadcast")
+    val rows = q.collect()
+    assert(rows.nonEmpty, "Q7 empty at spec SF — nation pair degenerate")
+    val dirs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dirs.subsetOf(Set(("NATION_13", "NATION_19"), ("NATION_19", "NATION_13"))))
+    assert(dirs.size == 2, s"only one shipping direction present: $dirs")
+    rows.foreach(r => assert(r.getInt(2) == 1995 || r.getInt(2) == 1996))
+  }
+
+  test("c54: Q15 winners exactly achieve the quarter's maximum supplier revenue") {
+    val rows = Catalog.byName("c54_tpch_q15").build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // driver recompute of the revenue view in exact decimal
+    val rev = Catalog.t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .select("l_suppkey", "l_extendedprice", "l_discount").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map { r =>
+        val ep = BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        val di = BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        ep * (1 - di)
+      }.sum).toMap
+    val mx = rev.values.max
+    val winners = rev.collect { case (k, v) if v == mx => k }.toSet
+    assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == winners)
+    rows.foreach(r => assert(r.getAs[Double]("total_revenue") == mx.toDouble))
+  }
+
+  test("c55: Q13 histogram mass equals the customer count, zero bucket honest") {
+    val rows = Catalog.byName("c55_tpch_q13").build(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist")).toMap
+    val nCust = Catalog.t(spark, sfDir, "customer").count()
+    assert(rows.values.sum == nCust, "histogram does not cover every customer")
+    // the adapted exclusion keeps the zero bucket meaningful: a customer
+    // whose EVERY order is urgent must land in c_count = 0
+    val urgentOnly = Catalog.t(spark, sfDir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("u"))
+      .where(col("n") === col("u")).count()
+    val noOrders = nCust - Catalog.t(spark, sfDir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.getOrElse(0L, 0L) == noOrders + urgentOnly,
+      "zero bucket != order-less + urgent-only customers")
+  }
+
 }
