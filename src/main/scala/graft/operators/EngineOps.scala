@@ -449,6 +449,30 @@ object EngineOps {
                       COUNT(DISTINCT transactionHash) AS n_txs
                FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
                WHERE blockNumber <= 2999
-               GROUP BY address ORDER BY address"""))
+               GROUP BY address ORDER BY address""")),
+
+    // EVENT-SIGNATURE POPULARITY — which event types dominate the chain
+    // (the histogram behind every indexer's capacity plan, and the input
+    // to choosing e04's topic0 pushdown sets): per topic0 word, log count
+    // and distinct emitting contracts. One map-side-combined aggregate on
+    // a pruned 2-column scan; zero-topic (LOG0) rows are counted under an
+    // explicit bucket rather than dropped (the slice-clamp lesson — LOG0
+    // is legal on the real-RPC path). Output is |signatures| rows.
+    Q("e13_topic_histogram",
+      (s, d) => s.read.format("graft-eth").option("dataset", "logs")
+        .option("startBlock", "0").option("endBlock", "2999").load()
+        .select(
+          coalesce(expr("try_element_at(topics, 1)"), lit("(none)")).as("topic0"),
+          col("address"))
+        .groupBy("topic0")
+        .agg(count(lit(1)).as("n_logs"),
+          countDistinct(col("address")).as("n_contracts"))
+        .orderBy(desc("n_logs"), col("topic0")),
+      Some(s"""SELECT COALESCE(topics[1], '(none)') AS topic0,
+                      COUNT(*) AS n_logs,
+                      COUNT(DISTINCT address) AS n_contracts
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE blockNumber <= 2999
+               GROUP BY 1 ORDER BY n_logs DESC, topic0"""))
   )
 }

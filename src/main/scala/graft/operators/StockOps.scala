@@ -1588,7 +1588,45 @@ object StockOps {
                  FROM customer LEFT JOIN orders
                    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
                  GROUP BY c_custkey)
-              GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
+              GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // TPC-H Q17 (small-quantity-order revenue) — the decorrelated
+    // per-group-average shape: for one brand's parts, lineitems whose
+    // quantity is below 20% of that part's average quantity, priced as
+    // average yearly revenue. The correlated scalar subquery decorrelates
+    // into a per-part aggregate joined back (broadcast — it is
+    // |brand parts| rows); the 0.2·avg comparison is EXACT integer/decimal
+    // cross-multiplication (qty·5·count < Σqty — a float avg threshold
+    // would hang the gate on summation order). The fixture part table has
+    // no p_container, so the brand filter alone plays the original
+    // brand+container cut — same shape, one predicate fewer. Output is
+    // the 1-row report (allowlisted single-row reduction).
+    Q("c56_tpch_q17",
+      (s, d) => {
+        val brandParts = t(s, d, "part")
+          .where(col("p_brand") === "Brand#13").select("p_partkey")
+        val bli = t(s, d, "lineitem")
+          .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), dec(col("l_quantity")).as("qty"),
+            dec(col("l_extendedprice")).as("price"))
+        val pa = bli.groupBy("l_partkey")
+          .agg(sum("qty").as("sum_q"), count(lit(1)).as("c"))
+        bli.join(broadcast(pa), "l_partkey")
+          .where(col("qty") * 5 * col("c") < col("sum_q"))
+          .agg(count(lit(1)).as("n_small"),
+            (sum("price").cast(DoubleType) / 7.0).as("avg_yearly"))
+      },
+      Some("""WITH bli AS (
+                 SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,4)) AS qty,
+                        CAST(l_extendedprice AS DECIMAL(18,4)) AS price
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 WHERE p_brand = 'Brand#13'),
+                 pa AS (SELECT l_partkey, SUM(qty) AS sum_q, COUNT(*) AS c
+                        FROM bli GROUP BY 1)
+              SELECT COUNT(*) AS n_small,
+                     CAST(SUM(price) AS DOUBLE) / 7.0 AS avg_yearly
+              FROM bli JOIN pa USING (l_partkey)
+              WHERE qty * 5 * c < sum_q"""))
   )
 
 

@@ -1358,6 +1358,63 @@ object StreamShape {
                FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
                WHERE blockNumber <= 999
                ORDER BY blockNumber, logIndex"""),
+      bench = false),
+
+    // STREAMING ACCOUNT-ACTIVITY MAINTENANCE — e12's address card kept
+    // live (the x24/x26 maintenance series): each micro-batch reduces to
+    // per-address PARTIALS (count, min block, max block — a commutative
+    // monoid/semilattice triple, so partials from any batch split
+    // re-reduce to the batch truth) appended to a store; the distinct-tx
+    // side appends (address, txHash) pairs — set union, the one
+    // non-additive measure — deduplicated at read-out. The drained
+    // re-reduction must equal the batch aggregate over the same range,
+    // pinned against the independent chain dump. Per-batch state is
+    // |active addresses| rows, never the log history.
+    Q("x30_stream_address_activity",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val partStore = java.nio.file.Files.createTempDirectory("x30part").toString
+        val txStore = java.nio.file.Files.createTempDirectory("x30tx").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("x30ckpt").toString
+        val sq = s.readStream.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", "0").option("head", "999")
+          .option("maxBlocksPerTrigger", "250").load()
+          .select("address", "blockNumber", "transactionHash")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty) {
+              batch.groupBy("address")
+                .agg(count(lit(1)).as("n"), min("blockNumber").as("fb"),
+                  max("blockNumber").as("lb"))
+                .write.mode("append").parquet(partStore)
+              batch.select("address", "transactionHash").distinct()
+                .write.mode("append").parquet(txStore)
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fed = sq.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 3,
+          s"x30 drained in $fed micro-batch(es) — partial merging was not exercised")
+        val merged = s.read.parquet(partStore)
+          .groupBy("address")
+          .agg(sum("n").as("n_logs"), min("fb").as("first_block"),
+            max("lb").as("last_block"))
+        val txs = s.read.parquet(txStore).distinct()
+          .groupBy("address").agg(count(lit(1)).as("n_txs"))
+        merged.join(txs, "address")
+          .select("address", "n_logs", "first_block", "last_block", "n_txs")
+          .orderBy("address")
+      },
+      Some(s"""SELECT address, COUNT(*) AS n_logs,
+                      MIN(blockNumber) AS first_block,
+                      MAX(blockNumber) AS last_block,
+                      COUNT(DISTINCT transactionHash) AS n_txs
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE blockNumber <= 999
+               GROUP BY address ORDER BY address"""),
       bench = false)
   )
 }

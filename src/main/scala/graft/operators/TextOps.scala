@@ -1642,6 +1642,82 @@ object TextOps {
                      n_docs_kept * 1000000 // (SELECT docs FROM tot) AS doc_share_ppm,
                      n_tokens_kept * 1000000 // (SELECT toks FROM tot) AS tok_share_ppm
               FROM sw ORDER BY min_toks"""),
+      bench = false),
+
+    // REPRODUCIBILITY MANIFEST — the run certificate a pipeline owner
+    // files with every corpus release: per curation stage (raw → exact
+    // dedup → decontaminated → quality), the surviving doc count and an
+    // ORDER-FREE content checksum (Σ over kept docs of the 60-bit md5
+    // prefix, summed in exact DECIMAL(38,0) — commutative, so shard
+    // layout, retry order, and partitioning cannot change it; the sim05
+    // engine-exactness convention). Two runs of the pipeline match iff
+    // their manifests match, which makes silent divergence (a changed
+    // threshold, a dropped shard) a one-row diff instead of a forensic
+    // hunt. Stage predicates are the catalog's own (p08 dedup keep, d09
+    // contamination, t06 quality envelope), so the manifest certifies THE
+    // shipped pipeline, not a parallel reimplementation.
+    Q("p10_repro_manifest",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sig = docs.select(col("doc_id"),
+          conv(substring(md5(col("text").cast(BinaryType)), 1, 15), 16, 10)
+            .cast(LongType).as("sg"))
+          .localCheckpoint()
+        val keep = docs.groupBy(md5(col("text").cast(BinaryType)).as("dg"))
+          .agg(min("doc_id").as("doc_id")).select("doc_id")
+        val decont = keep.join(DedupOps.contaminatedIds(s, d), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val toks = tokens(col("text"))
+        val quality = docs
+          .withColumn("n_tokens", size(toks))
+          .withColumn("n_stop", countIn(col("text"), stopwords))
+          .withColumn("avg_token_len",
+            length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / col("n_tokens"))
+          .where(col("n_tokens").between(10, 500) &&
+            col("avg_token_len").between(2.0, 12.0) &&
+            (col("n_stop").cast(DoubleType) / col("n_tokens")) <= 0.6)
+          .select("doc_id")
+        def stage(ord: Int, name: String, ids: DataFrame) =
+          ids.join(sig, "doc_id")
+            .agg(count(lit(1)).as("n_docs"),
+              // read out as digits: exact at any corpus size (a double
+              // cast would round above 2^53 — identically, but why round)
+              sum(col("sg").cast(DecimalType(38, 0))).cast(StringType).as("checksum"))
+            .select(lit(ord).as("stage"), lit(name).as("stage_name"),
+              col("n_docs"), col("checksum"))
+        stage(1, "raw", docs.select("doc_id"))
+          .unionByName(stage(2, "exact_dedup", keep))
+          .unionByName(stage(3, "decontaminated", decont))
+          .unionByName(stage(4, "quality", decont.join(quality, "doc_id")))
+          .orderBy("stage")
+      },
+      Some(s"""WITH sig AS (SELECT doc_id,
+                                   CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS sg
+                            FROM documents),
+                 keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+                 ${DedupOps.sqlDecontCtes},
+                 dc AS (SELECT doc_id FROM keep
+                        WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+                 ql AS (SELECT doc_id
+                        FROM (SELECT *, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+                        WHERE len(toks) BETWEEN 10 AND 500
+                          AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 12.0
+                          AND CAST(${sqlCountIn(stopwords)} AS DOUBLE) / len(toks) <= 0.6),
+                 m AS (
+                   SELECT 1 AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs, SUM(sg) AS checksum
+                   FROM sig
+                   UNION ALL
+                   SELECT 2, 'exact_dedup', COUNT(*), SUM(sg)
+                   FROM keep JOIN sig USING (doc_id)
+                   UNION ALL
+                   SELECT 3, 'decontaminated', COUNT(*), SUM(sg)
+                   FROM dc JOIN sig USING (doc_id)
+                   UNION ALL
+                   SELECT 4, 'quality', COUNT(*), SUM(sg)
+                   FROM dc JOIN ql USING (doc_id) JOIN sig USING (doc_id))
+              SELECT stage, stage_name, n_docs,
+                     CAST(checksum AS VARCHAR) AS checksum
+              FROM m ORDER BY stage"""),
       bench = false)
   )
 }

@@ -24,6 +24,7 @@ class PlanAuditSpec extends SparkSpec {
     "x21_stream_outer_join", "x22_stream_kmv_merge", "x23_stream_partitioned_sink",
     "x24_stream_topk", "x25_stream_cdc_upsert", "x26_stream_ohlc",
     "x27_stream_hist_merge", "x28_stream_lsh_neardup", "x29_backfill_handoff",
+    "x30_stream_address_activity",
     // Arrow IPC roundtrip: the build writes+reads IPC files eagerly; the
     // returned frame is a bounded local relation (scan itself is audited
     // via e01's plan — same connector path)
@@ -105,7 +106,11 @@ class PlanAuditSpec extends SparkSpec {
     // Q15's scalar max: a 1-row global aggregate whose broadcast feeds an
     // EQUI-join on the revenue value (not a nested loop) — the c16 bounded
     // single-row reduction
-    "c54_tpch_q15" -> Set("SinglePartition"))
+    "c54_tpch_q15" -> Set("SinglePartition"),
+    // Q17's answer IS one row (the single-row-report shape)
+    "c56_tpch_q17" -> Set("SinglePartition"),
+    // manifest: four 1-row stage certificates unioned (the p06 shape)
+    "p10_repro_manifest" -> Set("SinglePartition"))
 
   test("no catalog query plans cartesian / nested-loop / single-partition shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -257,7 +262,10 @@ class PlanAuditSpec extends SparkSpec {
     "c53_tpch_q7" -> 2, // one fact-fact order-key shuffle pair; both nation chains broadcast
     "c54_tpch_q15" -> 3, // quarter revenue agg split + broadcast max equi-join; dimension broadcast
     "c55_tpch_q13" -> 3, // customer-key left join + per-customer count + histogram agg
-    "e12_address_activity" -> 3) // address agg with exact distinct-tx expansion + final sort
+    "e12_address_activity" -> 3, // address agg with exact distinct-tx expansion + final sort
+    "c56_tpch_q17" -> 1, // brand parts broadcast; one per-part agg (broadcast back); 1-row report
+    "p10_repro_manifest" -> 1, // stage id-joins broadcast at spec SF; four 1-row certificates
+    "e13_topic_histogram" -> 3) // signature agg with exact distinct-contract expansion + sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

@@ -620,4 +620,25 @@ class StockOpsSpec extends SparkSpec {
       "zero bucket != order-less + urgent-only customers")
   }
 
+  test("c56: Q17 small-quantity cut matches an exact-decimal driver recompute") {
+    val parts = Catalog.t(spark, sfDir, "part")
+      .where(col("p_brand") === "Brand#13").select("p_partkey").collect()
+      .map(_.getLong(0)).toSet
+    val li = Catalog.t(spark, sfDir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .filter(r => parts(r.getLong(0)))
+      .map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+    val perPart = li.groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._2).sum, rs.size)).toMap
+    val small = li.filter { case (p, q, _) =>
+      val (sumQ, c) = perPart(p); q * 5 * c < sumQ
+    }
+    val r = Catalog.byName("c56_tpch_q17").build(spark, sfDir).head()
+    assert(r.getAs[Long]("n_small") == small.length.toLong)
+    assert(r.getAs[Double]("avg_yearly") == small.map(_._3).sum.toDouble / 7.0)
+    assert(small.nonEmpty, "Q17 cut degenerate at spec SF")
+  }
+
 }

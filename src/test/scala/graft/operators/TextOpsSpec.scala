@@ -435,4 +435,38 @@ class TextOpsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("p10 manifest: stages shrink, checksums are the exact driver sums over kept ids") {
+    val m = Catalog.byName("p10_repro_manifest").build(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2), BigInt(r.getString(3)))).toMap
+    assert(m.keySet == Set(1, 2, 3, 4))
+    assert(m(1)._2 >= m(2)._2 && m(2)._2 >= m(3)._2 && m(3)._2 >= m(4)._2,
+      "stage doc counts must be non-increasing")
+    // driver recompute of every stage's id set and checksum
+    val docs = Catalog.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def sig(text: String): BigInt = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      BigInt(h.take(15), 16)
+    }
+    val sigs = docs.map { case (id, tx) => id -> sig(tx) }.toMap
+    val keep = docs.groupBy(d => java.security.MessageDigest.getInstance("MD5")
+        .digest(d._2.getBytes("UTF-8")).toSeq)
+      .values.map(_.map(_._1).min).toSet
+    val cont = DedupOps.contaminatedIds(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val dc = keep -- cont
+    def check(stage: Int, ids: Set[Long]): Unit = {
+      assert(m(stage)._2 == ids.size.toLong, s"stage $stage count")
+      assert(m(stage)._3 == ids.toSeq.map(sigs).sum, s"stage $stage checksum")
+    }
+    check(1, docs.map(_._1).toSet)
+    check(2, keep)
+    check(3, dc)
+    // stage 4 = stage 3 ∩ the t06 quality envelope (its own gate entry)
+    val ql = Catalog.byName("t06_quality_filter").build(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    check(4, dc intersect ql)
+  }
 }

@@ -206,4 +206,31 @@ class EthSourceSpec extends SparkSpec {
         s"epoch ${r.getAs[Long]("epoch")}")
     }
   }
+
+  test("e12/e13: address cards and topic histogram == a driver-side chain walk") {
+    val rpc = new SyntheticRpc(42, 10000)
+    val logs = rpc.getLogs(0, 2999, Seq.empty, Seq.empty)
+    val byAddr = logs.groupBy(_.address)
+    val cards = graft.operators.Catalog.byName("e12_address_activity")
+      .build(spark, sfDir).collect()
+    assert(cards.length == byAddr.size)
+    cards.foreach { r =>
+      val ls = byAddr(r.getAs[String]("address"))
+      assert(r.getAs[Long]("n_logs") == ls.size.toLong)
+      assert(r.getAs[Long]("first_block") == ls.map(_.blockNumber).min)
+      assert(r.getAs[Long]("last_block") == ls.map(_.blockNumber).max)
+      assert(r.getAs[Long]("n_txs") == ls.map(_.transactionHash).distinct.size.toLong)
+    }
+    val hist = graft.operators.Catalog.byName("e13_topic_histogram")
+      .build(spark, sfDir).collect()
+    val byTopic = logs.groupBy(_.topics.headOption.getOrElse("(none)"))
+    assert(hist.length == byTopic.size)
+    hist.foreach { r =>
+      val ls = byTopic(r.getAs[String]("topic0"))
+      assert(r.getAs[Long]("n_logs") == ls.size.toLong)
+      assert(r.getAs[Long]("n_contracts") == ls.map(_.address).distinct.size.toLong)
+    }
+    // the histogram covers every log exactly once
+    assert(hist.map(_.getAs[Long]("n_logs")).sum == logs.size.toLong)
+  }
 }
