@@ -2089,6 +2089,35 @@ object SimilarityOps {
                       COUNT(*) AS n_vecs
                FROM a1 x JOIN a2 y USING (vec_id)
                GROUP BY 1, 2 ORDER BY 1, 2"""),
+      bench = false),
+
+    // CELL-BALANCE REPORT — the serving-capacity audit of the trained
+    // quantizer (k08's skew diagnosis applied to the IVF index): per cell,
+    // its member count, corpus share in exact ppm, and whether it is HOT
+    // (more than 2× the perfectly-even share — the cells that become
+    // probe-latency stragglers and, at 100 TB, the ones a deployment
+    // splits or re-seeds). One map-only trained-assignment scan + a
+    // cells-sized aggregate + the 1-row total normalizer (c16 pattern,
+    // allowlisted); the hot test is exact integer cross-multiplication.
+    // The oracle replays the two-iteration training trajectory.
+    Q("sim33_cell_balance",
+      (s, d) => {
+        val a2 = assignCells(withNorm(s, d), trainedCentroids(s, d, iters = 2))
+        val per = a2.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        val tot = per.agg(sum("n_vecs").as("__n"), count(lit(1)).as("__cells"))
+        per.crossJoin(broadcast(tot))
+          .select(col("cell"), col("n_vecs"),
+            expr("n_vecs * 1000000 div __n").as("share_ppm"),
+            (col("n_vecs") * col("__cells") > col("__n") * 2).as("is_hot"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH $sqlTrainedAssignCtes,
+                 per AS (SELECT cell, COUNT(*) AS n_vecs FROM a2 GROUP BY 1),
+                 tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n, COUNT(*) AS cells FROM per)
+               SELECT CAST(cell AS INT) AS cell, n_vecs,
+                      n_vecs * 1000000 // (SELECT n FROM tot) AS share_ppm,
+                      n_vecs * (SELECT cells FROM tot) > (SELECT n FROM tot) * 2 AS is_hot
+               FROM per ORDER BY cell"""),
       bench = false)
   )
 

@@ -1415,6 +1415,82 @@ object StreamShape {
                FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
                WHERE blockNumber <= 999
                GROUP BY address ORDER BY address"""),
+      bench = false),
+
+    // STREAMING FORWARD FILL — c52's LOCF column maintained LIVE: sensor
+    // readings arrive in event-time order (staged as a time-split feed,
+    // one file per micro-batch), every 5th reading is NULL, and each
+    // emitted row carries the latest real value so far — the ValueState
+    // holds exactly ONE row per user (the last real observation), so
+    // state is |users|, never history. The fill genuinely crosses the
+    // batch boundary: a user whose batch-2 prefix is all-NULL must be
+    // filled from batch-1 state (asserted in-query). Oracle: the batch
+    // LAST_VALUE IGNORE NULLS — engine and oracle agree row-for-row or
+    // the stateful handoff is broken.
+    Q("x31_stream_locf",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = s"x31_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x31ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x31src").toString
+        val base = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+            when(pmod(col("event_id"), lit(5L)) =!= 0L, col("value")).as("v"))
+        val Array(lo, hi) = base.agg(min("us"), max("us")).head() match {
+          case r => Array(r.getLong(0), r.getLong(1))
+        }
+        val mid = lo + (hi - lo) / 2
+        base.where(col("us") < mid).coalesce(1).write.parquet(s"$srcDir/b0")
+        base.where(col("us") >= mid).coalesce(1).write.parquet(s"$srcDir/b1")
+        val providerConf = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerConf)
+        s.conf.set(providerConf,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import s.implicits._
+          val in = s.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(srcDir)
+            .as[graft.streaming.StreamOps.LocfEvent]
+          val sq = graft.streaming.StreamOps.locfStream(in).toDF()
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .start()
+          sq.awaitTermination()
+          val fed = sq.recentProgress.count(_.numInputRows > 0)
+          require(fed >= 2,
+            s"x31 drained in $fed micro-batch(es) — the cross-batch fill was not exercised")
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set(providerConf, p)
+            case None => s.conf.unset(providerConf)
+          }
+        }
+        // cross-batch handoff is genuinely exercised: some user's first
+        // batch-2 reading is NULL (its fill can only come from batch-1
+        // state)
+        val firstB2 = base.where(col("us") >= mid)
+          .groupBy(col("user_id").as("u2"))
+          .agg(min(struct(col("us"), col("event_id"))).as("f"))
+        val nullFirst = base.join(firstB2,
+            col("user_id") === col("u2") &&
+              col("us") === col("f.us") && col("event_id") === col("f.event_id"))
+          .where(col("v").isNull).count()
+        require(nullFirst > 0,
+          "no user opens batch 2 with a NULL reading — the stateful fill path is vacuous")
+        s.table(name).select("event_id", "user_id", "filled").orderBy("event_id")
+      },
+      Some("""WITH base AS (
+                 SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+                        CASE WHEN event_id % 5 <> 0 THEN value END AS v
+                 FROM events)
+              SELECT event_id, user_id,
+                     LAST_VALUE(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+              FROM base ORDER BY event_id"""),
       bench = false)
   )
 }

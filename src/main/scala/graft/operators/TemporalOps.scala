@@ -513,6 +513,44 @@ object TemporalOps {
                       n - (LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day)) AS delta,
                       CAST((n - (LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day))) * 1000000 AS DOUBLE)
                         / (LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day)) AS delta_ppm
-               FROM daily ORDER BY event_type, day"""))
+               FROM daily ORDER BY event_type, day""")),
+
+    // RETENTION COHORTS — the classic product-analytics triangle: users
+    // grouped by their FIRST active day (the cohort), then for each later
+    // day-offset, how many of that cohort came back, as exact ppm of the
+    // cohort's size. Scale shape: (user, day) activity dedups in one
+    // user-keyed aggregate; each user's cohort day is a co-partitioned
+    // MIN (same key — no extra shuffle class); the triangle is one
+    // map-side-combined aggregate whose output is ≤ days² rows no matter
+    // the event volume. Offset-0 retention is 1.0 by construction — kept
+    // in the output as the self-check row.
+    Q("r09_retention_cohorts",
+      (s, d) => {
+        val act = t(s, d, "events")
+          .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("day"))
+          .distinct()
+        val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+        val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+        act.join(cohort, "user_id")
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), "cohort_day")
+          .select(col("cohort_day"), col("day_offset"), col("n_active"),
+            col("cohort_size"),
+            expr("n_active * 1000000 div cohort_size").as("retention_ppm"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some(s"""WITH act AS (SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // $DayUs AS day
+                            FROM events),
+                 cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1),
+                 sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM cohort GROUP BY 1),
+                 tri AS (SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+                                COUNT(*) AS n_active
+                         FROM act a JOIN cohort c USING (user_id)
+                         GROUP BY 1, 2)
+              SELECT cohort_day, day_offset, n_active, cohort_size,
+                     n_active * 1000000 // cohort_size AS retention_ppm
+              FROM tri JOIN sizes USING (cohort_day)
+              ORDER BY cohort_day, day_offset"""))
   )
 }

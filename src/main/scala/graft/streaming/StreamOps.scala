@@ -112,6 +112,53 @@ object StreamOps {
     }
   }
 
+  // ---- custom state v3: streaming LOCF (forward fill) ----
+
+  final case class LocfEvent(user_id: Long, event_id: Long, us: Long, v: Option[Double])
+  final case class LocfLast(us: Long, event_id: Long, v: Double)
+  final case class LocfFilled(event_id: Long, user_id: Long, filled: Option[Double])
+
+  /** Streaming last-observation-carried-forward: every reading (NULLs
+    * included) is emitted with the latest non-NULL value at or before it
+    * in the per-user (us, event_id) order — c52's `filled` column
+    * maintained live via a ValueState carrying ONE row per user (the last
+    * real observation). Within a micro-batch the iterator is unordered, so
+    * the batch's rows are sorted per key before folding — bounded by the
+    * key's rows in ONE batch (trigger sizing bounds it at scale), never by
+    * the stream's history. Cross-batch correctness requires deliveries to
+    * respect per-user event-time order (the x31 gate stages a time-split
+    * feed; out-of-order arrivals would need the r04 batch backfill
+    * instead).
+    */
+  class LocfProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, LocfEvent, LocfFilled] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ValueState}
+    @transient private var last: ValueState[LocfLast] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LocfLast](
+        "last_real", org.apache.spark.sql.Encoders.product[LocfLast], TTLConfig.NONE)
+    override def handleInputRows(user: Long, events: Iterator[LocfEvent],
+        tv: TimerValues): Iterator[LocfFilled] = {
+      var cur: Option[LocfLast] = if (last.exists()) Some(last.get()) else None
+      val out = events.toSeq.sortBy(e => (e.us, e.event_id)).map { e =>
+        e.v.foreach(v => cur = Some(LocfLast(e.us, e.event_id, v)))
+        LocfFilled(e.event_id, user, cur.map(_.v))
+      }
+      cur.foreach(last.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming forward fill via [[LocfProcessor]] (x31's engine path). */
+  def locfStream(events: Dataset[LocfEvent]): Dataset[LocfFilled] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new LocfProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Per-address activity via [[AddrActivityProcessor]]; semantics pinned
     * identical to [[addressActivity]] (x10 shares x07's oracle).
     */

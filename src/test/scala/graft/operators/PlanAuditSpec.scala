@@ -24,7 +24,7 @@ class PlanAuditSpec extends SparkSpec {
     "x21_stream_outer_join", "x22_stream_kmv_merge", "x23_stream_partitioned_sink",
     "x24_stream_topk", "x25_stream_cdc_upsert", "x26_stream_ohlc",
     "x27_stream_hist_merge", "x28_stream_lsh_neardup", "x29_backfill_handoff",
-    "x30_stream_address_activity",
+    "x30_stream_address_activity", "x31_stream_locf",
     // Arrow IPC roundtrip: the build writes+reads IPC files eagerly; the
     // returned frame is a bounded local relation (scan itself is audited
     // via e01's plan — same connector path)
@@ -110,7 +110,10 @@ class PlanAuditSpec extends SparkSpec {
     // Q17's answer IS one row (the single-row-report shape)
     "c56_tpch_q17" -> Set("SinglePartition"),
     // manifest: four 1-row stage certificates unioned (the p06 shape)
-    "p10_repro_manifest" -> Set("SinglePartition"))
+    "p10_repro_manifest" -> Set("SinglePartition"),
+    // cell report: 1-row totals normalizer crossJoined onto the ≤cells
+    // rows (the c16/t15 bounded-normalizer pattern)
+    "sim33_cell_balance" -> Set("SinglePartition", "BroadcastNestedLoopJoin"))
 
   test("no catalog query plans cartesian / nested-loop / single-partition shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -265,7 +268,9 @@ class PlanAuditSpec extends SparkSpec {
     "e12_address_activity" -> 3, // address agg with exact distinct-tx expansion + final sort
     "c56_tpch_q17" -> 1, // brand parts broadcast; one per-part agg (broadcast back); 1-row report
     "p10_repro_manifest" -> 1, // stage id-joins broadcast at spec SF; four 1-row certificates
-    "e13_topic_histogram" -> 3) // signature agg with exact distinct-contract expansion + sort
+    "e13_topic_histogram" -> 3, // signature agg with exact distinct-contract expansion + sort
+    "r09_retention_cohorts" -> 6, // (user,day) dedup + cohort min + triangle agg + sizes + sort
+    "sim33_cell_balance" -> 3) // map-only assignment + cells agg split + final sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

@@ -488,4 +488,22 @@ class SimilarityOpsSpec extends SparkSpec {
     val stable = churn.collect { case ((a, b), c) if a == b => c }.sum
     assert(stable > 0, "no stable mass at all — degenerate training")
   }
+
+  test("sim33 balance report: conserves mass, shares floor to ppm, hot law exact") {
+    val corpus = SimilarityOps.withNorm(spark, sfDir)
+    val n = corpus.count()
+    val hist = SimilarityOps.assignCells(corpus,
+        SimilarityOps.trainedCentroids(spark, sfDir, 2))
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = Catalog.byName("sim33_cell_balance").build(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == n)
+    val cells = rows.length.toLong
+    rows.foreach { r =>
+      val nv = r.getAs[Long]("n_vecs")
+      assert(nv == hist(r.getAs[Int]("cell")))
+      assert(r.getAs[Long]("share_ppm") == nv * 1000000L / n)
+      assert(r.getAs[Boolean]("is_hot") == (nv * cells > n * 2))
+    }
+  }
 }

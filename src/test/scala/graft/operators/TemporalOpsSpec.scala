@@ -248,4 +248,25 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).sum == events.length.toLong)
   }
 
+  test("r09 retention triangle matches a driver-side recompute; offset 0 is full retention") {
+    val act = events.map(e => (e._2, e._3 / TemporalOps.DayUs)).distinct
+    val cohort = act.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tri = act.groupBy { case (u, day) => (cohort(u), day - cohort(u)) }
+      .view.mapValues(_.size.toLong).toMap
+    val got = Catalog.byName("r09_retention_cohorts").build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == tri.keySet)
+    got.foreach { case ((cd, off), (n, sz, ppm)) =>
+      assert(n == tri((cd, off)), s"n_active at ($cd, $off)")
+      assert(sz == sizes(cd), s"cohort_size at $cd")
+      assert(ppm == n * 1000000L / sz, s"retention_ppm at ($cd, $off)")
+    }
+    // offset 0 must be exactly full retention for every cohort
+    sizes.keys.foreach(cd => assert(got((cd, 0L))._3 == 1000000L, s"cohort $cd day-0"))
+    // the triangle is genuinely populated beyond day 0
+    assert(got.keys.exists(_._2 > 0), "no returning users — fixture degenerate")
+  }
+
 }
