@@ -8,7 +8,7 @@ object ScratchCount {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
-    val names = Seq("r09_retention_cohorts", "sim33_cell_balance")
+    val names = Seq("c57_lambda_funcs", "g10_personalized_pagerank")
     names.foreach { n =>
       val df = graft.operators.Catalog.byName(n).build(spark, "/root/testdata/sf0.001")
       val plan = df.queryExecution.executedPlan.toString

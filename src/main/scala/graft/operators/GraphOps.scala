@@ -39,8 +39,8 @@ object GraphOps {
   /** Damping: mass' = 0.15·Scale + 0.85·(incoming contributions), in exact
     * integer cross-multiplication form.
     */
-  private val DampNum = 85L
-  private val BaseMass = 150000L // (100-85)/100 * Scale
+  private[operators] val DampNum = 85L
+  private[operators] val BaseMass = 150000L // (100-85)/100 * Scale
 
   /** The derived edge table: (src, dst) with multiplicity, OutDeg rows per
     * doc. dst = md5("src#slot") taken as a 60-bit integer, mod n. A
@@ -142,6 +142,13 @@ object GraphOps {
     * the oracle string both interpolate it at init.
     */
   val ReachDepth = 3
+
+  /** g10's personalization: every PprSeedMod-th doc is a seed, and ALL
+    * teleport mass lands on the seed set (per-seed base = BaseMass ·
+    * PprSeedMod keeps total teleport mass equal to g01's). Declared
+    * before `val all` — the oracle interpolates both.
+    */
+  val PprSeedMod = 100L
 
   val all: Seq[Q] = Seq(
     // PAGERANK — 3 damped integer-mass iterations over the derived link
@@ -518,6 +525,59 @@ object GraphOps {
                    FROM reach r JOIN e ON e.src = r.node
                    WHERE r.depth < $ReachDepth)
                SELECT node, MIN(depth) AS min_depth, COUNT(*) AS n_walks
-               FROM reach GROUP BY node ORDER BY node"""))
+               FROM reach GROUP BY node ORDER BY node""")),
+
+    // PERSONALIZED PAGERANK — g01 with the teleport vector concentrated
+    // on a SEED set (every PprSeedMod-th doc): relevance FROM the seeds'
+    // point of view, the similar-page / recommendation ranking (and, in a
+    // curation pipeline, "how close is this document to the trusted
+    // set"). Same integer-exact Pregel-as-relational loop as g01 — one
+    // equi-join + one map-side-combined aggregate per round — only the
+    // base-mass term changes: seeds get BaseMass·PprSeedMod, non-seeds 0,
+    // so total teleport mass matches g01's and masses stay comparable.
+    // Initial mass is the teleport distribution itself (the standard PPR
+    // start). Nodes unreachable from the seeds in 3 hops legitimately
+    // hold mass 0 — the locality that distinguishes PPR from global
+    // PageRank (asserted non-degenerate in the spec).
+    Q("g10_personalized_pagerank",
+      (s, d) => {
+        val n = nodeCount(s, d)
+        val docs = t(s, d, "documents")
+        val edges = linkEdges(docs, n)
+        val seedBase = when(col("doc_id") % PprSeedMod === 0,
+          lit(BaseMass * PprSeedMod)).otherwise(lit(0L))
+        val m0 = docs.select(col("doc_id"),
+          when(col("doc_id") % PprSeedMod === 0, lit(Scale * PprSeedMod))
+            .otherwise(lit(0L)).as("mass"))
+        val m3 = (1 to 3).foldLeft(m0) { (m, _) =>
+          val in = edges.join(m.withColumnRenamed("doc_id", "src"), "src")
+            .select(col("dst").as("doc_id"), expr(s"mass div $OutDeg").as("c"))
+            .groupBy("doc_id").agg(sum("c").as("s"))
+          docs.select("doc_id").join(in, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (seedBase + expr(s"$DampNum * coalesce(s, 0L) div 100")).as("mass"))
+        }
+        m3.select(col("doc_id"), col("mass").cast(LongType).as("mass"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def iter(i: Int): String =
+          s"""g$i AS (SELECT e.dst AS doc_id, SUM(m.mass // $OutDeg) AS s
+                      FROM e JOIN m${i - 1} m ON m.doc_id = e.src GROUP BY e.dst),
+              m$i AS (SELECT d.doc_id,
+                             CAST(CASE WHEN d.doc_id % $PprSeedMod = 0
+                                       THEN ${BaseMass * PprSeedMod} ELSE 0 END
+                                  + ($DampNum * COALESCE(g.s, 0)) // 100 AS BIGINT) AS mass
+                      FROM documents d LEFT JOIN g$i g USING (doc_id))"""
+        s"""WITH $sqlEdges,
+               m0 AS (SELECT doc_id,
+                             CAST(CASE WHEN doc_id % $PprSeedMod = 0
+                                       THEN ${Scale * PprSeedMod} ELSE 0 END AS BIGINT) AS mass
+                      FROM documents),
+               ${iter(1)},
+               ${iter(2)},
+               ${iter(3)}
+             SELECT doc_id, mass FROM m3 ORDER BY doc_id"""
+      })
   )
 }

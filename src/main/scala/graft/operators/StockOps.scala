@@ -1626,7 +1626,37 @@ object StockOps {
               SELECT COUNT(*) AS n_small,
                      CAST(SUM(price) AS DOUBLE) / 7.0 AS avg_yearly
               FROM bli JOIN pa USING (l_partkey)
-              WHERE qty * 5 * c < sum_q"""))
+              WHERE qty * 5 * c < sum_q""")),
+
+    // HIGHER-ORDER LAMBDA FUNCTIONS — Catalyst's lambda family
+    // (transform / filter / aggregate / zip_with / forall) against
+    // DuckDB's list lambdas, on INTEGER arrays derived from event ids so
+    // every value compares exactly. These are the per-row array programs
+    // a pipeline writes instead of exploding (no row multiplication, no
+    // shuffle — one projection at any scale); the catalog's hot paths
+    // replace them with codegen'd kernels (NOTES: HOFs evaluate
+    // interpreted per element), so this entry pins the SEMANTICS while
+    // the kernels own the throughput.
+    Q("c57_lambda_funcs",
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"), expr("sequence(1L, event_id % 8 + 2)").as("arr"))
+        .select(
+          col("event_id"),
+          expr("transform(arr, x -> x * x)").as("squares"),
+          expr("filter(arr, x -> x % 2 = 0)").as("evens"),
+          expr("aggregate(arr, 0L, (acc, x) -> acc + x * x)").as("sum_sq"),
+          expr("zip_with(arr, reverse(arr), (a, b) -> a * b)").as("palindrome_prod"),
+          expr("forall(arr, x -> x > 0)").as("all_pos"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     list_transform(r, x -> x * x) AS squares,
+                     list_filter(r, x -> x % 2 = 0) AS evens,
+                     CAST(list_aggregate(list_transform(r, x -> x * x), 'sum') AS BIGINT) AS sum_sq,
+                     list_transform(range(1, len(r) + 1),
+                                    i -> r[i] * r[len(r) - i + 1]) AS palindrome_prod,
+                     len(list_filter(r, x -> x <= 0)) = 0 AS all_pos
+              FROM (SELECT event_id, range(1, event_id % 8 + 3) AS r FROM events)
+              ORDER BY event_id"""))
   )
 
 

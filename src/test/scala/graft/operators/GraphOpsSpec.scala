@@ -189,4 +189,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum == geom, s"walk mass != $geom")
     assert(got(0L)._1 == 0, "seed node must report depth 0")
   }
+
+  test("g10 personalized pagerank == driver trajectory; mass is seed-local") {
+    val docs = Catalog.t(spark, sfDir, "documents")
+    val n = docs.count()
+    val edges = GraphOps.linkEdges(docs, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val seedMass = GraphOps.Scale * GraphOps.PprSeedMod
+    val seedBase = GraphOps.BaseMass * GraphOps.PprSeedMod
+    var m = ids.map(id => id -> (if (id % GraphOps.PprSeedMod == 0) seedMass else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val in = scala.collection.mutable.Map.empty[Long, Long]
+      edges.foreach { case (src, dst) =>
+        in(dst) = in.getOrElse(dst, 0L) + m(src) / GraphOps.OutDeg
+      }
+      m = ids.map { id =>
+        val base = if (id % GraphOps.PprSeedMod == 0) seedBase else 0L
+        id -> (base + GraphOps.DampNum * in.getOrElse(id, 0L) / 100)
+      }.toMap
+    }
+    val got = Catalog.byName("g10_personalized_pagerank").build(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == m)
+    // the personalization is genuinely local: unreached nodes hold 0 mass
+    assert(got.values.count(_ == 0L) > 0, "no zero-mass node — PPR degenerated to global PR")
+    // and every seed keeps at least its own teleport mass
+    ids.filter(_ % GraphOps.PprSeedMod == 0)
+      .foreach(sd => assert(got(sd) >= seedBase, s"seed $sd below teleport base"))
+  }
 }

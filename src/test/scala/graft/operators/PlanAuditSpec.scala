@@ -270,7 +270,9 @@ class PlanAuditSpec extends SparkSpec {
     "p10_repro_manifest" -> 1, // stage id-joins broadcast at spec SF; four 1-row certificates
     "e13_topic_histogram" -> 3, // signature agg with exact distinct-contract expansion + sort
     "r09_retention_cohorts" -> 6, // (user,day) dedup + cohort min + triangle agg + sizes + sort
-    "sim33_cell_balance" -> 3) // map-only assignment + cells agg split + final sort
+    "sim33_cell_balance" -> 3, // map-only assignment + cells agg split + final sort
+    "c57_lambda_funcs" -> 1, // map-only per-row array programs + final sort
+    "g10_personalized_pagerank" -> 7) // 3 iterations x (edge join + dst agg collapse) + final sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
