@@ -49,9 +49,9 @@ object Verify {
       .coalesce(1).write.mode("overwrite").parquet(s"$ChainDumpDir/reorg_logs.parquet")
     val blocks = (0L to 999L).flatMap(rpc.getBlock).map { b =>
       (b.number, new java.math.BigInteger(b.totalDifficulty.stripPrefix("0x"), 16).longValueExact(),
-        b.gasUsed, b.transactions.size)
+        b.gasUsed, b.transactions.size, b.timestamp)
     }
-    blocks.toDF("number", "td_dec", "gasUsed", "n_tx")
+    blocks.toDF("number", "td_dec", "gasUsed", "n_tx", "timestamp")
       .coalesce(1).write.mode("overwrite").parquet(s"$ChainDumpDir/blocks.parquet")
   }
 

@@ -473,6 +473,45 @@ object EngineOps {
                       COUNT(DISTINCT address) AS n_contracts
                FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
                WHERE blockNumber <= 2999
-               GROUP BY 1 ORDER BY n_logs DESC, topic0"""))
+               GROUP BY 1 ORDER BY n_logs DESC, topic0""")),
+
+    // BLOCK CADENCE — chain-health telemetry (is block production on
+    // schedule?): inter-block time gaps folded to per-100-block-epoch
+    // stats. The consecutive-block pairing is an EQUI-JOIN of the blocks
+    // scan with itself shifted by one (number = prev.number + 1) — never
+    // a global-order window, which would funnel the whole chain through
+    // one task (the c19/t20 smell); at any chain length the join
+    // co-partitions on the block number. Gaps are exact integer seconds.
+    Q("e14_block_cadence",
+      (s, d) => {
+        def scan = s.read.format("graft-eth").option("dataset", "blocks")
+          .option("startBlock", "0").option("endBlock", "999").load()
+          .select(col("number"), col("timestamp"),
+            size(col("transactions")).cast(LongType).as("n_tx"))
+        val prev = scan.select((col("number") + 1).as("number"),
+          col("timestamp").as("prev_ts"))
+        scan.join(prev, "number")
+          .select(expr("number div 100").as("epoch"),
+            (col("timestamp") - col("prev_ts")).as("gap"), col("n_tx"))
+          .groupBy("epoch")
+          .agg(count(lit(1)).as("n_gaps"),
+            sum("gap").as("gap_total"),
+            min("gap").as("gap_min"),
+            max("gap").as("gap_max"),
+            // throughput: tx landed per 1000 s of wall time — the column
+            // that actually varies on the fixed-cadence synthetic chain
+            expr("sum(n_tx) * 1000 div sum(gap)").as("tx_per_ksec"))
+          .orderBy("epoch")
+      },
+      Some(s"""WITH b AS (SELECT number, timestamp, n_tx
+                          FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet'
+                          WHERE number <= 999),
+                 g AS (SELECT cur.number, cur.timestamp - prv.timestamp AS gap, cur.n_tx
+                       FROM b cur JOIN b prv ON cur.number = prv.number + 1)
+               SELECT number // 100 AS epoch, COUNT(*) AS n_gaps,
+                      CAST(SUM(gap) AS BIGINT) AS gap_total,
+                      MIN(gap) AS gap_min, MAX(gap) AS gap_max,
+                      CAST(SUM(n_tx) * 1000 // SUM(gap) AS BIGINT) AS tx_per_ksec
+               FROM g GROUP BY 1 ORDER BY epoch"""))
   )
 }

@@ -1718,6 +1718,44 @@ object TextOps {
               SELECT stage, stage_name, n_docs,
                      CAST(checksum AS VARCHAR) AS checksum
               FROM m ORDER BY stage"""),
+      bench = false),
+
+    // VALIDATION QUARANTINE — the dead-letter split every ingest pipeline
+    // runs before anything downstream trusts the data: each event is
+    // checked against a battery (value cap, JSON-field range, timestamp
+    // window), rows failing ANY check are quarantined, and the report
+    // counts each reason separately (reasons overlap, so Σ reasons ≥
+    // quarantined). One map-only pass + one aggregate — the checks are
+    // codegen'd conditionals, never a per-rule scan. The ts-window check
+    // passes everywhere on this fixture (count 0) — kept as the negative
+    // control proving the battery CAN pass. get_json_object mirrors
+    // DuckDB's json_extract on the same stored string.
+    Q("p11_quarantine",
+      (s, d) => t(s, d, "events")
+        .select(
+          (col("value") > 150.0).as("r_cap"),
+          (get_json_object(col("props"), "$.k").cast(LongType) > 90L).as("r_k"),
+          (col("ts") < lit("2024-01-01").cast(TimestampType) ||
+            col("ts") >= lit("2024-03-01").cast(TimestampType)).as("r_ts"))
+        .agg(
+          sum(when(col("r_cap"), 1L).otherwise(0L)).as("n_value_above_cap"),
+          sum(when(col("r_k"), 1L).otherwise(0L)).as("n_k_out_of_range"),
+          sum(when(col("r_ts"), 1L).otherwise(0L)).as("n_ts_out_of_window"),
+          sum(when(col("r_cap") || col("r_k") || col("r_ts"), 1L).otherwise(0L))
+            .as("n_quarantined"),
+          sum(when(!(col("r_cap") || col("r_k") || col("r_ts")), 1L).otherwise(0L))
+            .as("n_passed")),
+      Some("""WITH checks AS (
+                 SELECT value > 150.0 AS r_cap,
+                        CAST(json_extract_string(props, '$.k') AS BIGINT) > 90 AS r_k,
+                        ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2024-03-01' AS r_ts
+                 FROM events)
+              SELECT CAST(SUM(CASE WHEN r_cap THEN 1 ELSE 0 END) AS BIGINT) AS n_value_above_cap,
+                     CAST(SUM(CASE WHEN r_k THEN 1 ELSE 0 END) AS BIGINT) AS n_k_out_of_range,
+                     CAST(SUM(CASE WHEN r_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_out_of_window,
+                     CAST(SUM(CASE WHEN r_cap OR r_k OR r_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+                     CAST(SUM(CASE WHEN NOT (r_cap OR r_k OR r_ts) THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+              FROM checks"""),
       bench = false)
   )
 }

@@ -113,7 +113,9 @@ class PlanAuditSpec extends SparkSpec {
     "p10_repro_manifest" -> Set("SinglePartition"),
     // cell report: 1-row totals normalizer crossJoined onto the ≤cells
     // rows (the c16/t15 bounded-normalizer pattern)
-    "sim33_cell_balance" -> Set("SinglePartition", "BroadcastNestedLoopJoin"))
+    "sim33_cell_balance" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
+    // quarantine report: the answer IS one row (the c56/a12 shape)
+    "p11_quarantine" -> Set("SinglePartition"))
 
   test("no catalog query plans cartesian / nested-loop / single-partition shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -272,7 +274,9 @@ class PlanAuditSpec extends SparkSpec {
     "r09_retention_cohorts" -> 6, // (user,day) dedup + cohort min + triangle agg + sizes + sort
     "sim33_cell_balance" -> 3, // map-only assignment + cells agg split + final sort
     "c57_lambda_funcs" -> 1, // map-only per-row array programs + final sort
-    "g10_personalized_pagerank" -> 7) // 3 iterations x (edge join + dst agg collapse) + final sort
+    "g10_personalized_pagerank" -> 7, // 3 iterations x (edge join + dst agg collapse) + final sort
+    "p11_quarantine" -> 0, // map-only check battery + one global 1-row report agg
+    "e14_block_cadence" -> 4) // shifted self-join pair + epoch agg split
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

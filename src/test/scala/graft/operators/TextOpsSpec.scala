@@ -469,4 +469,23 @@ class TextOpsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     check(4, dc intersect ql)
   }
+
+  test("p11 quarantine: partition law, overlapping reasons, negative control") {
+    val r = Catalog.byName("p11_quarantine").build(spark, sfDir).head()
+    val total = Catalog.t(spark, sfDir, "events").count()
+    val cap = r.getAs[Long]("n_value_above_cap")
+    val k = r.getAs[Long]("n_k_out_of_range")
+    val ts = r.getAs[Long]("n_ts_out_of_window")
+    val quar = r.getAs[Long]("n_quarantined")
+    val pass = r.getAs[Long]("n_passed")
+    assert(quar + pass == total, "quarantined + passed must partition the input")
+    assert(cap + k + ts >= quar, "reason counts cannot undercount the union")
+    assert(ts == 0L, "ts window is the negative control — fixture must pass it")
+    assert(cap > 0L && k > 0L, "cap/k checks degenerate — thresholds no longer split the fixture")
+    // driver recompute of each reason
+    val ev = Catalog.t(spark, sfDir, "events")
+      .selectExpr("value", "get_json_object(props, '$.k') AS k").collect()
+    assert(cap == ev.count(_.getDouble(0) > 150.0).toLong)
+    assert(k == ev.count(row => row.getString(1).toLong > 90L).toLong)
+  }
 }

@@ -233,4 +233,29 @@ class EthSourceSpec extends SparkSpec {
     // the histogram covers every log exactly once
     assert(hist.map(_.getAs[Long]("n_logs")).sum == logs.size.toLong)
   }
+
+  test("e14: cadence == a driver-side chain walk; synthetic chain holds its 12 s schedule") {
+    val rpc = new SyntheticRpc(42, 10000)
+    val blocks = (0L to 999L).flatMap(rpc.getBlock)
+    val byNum = blocks.map(b => b.number -> b).toMap
+    val gaps = (1L to 999L).map { n =>
+      (n / 100, byNum(n).timestamp - byNum(n - 1).timestamp, byNum(n).transactions.size.toLong)
+    }
+    val expected = gaps.groupBy(_._1).view.mapValues { gs =>
+      (gs.size.toLong, gs.map(_._2).sum, gs.map(_._2).min, gs.map(_._2).max,
+        gs.map(_._3).sum * 1000 / gs.map(_._2).sum)
+    }.toMap
+    val got = graft.operators.Catalog.byName("e14_block_cadence").build(spark, sfDir).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val e = expected(r.getAs[Long]("epoch"))
+      assert((r.getAs[Long]("n_gaps"), r.getAs[Long]("gap_total"), r.getAs[Long]("gap_min"),
+        r.getAs[Long]("gap_max"), r.getAs[Long]("tx_per_ksec")) == e,
+        s"epoch ${r.getAs[Long]("epoch")}")
+      // the synthetic chain produces on schedule — every gap exactly 12 s
+      assert(r.getAs[Long]("gap_min") == 12L && r.getAs[Long]("gap_max") == 12L)
+    }
+    // throughput genuinely varies across epochs (tx counts are not constant)
+    assert(got.map(_.getAs[Long]("tx_per_ksec")).distinct.length > 1)
+  }
 }
