@@ -80,6 +80,11 @@ object SimilarityOps {
     */
   val MrlDims = 16
 
+  /** sim34's per-ranking candidate depth (RRF fuses the two top-20
+    * lists). Declared before `val all` — the oracle interpolates it.
+    */
+  val HybridK = 20
+
   /** sim30's cosine radius. On this corpus it keeps every probe's result
     * nonempty yet bounded (37/43/147 pairs at sf0.001/0.01/0.1). Declared
     * before `val all`: the oracle string interpolates it at init.
@@ -2118,6 +2123,67 @@ object SimilarityOps {
                       n_vecs * 1000000 // (SELECT n FROM tot) AS share_ppm,
                       n_vecs * (SELECT cells FROM tot) > (SELECT n FROM tot) * 2 AS is_hot
                FROM per ORDER BY cell"""),
+      bench = false),
+
+    // HYBRID RETRIEVAL (RRF fusion) — the modern RAG serving shape: ONE
+    // query answered by BOTH a lexical ranking (t22's integer-idf keyword
+    // scores — term for term) and a dense ranking (exact cosine from
+    // probe vector 0, the sim01 broadcast-probe shape), fused by
+    // Reciprocal Rank Fusion. RRF is rank-only — which is exactly why it
+    // is engine-exact here: each contribution is the INTEGER
+    // floor(1e9/(60+rank)), so no float score mixing can diverge. Both
+    // top-20 lists come from perKeyTopK under a constant query key (the
+    // distributed top-k shape); the fusion is a full-outer join of two
+    // ≤20-row lists. Note the designed asymmetry: the probe document
+    // itself can surface lexically but never as its own dense neighbor.
+    Q("sim34_hybrid_rrf",
+      (s, d) => {
+        val qTerms = Seq("spark", "join", "stream")
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .where(col("tok").isin(qTerms: _*))
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val nDocs = t(s, d, "documents").agg(count(lit(1)).as("__n"))
+        val weights = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("weight", expr("(__n * 1000000) div df"))
+          .select("tok", "weight")
+        val kwScores = tf.join(broadcast(weights), "tok")
+          .groupBy("doc_id").agg(sum(col("tf") * col("weight")).as("kw_score"))
+        val kwRank = StockOps.perKeyTopK(kwScores.withColumn("qid", lit(0)),
+            Seq("qid"), Seq(desc("kw_score"), col("doc_id")), HybridK, "kw_rank")
+          .select(col("doc_id"), col("kw_rank"))
+        val vecRank = StockOps.perKeyTopK(probePairs(s, d, 1),
+            Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), HybridK, "vec_rank")
+          .select(col("vec_id").as("doc_id"), col("vec_rank"))
+        kwRank.join(vecRank, Seq("doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(expr("1000000000 div (60 + kw_rank)"), lit(0L)) +
+              coalesce(expr("1000000000 div (60 + vec_rank)"), lit(0L)))
+          .orderBy(desc("rrf"), col("doc_id")).limit(10)
+          .select("doc_id", "kw_rank", "vec_rank", "rrf")
+      },
+      Some(s"""WITH tt AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+                 qt AS (SELECT doc_id, tok FROM tt WHERE tok IN ('spark', 'join', 'stream')),
+                 tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+                 w AS (SELECT tok, ((SELECT COUNT(*) FROM documents) * 1000000) // COUNT(*) AS weight
+                       FROM tf GROUP BY tok),
+                 kw AS (SELECT doc_id, CAST(SUM(tf.tf * w.weight) AS BIGINT) AS kw_score
+                        FROM tf JOIN w USING (tok) GROUP BY doc_id),
+                 kwr AS (SELECT doc_id, kw_rank FROM (
+                           SELECT doc_id,
+                                  CAST(ROW_NUMBER() OVER (ORDER BY kw_score DESC, doc_id) AS INT) AS kw_rank
+                           FROM kw) WHERE kw_rank <= $HybridK),
+                 bp AS (${sqlProbePairs(1)}),
+                 vr AS (SELECT vec_id AS doc_id, vec_rank FROM (
+                          SELECT vec_id,
+                                 CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS INT) AS vec_rank
+                          FROM bp) WHERE vec_rank <= $HybridK)
+               SELECT COALESCE(kwr.doc_id, vr.doc_id) AS doc_id, kw_rank, vec_rank,
+                      CAST(COALESCE(1000000000 // (60 + kw_rank), 0)
+                           + COALESCE(1000000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf
+               FROM kwr FULL OUTER JOIN vr ON kwr.doc_id = vr.doc_id
+               ORDER BY rrf DESC, doc_id LIMIT 10"""),
       bench = false)
   )
 

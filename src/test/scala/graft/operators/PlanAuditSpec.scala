@@ -115,7 +115,10 @@ class PlanAuditSpec extends SparkSpec {
     // rows (the c16/t15 bounded-normalizer pattern)
     "sim33_cell_balance" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
     // quarantine report: the answer IS one row (the c56/a12 shape)
-    "p11_quarantine" -> Set("SinglePartition"))
+    "p11_quarantine" -> Set("SinglePartition"),
+    // hybrid fusion: t22's 1-row doc-count normalizer (crossJoin back) +
+    // sim01's bounded broadcast probe (≠ predicate forces BNLJ)
+    "sim34_hybrid_rrf" -> Set("SinglePartition", "BroadcastNestedLoopJoin"))
 
   test("no catalog query plans cartesian / nested-loop / single-partition shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -276,7 +279,8 @@ class PlanAuditSpec extends SparkSpec {
     "c57_lambda_funcs" -> 1, // map-only per-row array programs + final sort
     "g10_personalized_pagerank" -> 7, // 3 iterations x (edge join + dst agg collapse) + final sort
     "p11_quarantine" -> 0, // map-only check battery + one global 1-row report agg
-    "e14_block_cadence" -> 4) // shifted self-join pair + epoch agg split
+    "e14_block_cadence" -> 4, // shifted self-join pair + epoch agg split
+    "sim34_hybrid_rrf" -> 9) // keyword tf/df aggs + 2x perKeyTopK + full-outer fuse + top-10
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
@@ -337,7 +341,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim29_binary_search" -> "perKeyTopK phase 2: <= k*parts rows per qid",
     "r03_interval_overlap" -> "groupedRunningTotal offsets window: <= parts rows per event_type by phase-1 aggregation",
     "c50_robust_stats" -> "groupedRunningTotal offsets windows (median + MAD passes): <= parts rows per event_type by phase-1 aggregation",
-    "r08_period_delta" -> "lag window runs POST-aggregation: <= #days rows per event_type regardless of event volume")
+    "r08_period_delta" -> "lag window runs POST-aggregation: <= #days rows per event_type regardless of event volume",
+    "sim34_hybrid_rrf" -> "perKeyTopK phase 2 (both rankings): <= k*parts rows per qid")
 
   private def lowCardWindowKeys(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
     df.queryExecution.sparkPlan.collect {

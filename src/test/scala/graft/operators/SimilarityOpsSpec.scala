@@ -506,4 +506,31 @@ class SimilarityOpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("is_hot") == (nv * cells > n * 2))
     }
   }
+
+  test("sim34 fusion: RRF recomputed from both gate rankings; both modalities contribute") {
+    // rebuild the two component rankings via their own catalog machinery
+    val kw = Catalog.byName("t22_keyword_search").build(spark, sfDir).collect()
+      .map(_.getLong(0)) // t22's top-10 is a prefix of the kw top-20 ranking
+    val vec = StockOps.perKeyTopK(SimilarityOps.probePairs(spark, sfDir, 1),
+        Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), SimilarityOps.HybridK, "vec_rank")
+      .select("vec_id", "vec_rank").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Catalog.byName("sim34_hybrid_rrf").build(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getInt(i))
+      val exp = opt(1).map(k => 1000000000L / (60 + k)).getOrElse(0L) +
+        opt(2).map(v => 1000000000L / (60 + v)).getOrElse(0L)
+      assert(r.getLong(3) == exp, s"rrf of doc ${r.getLong(0)}")
+      // the claimed vector rank is the true one
+      opt(2).foreach(v => assert(vec(r.getLong(0)) == v))
+    }
+    // fusion genuinely uses both modalities
+    assert(rows.exists(r => !r.isNullAt(1)), "no lexical contribution in the fused top-10")
+    assert(rows.exists(r => !r.isNullAt(2)), "no dense contribution in the fused top-10")
+    // t22's lexical top-10 winner must hold a kw_rank in the fused table when present
+    val fusedKw = rows.filter(r => !r.isNullAt(1)).map(_.getLong(0)).toSet
+    assert(kw.headOption.forall(top => !fusedKw.contains(top) ||
+      rows.find(_.getLong(0) == top).exists(_.getInt(1) == 1)))
+  }
 }
