@@ -512,6 +512,52 @@ object EngineOps {
                       CAST(SUM(gap) AS BIGINT) AS gap_total,
                       MIN(gap) AS gap_min, MAX(gap) AS gap_max,
                       CAST(SUM(n_tx) * 1000 // SUM(gap) AS BIGINT) AS tx_per_ksec
-               FROM g GROUP BY 1 ORDER BY epoch"""))
+               FROM g GROUP BY 1 ORDER BY epoch""")),
+
+    // TICKET → RESULT, END TO END — the reference's actual client entry
+    // (a JSON ticket, Producer.java:38-64) driven through the full product
+    // path INSIDE the hash gate: the two busiest event signatures of the
+    // requested range become the ticket's topic OR-set (a bounded 2-row
+    // driver artifact, the trainedCentroids convention), the ticket string
+    // is PARSED by RequestRouter (numbers-as-strings, the reference's
+    // format), routed to the bounded batch plan, and the topic set rides
+    // the connector's option pushdown (S10) down to the synthetic node.
+    // The oracle recomputes the same top-2 selection and filter semantics
+    // (§8.4: an empty-topics log passes any topic filter) on the
+    // independent chain dump — a divergence anywhere in parse, route,
+    // pushdown, or scan hash-fails.
+    Q("e15_ticket_roundtrip",
+      (s, d) => {
+        def range = s.read.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", "100").option("endBlock", "499").load()
+        val top2 = range
+          .select(expr("try_element_at(topics, 1)").as("t0"))
+          .where(col("t0").isNotNull)
+          .groupBy("t0").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("t0")).limit(2)
+          .collect().map(_.getString(0))
+        val ticket =
+          s"""{"dataset": "logs", "startBlock": "100", "endBlock": "499",
+              "topics": ["${top2(0)}", "${top2(1)}"]}"""
+        val routed = graft.api.RequestRouter.route(s, graft.api.RequestRouter.parseTicket(ticket))
+        // the ticket's OR-set must reach the NODE-side scan, not a
+        // post-scan filter (S10 as pushdown) — asserted on the plan
+        val scanDesc = routed.queryExecution.executedPlan.toString
+        require(scanDesc.contains("topics=2"),
+          s"ticket topic set did not reach the graft-eth scan:\n$scanDesc")
+        routed
+          .select("blockNumber", "logIndex", "address", "data")
+          .orderBy("blockNumber", "logIndex")
+      },
+      Some(s"""WITH rng AS (
+                 SELECT * FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+                 WHERE blockNumber BETWEEN 100 AND 499),
+                 top2 AS (SELECT topics[1] AS t0 FROM rng
+                          WHERE len(topics) >= 1
+                          GROUP BY 1 ORDER BY COUNT(*) DESC, t0 LIMIT 2)
+               SELECT blockNumber, logIndex, address, data
+               FROM rng
+               WHERE len(topics) = 0 OR topics[1] IN (SELECT t0 FROM top2)
+               ORDER BY blockNumber, logIndex"""))
   )
 }

@@ -280,7 +280,8 @@ class PlanAuditSpec extends SparkSpec {
     "g10_personalized_pagerank" -> 7, // 3 iterations x (edge join + dst agg collapse) + final sort
     "p11_quarantine" -> 0, // map-only check battery + one global 1-row report agg
     "e14_block_cadence" -> 4, // shifted self-join pair + epoch agg split
-    "sim34_hybrid_rrf" -> 9) // keyword tf/df aggs + 2x perKeyTopK + full-outer fuse + top-10
+    "sim34_hybrid_rrf" -> 9, // keyword tf/df aggs + 2x perKeyTopK + full-outer fuse + top-10
+    "e15_ticket_roundtrip" -> 1) // topic set pushed as scan options; final sort only (top-2 agg runs on build)
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
