@@ -1491,6 +1491,45 @@ object StreamShape {
                        PARTITION BY user_id ORDER BY us, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
               FROM base ORDER BY event_id"""),
+      bench = false),
+
+    // TICKET → LIVE SUBSCRIPTION — the mode-matrix row e15 leaves
+    // untested: a (startBlock, null) ticket is the reference's
+    // backfill→live subscription (ClientRequest.java:30-36), which
+    // RequestRouter routes to the CHECKPOINTED STREAM in one code path
+    // (no separate backfill window — the §8.2 duplicate-window quirk
+    // fixed by construction). The parsed ticket's start becomes the
+    // stream's initial offset and its batch_size becomes micro-batch
+    // admission (the reference documents batch_size but never implements
+    // it — here it is real and asserted: the drain must take ≥ 3 fed
+    // micro-batches under the requested pacing). Result pinned to the
+    // independent chain dump over the subscribed range.
+    Q("x32_stream_ticket_serve",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = s"x32_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x32ckpt").toString
+        val ticket = """{"dataset": "logs", "startBlock": "300", "batch_size": "250"}"""
+        val req = graft.api.RequestRouter.parseTicket(ticket)
+        require(req.endBlock.isEmpty && req.batchSize.contains(250L),
+          s"ticket parsed wrong: $req")
+        val live = graft.api.RequestRouter.route(s, req, Map("head" -> "999"))
+        require(live.isStreaming, "(start, null) ticket must route to a stream")
+        val sq = live.select("blockNumber", "logIndex", "address", "data")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fed = sq.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 3,
+          s"x32 drained in $fed micro-batch(es) — batch_size admission was not exercised")
+        s.table(name).orderBy("blockNumber", "logIndex")
+      },
+      Some(s"""SELECT blockNumber, logIndex, address, data
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE blockNumber BETWEEN 300 AND 999
+               ORDER BY blockNumber, logIndex"""),
       bench = false)
   )
 }
