@@ -536,6 +536,8 @@ object EngineOps {
           .groupBy("t0").agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), col("t0")).limit(2)
           .collect().map(_.getString(0))
+        require(top2.length == 2 && top2(0) != top2(1),
+          s"e15 needs two distinct topic0 values in blocks 100-499, got ${top2.mkString(", ")}")
         val ticket =
           s"""{"dataset": "logs", "startBlock": "100", "endBlock": "499",
               "topics": ["${top2(0)}", "${top2(1)}"]}"""

@@ -78,16 +78,21 @@ object GraphOps {
               FROM documents, UNNEST([0, 1, 2]) AS t(k))"""
 
   /** One PageRank step: every edge carries mass(src) div OutDeg; a node's
-    * next mass is BaseMass + (DampNum · Σ incoming) div 100. Nodes with no
-    * in-edges keep the base mass (left join + coalesce).
+    * next mass is base + (DampNum · Σ incoming) div 100. Nodes with no
+    * in-edges keep the base mass (left join + coalesce). `baseMass` is the
+    * teleport term: the uniform [[BaseMass]] for global PageRank (g01),
+    * a seed-concentrated column for the personalized variant (g10) — ONE
+    * step implementation serves both, so a damping/rounding fix can never
+    * leave the two queries diverging.
     */
-  def pagerankStep(docs: DataFrame, edges: DataFrame, mass: DataFrame): DataFrame = {
+  def pagerankStep(docs: DataFrame, edges: DataFrame, mass: DataFrame,
+      baseMass: org.apache.spark.sql.Column = lit(BaseMass)): DataFrame = {
     val in = edges.join(mass.withColumnRenamed("doc_id", "src"), "src")
       .select(col("dst").as("doc_id"), expr(s"mass div $OutDeg").as("c"))
       .groupBy("doc_id").agg(sum("c").as("s"))
     docs.select("doc_id").join(in, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        (lit(BaseMass) + expr(s"$DampNum * coalesce(s, 0L) div 100")).as("mass"))
+        (baseMass + expr(s"$DampNum * coalesce(s, 0L) div 100")).as("mass"))
   }
 
   private def sqlIter(i: Int): String =
@@ -549,14 +554,8 @@ object GraphOps {
         val m0 = docs.select(col("doc_id"),
           when(col("doc_id") % PprSeedMod === 0, lit(Scale * PprSeedMod))
             .otherwise(lit(0L)).as("mass"))
-        val m3 = (1 to 3).foldLeft(m0) { (m, _) =>
-          val in = edges.join(m.withColumnRenamed("doc_id", "src"), "src")
-            .select(col("dst").as("doc_id"), expr(s"mass div $OutDeg").as("c"))
-            .groupBy("doc_id").agg(sum("c").as("s"))
-          docs.select("doc_id").join(in, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              (seedBase + expr(s"$DampNum * coalesce(s, 0L) div 100")).as("mass"))
-        }
+        val m3 = (1 to 3).foldLeft(m0)((m, _) =>
+          pagerankStep(docs, edges, m, baseMass = seedBase))
         m3.select(col("doc_id"), col("mass").cast(LongType).as("mass"))
           .orderBy("doc_id")
       },

@@ -2138,17 +2138,7 @@ object SimilarityOps {
     // itself can surface lexically but never as its own dense neighbor.
     Q("sim34_hybrid_rrf",
       (s, d) => {
-        val qTerms = Seq("spark", "join", "stream")
-        val toks = t(s, d, "documents")
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-          .where(col("tok").isin(qTerms: _*))
-        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val nDocs = t(s, d, "documents").agg(count(lit(1)).as("__n"))
-        val weights = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-          .crossJoin(broadcast(nDocs))
-          .withColumn("weight", expr("(__n * 1000000) div df"))
-          .select("tok", "weight")
-        val kwScores = tf.join(broadcast(weights), "tok")
+        val kwScores = TextOps.keywordTfWeights(s, d, TextOps.KeywordTerms)
           .groupBy("doc_id").agg(sum(col("tf") * col("weight")).as("kw_score"))
         val kwRank = StockOps.perKeyTopK(kwScores.withColumn("qid", lit(0)),
             Seq("qid"), Seq(desc("kw_score"), col("doc_id")), HybridK, "kw_rank")

@@ -1442,6 +1442,19 @@ object StreamShape {
         val mid = lo + (hi - lo) / 2
         base.where(col("us") < mid).coalesce(1).write.parquet(s"$srcDir/b0")
         base.where(col("us") >= mid).coalesce(1).write.parquet(s"$srcDir/b1")
+        // delivery order is LOAD-BEARING here (unlike the commutative
+        // x19/x22 merges): FileStreamSource orders pending files by
+        // modification time with no tiebreak, and coarse-mtime filesystems
+        // can stamp both writes identically — force b1 strictly later
+        val maxB0 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/b0"))
+          .toArray.map(p => java.nio.file.Files.getLastModifiedTime(
+            p.asInstanceOf[java.nio.file.Path]).toMillis).max
+        java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/b1")).toArray
+          .foreach { p =>
+            java.nio.file.Files.setLastModifiedTime(
+              p.asInstanceOf[java.nio.file.Path],
+              java.nio.file.attribute.FileTime.fromMillis(maxB0 + 60000))
+          }
         val providerConf = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.getOption(providerConf)
         s.conf.set(providerConf,

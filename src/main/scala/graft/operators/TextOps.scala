@@ -20,6 +20,29 @@ object TextOps {
   /** Whitespace tokens of the `text` column. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** The catalog's fixed lexical query (t22 search, sim34 hybrid fusion). */
+  val KeywordTerms = Seq("spark", "join", "stream")
+
+  /** (doc_id, tok, tf, weight) for a fixed query-term set — the integer-idf
+    * posting-list base SHARED by t22 (lexical search) and sim34 (hybrid
+    * fusion), so the two rankings cannot drift apart. The token scan
+    * filters to the query terms first (the posting-list read); the weight
+    * table is |terms| rows and broadcasts; the 1-row corpus-count
+    * normalizer is the allowlisted c16 crossJoin pattern.
+    */
+  def keywordTfWeights(s: SparkSession, d: String, qTerms: Seq[String]): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .where(col("tok").isin(qTerms: _*))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val nDocs = t(s, d, "documents").agg(count(lit(1)).as("__n"))
+    val weights = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("weight", expr("(__n * 1000000) div df"))
+      .select("tok", "weight")
+    tf.join(broadcast(weights), "tok")
+  }
+
   private[operators] val stopwords = Seq("the", "and", "of", "to", "a", "in", "is", "it")
 
   // lang → signature-word set for the n-gram/stopword language-ID heuristic.
@@ -821,23 +844,11 @@ object TextOps {
     // (broadcast), the top-10 is a distributed TakeOrdered — no global
     // sort, no corpus-wide join.
     Q("t22_keyword_search",
-      (s, d) => {
-        val qTerms = Seq("spark", "join", "stream")
-        val toks = t(s, d, "documents")
-          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-          .where(col("tok").isin(qTerms: _*))
-        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val nDocs = t(s, d, "documents").agg(count(lit(1)).as("__n"))
-        val weights = dfq.crossJoin(broadcast(nDocs))
-          .withColumn("weight", expr("(__n * 1000000) div df"))
-          .select("tok", "weight")
-        tf.join(broadcast(weights), "tok")
-          .groupBy("doc_id")
-          .agg(sum(col("tf") * col("weight")).as("score"),
-            count(lit(1)).as("n_terms"))
-          .orderBy(desc("score"), col("doc_id")).limit(10)
-      },
+      (s, d) => keywordTfWeights(s, d, KeywordTerms)
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("weight")).as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(desc("score"), col("doc_id")).limit(10),
       Some("""WITH tt AS (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
                  qt AS (SELECT doc_id, tok FROM tt WHERE tok IN ('spark', 'join', 'stream')),
                  tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
