@@ -8,7 +8,7 @@ object ScratchCount {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
-    val names = Seq("e15_ticket_roundtrip")
+    val names = Seq("c58_nullsafe_join", "c59_lateral_topn")
     names.foreach { n =>
       val df = graft.operators.Catalog.byName(n).build(spark, "/root/testdata/sf0.001")
       val plan = df.queryExecution.executedPlan.toString

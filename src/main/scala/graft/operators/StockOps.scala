@@ -1656,7 +1656,64 @@ object StockOps {
                                     i -> r[i] * r[len(r) - i + 1]) AS palindrome_prod,
                      len(list_filter(r, x -> x <= 0)) = 0 AS all_pos
               FROM (SELECT event_id, range(1, event_id % 8 + 3) AS r FROM events)
-              ORDER BY event_id"""))
+              ORDER BY event_id""")),
+
+    // NULL-SAFE EQUALITY JOIN (<=>) — the join form dimension tables with
+    // a designated "unknown" member need: a deterministically NULLed key
+    // (every 11th event) joined to a dimension that carries an explicit
+    // NULL row, under null-safe equality — NULL meets NULL exactly once
+    // (plain = would silently drop every NULLed event; the count
+    // reconciliation below would catch it). One broadcast join + one
+    // map-side-combined aggregate. DuckDB's spelling is IS NOT DISTINCT
+    // FROM; Spark's is <=> — same three-valued-logic escape hatch.
+    Q("c58_nullsafe_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"),
+            when(pmod(col("event_id"), lit(11L)) =!= 0L, pmod(col("event_id"), lit(5L)))
+              .as("k"))
+        val dim = s.range(5).select(col("id").as("k"), concat(lit("bucket_"), col("id")).as("label"))
+          .unionByName(s.range(1).select(lit(null).cast(LongType).as("k"), lit("unknown").as("label")))
+        ev.join(broadcast(dim), ev("k") <=> dim("k"))
+          .groupBy("label").agg(count(lit(1)).as("n"))
+          .orderBy("label")
+      },
+      Some("""WITH ev AS (SELECT event_id,
+                                 CASE WHEN event_id % 11 <> 0 THEN event_id % 5 END AS k
+                          FROM events),
+                 dim AS (SELECT CAST(i AS BIGINT) AS k, 'bucket_' || CAST(i AS VARCHAR) AS label
+                         FROM range(5) t(i)
+                         UNION ALL SELECT NULL, 'unknown')
+              SELECT label, COUNT(*) AS n
+              FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.k
+              GROUP BY label ORDER BY label""")),
+
+    // CORRELATED LATERAL SUBQUERY — per-group top-N as the SQL user
+    // writes it (`FROM groups, LATERAL (... WHERE corr ORDER BY n LIMIT
+    // 2)`): Catalyst DECORRELATES the lateral into a join + per-key rank,
+    // the plan every "top 2 users per event type" request should get —
+    // this entry pins both that the decorrelation exists and that its
+    // semantics match DuckDB's native lateral execution. The outer side
+    // is the 5-row distinct event-type set; nothing here is per-row
+    // driver work.
+    Q("c59_lateral_topn",
+      (s, d) => {
+        val view = s"graft_ev_${Catalog.pathTag(d)}"
+        t(s, d, "events").select("event_type", "user_id").createOrReplaceTempView(view)
+        s.sql(
+          s"""SELECT t.event_type, l.user_id, l.n
+              FROM (SELECT DISTINCT event_type FROM $view) t,
+              LATERAL (SELECT user_id, COUNT(*) AS n FROM $view e
+                       WHERE e.event_type = t.event_type
+                       GROUP BY user_id ORDER BY n DESC, user_id LIMIT 2) l
+              ORDER BY t.event_type, l.n DESC, l.user_id""")
+      },
+      Some("""SELECT t.event_type, l.user_id, l.n
+              FROM (SELECT DISTINCT event_type FROM events) t,
+              LATERAL (SELECT user_id, COUNT(*) AS n FROM events e
+                       WHERE e.event_type = t.event_type
+                       GROUP BY user_id ORDER BY n DESC, user_id LIMIT 2) l
+              ORDER BY t.event_type, l.n DESC, l.user_id"""))
   )
 
 

@@ -281,7 +281,9 @@ class PlanAuditSpec extends SparkSpec {
     "p11_quarantine" -> 0, // map-only check battery + one global 1-row report agg
     "e14_block_cadence" -> 4, // shifted self-join pair + epoch agg split
     "sim34_hybrid_rrf" -> 9, // keyword tf/df aggs + 2x perKeyTopK + full-outer fuse + top-10
-    "e15_ticket_roundtrip" -> 1) // topic set pushed as scan options; final sort only (top-2 agg runs on build)
+    "e15_ticket_roundtrip" -> 1, // topic set pushed as scan options; final sort only (top-2 agg runs on build)
+    "c58_nullsafe_join" -> 2, // broadcast dim + label agg split
+    "c59_lateral_topn" -> 4) // distinct types + decorrelated join + rank window + final sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
@@ -343,7 +345,8 @@ class PlanAuditSpec extends SparkSpec {
     "r03_interval_overlap" -> "groupedRunningTotal offsets window: <= parts rows per event_type by phase-1 aggregation",
     "c50_robust_stats" -> "groupedRunningTotal offsets windows (median + MAD passes): <= parts rows per event_type by phase-1 aggregation",
     "r08_period_delta" -> "lag window runs POST-aggregation: <= #days rows per event_type regardless of event volume",
-    "sim34_hybrid_rrf" -> "perKeyTopK phase 2 (both rankings): <= k*parts rows per qid")
+    "sim34_hybrid_rrf" -> "perKeyTopK phase 2 (both rankings): <= k*parts rows per qid",
+    "c59_lateral_topn" -> "stock LATERAL-decorrelation semantics are the subject (Catalyst plans the rank window); the scale path is StockOps.perKeyTopK")
 
   private def lowCardWindowKeys(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
     df.queryExecution.sparkPlan.collect {

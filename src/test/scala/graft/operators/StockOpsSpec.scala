@@ -641,4 +641,29 @@ class StockOpsSpec extends SparkSpec {
     assert(small.nonEmpty, "Q17 cut degenerate at spec SF")
   }
 
+  test("c58: null-safe join accounts for every event exactly once, NULLs under 'unknown'") {
+    val ids = Catalog.t(spark, sfDir, "events").select("event_id").collect().map(_.getLong(0))
+    val got = Catalog.byName("c58_nullsafe_join").build(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == ids.length.toLong, "null-safe join dropped or duplicated rows")
+    assert(got("unknown") == ids.count(_ % 11 == 0).toLong)
+    (0L until 5L).foreach { b =>
+      assert(got(s"bucket_$b") == ids.count(id => id % 11 != 0 && id % 5 == b).toLong)
+    }
+    assert(got("unknown") > 0, "no NULL-keyed events — the null-safe path is vacuous")
+  }
+
+  test("c59: decorrelated lateral top-2 matches a driver recompute per event type") {
+    val ev = Catalog.t(spark, sfDir, "events").select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (et, rows) =>
+      rows.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (u, n) => (-n, u) }.take(2)
+        .map { case (u, n) => (et, u, n) }
+    }.toSet
+    val got = Catalog.byName("c59_lateral_topn").build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"lateral top-2 mismatch:\n$got\nvs\n$expect")
+  }
+
 }
