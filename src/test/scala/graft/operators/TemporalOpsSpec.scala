@@ -269,4 +269,38 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got.keys.exists(_._2 > 0), "no returning users — fixture degenerate")
   }
 
+  test("asofJoin tie rules on ADVERSARIAL ties (fixture is tie-free, so pin them here)") {
+    import spark.implicits._
+    // right side: three quotes AT the same (user, ts) — the largest
+    // tie-break id must win; plus one strictly earlier and one later
+    val right = Seq(
+      (1L, 100L, 10L, "early"),
+      (1L, 200L, 21L, "tie_a"),
+      (1L, 200L, 23L, "tie_c"), // largest id at ts=200 → the winner
+      (1L, 200L, 22L, "tie_b"),
+      (1L, 300L, 30L, "late"),
+      (2L, 200L, 40L, "other_user")
+    ).toDF("user_id", "cus", "click_id", "tag")
+    // left: exactly AT the tie (<= semantics → matches), just before,
+    // just after, and a user with no quotes at all
+    val left = Seq(
+      (101L, 1L, 200L), // at the tie → tie_c (23)
+      (102L, 1L, 199L), // before → early (10)
+      (103L, 1L, 250L), // after the tie, before 'late' → tie_c (23)
+      (104L, 1L, 350L), // after everything → late (30)
+      (105L, 3L, 500L)  // no right rows for user 3 → NULL
+    ).toDF("event_id", "user_id", "us")
+    val out = TemporalOps.asofJoin(left, right, "user_id", "us", "cus",
+        Seq("click_id", "tag"), "click_id")
+      .select("event_id", "asof_click_id", "asof_tag").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getString(2))))).toMap
+    assert(out(101L) == Some((23L, "tie_c")), "equal-ts quote must match (<=) with largest id winning")
+    assert(out(102L) == Some((10L, "early")))
+    assert(out(103L) == Some((23L, "tie_c")))
+    assert(out(104L) == Some((30L, "late")))
+    assert(out(105L).isEmpty, "partner-less left row must survive with NULLs")
+    assert(out.size == 5, "asof must emit exactly one row per left row, ties included")
+  }
+
 }
