@@ -1543,6 +1543,78 @@ object StreamShape {
                FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
                WHERE blockNumber BETWEEN 300 AND 999
                ORDER BY blockNumber, logIndex"""),
+      bench = false),
+
+    // STREAMING CADENCE MAINTENANCE — e14's inter-block gap stats kept
+    // live, with the trap the naive per-batch version falls into built
+    // into the gate: a micro-batch's self-join sees only WITHIN-batch
+    // consecutive pairs, so the pair that straddles each batch boundary
+    // (last block of batch N, first of N+1) is silently lost — at
+    // maxBlocksPerTrigger=250 that is 3 of 999 gaps, and the epoch
+    // totals hash-fail. The correct incremental shape carries ONE row of
+    // state (the previous batch's last block) and stitches the boundary
+    // pair explicitly; gap partials then merge by addition like x26's
+    // bars. Drained result must equal the batch e14 aggregate on the
+    // independent chain dump — missing boundary pairs cannot hide.
+    Q("x33_stream_cadence",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val gapStore = java.nio.file.Files.createTempDirectory("x33gaps").toString
+        val carry = new java.util.concurrent.atomic.AtomicReference[(Long, Long, Long)](null)
+        val ckpt = java.nio.file.Files.createTempDirectory("x33ckpt").toString
+        val sq = s.readStream.format("graft-eth").option("dataset", "blocks")
+          .option("startBlock", "0").option("head", "999")
+          .option("maxBlocksPerTrigger", "250").load()
+          .select(col("number"), col("timestamp"),
+            size(col("transactions")).cast(LongType).as("n_tx"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty) {
+              val cur = batch.select("number", "timestamp", "n_tx")
+              val prev = cur.select((col("number") + 1).as("number"),
+                col("timestamp").as("prev_ts"))
+              val within = cur.join(prev, "number")
+                .select(col("number"), (col("timestamp") - col("prev_ts")).as("gap"),
+                  col("n_tx"))
+              // stitch the boundary pair against the carried last block
+              val first = cur.orderBy("number").limit(1).collect()(0)
+              val boundary = Option(carry.get()).toSeq
+                .filter { case (n, _, _) => n + 1 == first.getLong(0) }
+                .map { case (_, ts, _) =>
+                  (first.getLong(0), first.getLong(1) - ts, first.getLong(2))
+                }
+              import batch.sparkSession.implicits._
+              within.unionByName(boundary.toDF("number", "gap", "n_tx"))
+                .write.mode("append").parquet(gapStore)
+              val last = cur.orderBy(desc("number")).limit(1).collect()(0)
+              carry.set((last.getLong(0), last.getLong(1), last.getLong(2)))
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fed = sq.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 3,
+          s"x33 drained in $fed micro-batch(es) — the boundary stitch was not exercised")
+        s.read.parquet(gapStore)
+          .select(expr("number div 100").as("epoch"), col("gap"), col("n_tx"))
+          .groupBy("epoch")
+          .agg(count(lit(1)).as("n_gaps"), sum("gap").as("gap_total"),
+            min("gap").as("gap_min"), max("gap").as("gap_max"),
+            expr("sum(n_tx) * 1000 div sum(gap)").as("tx_per_ksec"))
+          .orderBy("epoch")
+      },
+      Some(s"""WITH b AS (SELECT number, timestamp, n_tx
+                          FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet'
+                          WHERE number <= 999),
+                 g AS (SELECT cur.number, cur.timestamp - prv.timestamp AS gap, cur.n_tx
+                       FROM b cur JOIN b prv ON cur.number = prv.number + 1)
+               SELECT number // 100 AS epoch, COUNT(*) AS n_gaps,
+                      CAST(SUM(gap) AS BIGINT) AS gap_total,
+                      MIN(gap) AS gap_min, MAX(gap) AS gap_max,
+                      CAST(SUM(n_tx) * 1000 // SUM(gap) AS BIGINT) AS tx_per_ksec
+               FROM g GROUP BY 1 ORDER BY epoch"""),
       bench = false)
   )
 }
