@@ -1713,7 +1713,29 @@ object StockOps {
               LATERAL (SELECT user_id, COUNT(*) AS n FROM events e
                        WHERE e.event_type = t.event_type
                        GROUP BY user_id ORDER BY n DESC, user_id LIMIT 2) l
-              ORDER BY t.event_type, l.n DESC, l.user_id"""))
+              ORDER BY t.event_type, l.n DESC, l.user_id""")),
+
+    // GROUP BY ALL / ORDER BY ALL — the DuckDB-originated shorthand Spark 4
+    // adopted: every non-aggregate select item becomes a grouping key and
+    // the full select list the sort order. Both engines RESOLVE the
+    // shorthand themselves (no explicit key list anywhere), so this entry
+    // pins that the two resolutions agree — a real cross-dialect surface,
+    // not sugar on the Spark side only. The aggregate itself is the
+    // standard map-side-combined shape.
+    Q("c60_group_by_all",
+      (s, d) => {
+        val view = s"graft_gba_${Catalog.pathTag(d)}"
+        t(s, d, "events")
+          .select(col("event_type"), col("user_id"), col("value"))
+          .createOrReplaceTempView(view)
+        s.sql(
+          s"""SELECT event_type, user_id, COUNT(*) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+              FROM $view GROUP BY ALL ORDER BY ALL""")
+      },
+      Some("""SELECT event_type, user_id, COUNT(*) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+              FROM events GROUP BY ALL ORDER BY ALL"""))
   )
 
 

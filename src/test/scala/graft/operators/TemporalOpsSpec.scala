@@ -303,4 +303,21 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out.size == 5, "asof must emit exactly one row per left row, ties included")
   }
 
+  test("rangeJoinBucketed window ends are BOTH inclusive exactly at the boundary") {
+    import spark.implicits._
+    val win = 1000L
+    // right rows planted exactly AT each boundary of left ts=5000:
+    // [4000, 5000] must keep 4000 (lower edge), 5000 (upper edge),
+    // drop 3999 (just below) and 5001 (just above); bucket straddling
+    // is exercised by 4001 (previous bucket) and 4999 (same bucket)
+    val left = Seq((1L, 5000L)).toDF("k", "lts")
+    val right = Seq((1L, 3999L), (1L, 4000L), (1L, 4001L),
+      (1L, 4999L), (1L, 5000L), (1L, 5001L)).toDF("k", "rts")
+    val got = TemporalOps.rangeJoinBucketed(left, right, "k",
+        col("lts"), col("rts"), win)
+      .select("rts").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(4000L, 4001L, 4999L, 5000L),
+      s"range window edge semantics drifted: $got")
+  }
+
 }
