@@ -1615,6 +1615,52 @@ object StreamShape {
                       MIN(gap) AS gap_min, MAX(gap) AS gap_max,
                       CAST(SUM(n_tx) * 1000 // SUM(gap) AS BIGINT) AS tx_per_ksec
                FROM g GROUP BY 1 ORDER BY epoch"""),
+      bench = false),
+
+    // LIVE TAIL — the router's (null, null) mode, the reference's plain
+    // `eth_subscribe` with no history: the subscription must start at the
+    // head OBSERVED AT REGISTRATION and deliver only what the chain
+    // produces afterwards. Two lives against one checkpoint make both
+    // halves observable: life 1 registers at head=500 (the snapshot makes
+    // the initial offset 501 — beyond the chain, so it must deliver
+    // NOTHING, asserted); life 2 sees the chain advanced to 999 and must
+    // deliver exactly blocks 501–999 — the checkpoint carries the
+    // registration offset forward, so no pre-registration block can leak
+    // in and no post-registration block can be dropped. Oracle: the chain
+    // dump over (500, 999].
+    Q("x34_stream_live_tail",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ckpt = java.nio.file.Files.createTempDirectory("x34ckpt").toString
+        val outDir = java.nio.file.Files.createTempDirectory("x34out").toString
+        val req = graft.api.RequestRouter.parseTicket("""{"dataset": "logs"}""")
+        require(req.startBlock.isEmpty && req.endBlock.isEmpty,
+          s"(null, null) ticket parsed wrong: $req")
+        def life(head: Long): Unit = {
+          val live = graft.api.RequestRouter.route(s, req,
+            Map("head" -> head.toString, "maxBlocksPerTrigger" -> "200"))
+          val q = live.select("blockNumber", "logIndex", "address", "data")
+            .writeStream.format("parquet").option("path", outDir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        life(500)
+        // the sink may commit an EMPTY part file for the no-data batch —
+        // the law is about ROWS: nothing pre-registration may be delivered
+        val afterLife1 = s.read.parquet(outDir).count()
+        require(afterLife1 == 0L,
+          s"live tail delivered $afterLife1 pre-registration row(s) — history leaked in")
+        life(999)
+        val out = s.read.parquet(outDir)
+        val minB = out.agg(min("blockNumber")).first().getLong(0)
+        require(minB > 500, s"live tail leaked pre-registration block $minB")
+        out.orderBy("blockNumber", "logIndex")
+      },
+      Some(s"""SELECT blockNumber, logIndex, address, data
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE blockNumber > 500 AND blockNumber <= 999
+               ORDER BY blockNumber, logIndex"""),
       bench = false)
   )
 }
