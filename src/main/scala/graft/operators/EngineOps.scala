@@ -560,6 +560,26 @@ object EngineOps {
                SELECT blockNumber, logIndex, address, data
                FROM rng
                WHERE len(topics) = 0 OR topics[1] IN (SELECT t0 FROM top2)
-               ORDER BY blockNumber, logIndex"""))
+               ORDER BY blockNumber, logIndex""")),
+
+    // (null, end) TICKET — the router mode matrix's fourth row, completing
+    // e15/x32/x34: the reference's blocks path INTENDS start := end for a
+    // null start (BlocksService.java:106) and then crashes on it; the
+    // router implements the intent — a bounded scan of exactly block
+    // `end`. The ticket goes through the real JSON parse (start absent),
+    // and the single-block result is pinned to the chain dump row.
+    Q("e16_ticket_single_block",
+      (s, d) => {
+        val req = graft.api.RequestRouter.parseTicket(
+          """{"dataset": "blocks", "endBlock": "777"}""")
+        require(req.startBlock.isEmpty && req.endBlock.contains(777L),
+          s"(null, end) ticket parsed wrong: $req")
+        graft.api.RequestRouter.route(s, req)
+          .select(col("number"), col("gasUsed"),
+            size(col("transactions")).cast(LongType).as("n_tx"))
+      },
+      Some(s"""SELECT number, gasUsed, n_tx
+               FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet'
+               WHERE number = 777"""))
   )
 }

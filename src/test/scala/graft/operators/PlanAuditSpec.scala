@@ -285,7 +285,8 @@ class PlanAuditSpec extends SparkSpec {
     "e15_ticket_roundtrip" -> 1, // topic set pushed as scan options; final sort only (top-2 agg runs on build)
     "c58_nullsafe_join" -> 2, // broadcast dim + label agg split
     "c59_lateral_topn" -> 4, // distinct types + decorrelated join + rank window + final sort
-    "c60_group_by_all" -> 2) // one map-side-combined agg split + final sort
+    "c60_group_by_all" -> 2, // one map-side-combined agg split + final sort
+    "e16_ticket_single_block" -> 0) // single-block bounded scan, no shuffle at all
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
