@@ -1661,6 +1661,75 @@ object StreamShape {
                FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
                WHERE blockNumber > 500 AND blockNumber <= 999
                ORDER BY blockNumber, logIndex"""),
+      bench = false),
+
+    // STREAMING QUARANTINE COUNTERS — p11's validation battery as the
+    // live ingest monitor it would be in production: each micro-batch of
+    // arriving events reduces to ONE row of per-reason counter partials
+    // (pure sums — the x26/x30 additive-merge law), appended and
+    // re-reduced at read-out. The drained totals must equal the batch p11
+    // report over the same rows — a dropped batch, a double-counted
+    // retry, or a drifted threshold all hash-fail. Per-batch state is one
+    // counter row; nothing about the history is retained.
+    Q("x35_stream_quarantine",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val store = java.nio.file.Files.createTempDirectory("x35ctr").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("x35ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x35src").toString
+        val ev = t(s, d, "events").select("event_id", "ts", "value", "props")
+        ev.where(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/f0")
+        ev.where(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/f1")
+        val sq = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            if (!batch.isEmpty) {
+              batch.toDF()
+                .select(
+                  (col("value") > 150.0).as("r_cap"),
+                  (get_json_object(col("props"), "$.k").cast(LongType) > 90L).as("r_k"),
+                  (col("ts") < lit("2024-01-01").cast(TimestampType) ||
+                    col("ts") >= lit("2024-03-01").cast(TimestampType)).as("r_ts"))
+                .agg(
+                  sum(when(col("r_cap"), 1L).otherwise(0L)).as("n_value_above_cap"),
+                  sum(when(col("r_k"), 1L).otherwise(0L)).as("n_k_out_of_range"),
+                  sum(when(col("r_ts"), 1L).otherwise(0L)).as("n_ts_out_of_window"),
+                  sum(when(col("r_cap") || col("r_k") || col("r_ts"), 1L).otherwise(0L))
+                    .as("n_quarantined"),
+                  sum(when(!(col("r_cap") || col("r_k") || col("r_ts")), 1L).otherwise(0L))
+                    .as("n_passed"))
+                .write.mode("append").parquet(store)
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fed = sq.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 2,
+          s"x35 drained in $fed micro-batch(es) — counter merging was not exercised")
+        s.read.parquet(store).agg(
+          sum("n_value_above_cap").as("n_value_above_cap"),
+          sum("n_k_out_of_range").as("n_k_out_of_range"),
+          sum("n_ts_out_of_window").as("n_ts_out_of_window"),
+          sum("n_quarantined").as("n_quarantined"),
+          sum("n_passed").as("n_passed"))
+      },
+      // p11's oracle verbatim — the stream must land on the batch report
+      Some("""WITH checks AS (
+                 SELECT value > 150.0 AS r_cap,
+                        CAST(json_extract_string(props, '$.k') AS BIGINT) > 90 AS r_k,
+                        ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2024-03-01' AS r_ts
+                 FROM events)
+              SELECT CAST(SUM(CASE WHEN r_cap THEN 1 ELSE 0 END) AS BIGINT) AS n_value_above_cap,
+                     CAST(SUM(CASE WHEN r_k THEN 1 ELSE 0 END) AS BIGINT) AS n_k_out_of_range,
+                     CAST(SUM(CASE WHEN r_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_out_of_window,
+                     CAST(SUM(CASE WHEN r_cap OR r_k OR r_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+                     CAST(SUM(CASE WHEN NOT (r_cap OR r_k OR r_ts) THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+              FROM checks"""),
       bench = false)
   )
 }
