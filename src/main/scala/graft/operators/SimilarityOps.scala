@@ -2174,6 +2174,98 @@ object SimilarityOps {
                            + COALESCE(1000000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf
                FROM kwr FULL OUTER JOIN vr ON kwr.doc_id = vr.doc_id
                ORDER BY rrf DESC, doc_id LIMIT 10"""),
+      bench = false),
+
+    // HOT-CELL SPLIT — the REMEDIATION sim33's diagnosis calls for (the
+    // k01/k08 relationship, applied to the index): the trained
+    // quantizer's hottest cell is re-quantized in place — its two lowest
+    // member ids seed two sub-centroids (the ivfCentroids convention),
+    // one exact-DECIMAL Lloyd refinement runs on the members only, and
+    // the report shows how the hot mass re-divides. Scale shape: the hot
+    // pick is a cells-sized aggregate; the split touches ONLY the hot
+    // cell's members (map-only argmax + one bounded two-level sum —
+    // exactly the incremental cost a serving tier pays to split a cell
+    // without retraining the corpus). The oracle replays the full
+    // trajectory: outer 2-iteration training, hot selection, sub-seed
+    // assignment, the sub-Lloyd iteration, and the refined assignment —
+    // every step the engine-exact integer convention (sub-CTEs suffixed:
+    // the p02 name-collision lesson).
+    Q("sim35_hot_cell_split",
+      (s, d) => {
+        val corpus = withNorm(s, d)
+        val a2 = assignCells(corpus, trainedCentroids(s, d, iters = 2))
+        val hot = a2.groupBy("cell").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("cell")).limit(1).collect()(0)
+        val hotCell = hot.getInt(0)
+        val hotN = hot.getLong(1)
+        val members = a2.where(col("cell") === hotCell)
+          .select("vec_id", "embedding", "norm2").localCheckpoint()
+        val seedRows = members.orderBy("vec_id").limit(2).collect()
+        require(seedRows.length == 2, s"hot cell $hotCell has < 2 members")
+        val seeds = seedRows.map(r =>
+          (r.getSeq[Float](1).toArray.map(_.toDouble), r.getLong(2)))
+        val s0 = assignCells(members, seeds)
+        val sums = s0.select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy("cell", "dim")
+          .agg(count(lit(1)).as("n_members"),
+            sum(floor(col("x").cast(DoubleType) * SCALE).cast(DecimalType(38, 0))).as("ssum"))
+          .collect()
+        require(sums.iterator.map(_.getInt(0)).toSet.size == 2,
+          "a sub-cell emptied at the seed stage — re-seed required")
+        val dims = sums.iterator.map(_.getInt(1)).max + 1
+        val cents = Array.fill(2)(new Array[Double](dims))
+        sums.foreach(r => cents(r.getInt(0))(r.getInt(1)) =
+          r.getDecimal(3).doubleValue() / (r.getLong(2) * SCALE))
+        val refined = cents.map(c => (c, c.map(x => math.floor(x * x * SCALE).toLong).sum))
+        assignCells(members, refined)
+          .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+          .select(lit(hotCell).as("parent_cell"), lit(hotN).as("parent_n"),
+            col("cell").as("subcell"), col("n_vecs"))
+          .orderBy("subcell")
+      },
+      Some(s"""WITH $sqlTrainedAssignCtes,
+                 hper AS (SELECT cell, COUNT(*) AS n FROM a2 GROUP BY 1),
+                 hot AS (SELECT cell, n FROM hper ORDER BY n DESC, cell LIMIT 1),
+                 mem AS (SELECT nv.vec_id, nv.embedding, nv.norm2
+                         FROM a2 JOIN nv USING (vec_id)
+                         WHERE a2.cell = (SELECT cell FROM hot)),
+                 sseed AS (SELECT vec_id, embedding, norm2,
+                                  CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS sc
+                           FROM (SELECT * FROM mem ORDER BY vec_id LIMIT 2)),
+                 subss AS (
+                   SELECT m.vec_id, s.sc,
+                          CAST(list_sum(list_transform(m.embedding,
+                                 (x, i) -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE) * 1e15) AS BIGINT))) AS BIGINT)
+                            / SQRT(CAST(s.norm2 AS DOUBLE)) AS score
+                   FROM mem m CROSS JOIN sseed s),
+                 suba0 AS (SELECT vec_id, sc FROM (
+                             SELECT vec_id, sc,
+                                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY score DESC, sc) AS rn
+                             FROM subss) WHERE rn = 1),
+                 subsum AS (
+                   SELECT a.sc, i.dim, COUNT(*) AS n_members,
+                          SUM(CAST(FLOOR(CAST(m.embedding[CAST(i.dim + 1 AS INT)] AS DOUBLE) * 1e15) AS BIGINT)) AS ssum
+                   FROM suba0 a JOIN mem m USING (vec_id),
+                        LATERAL (SELECT UNNEST(range(0, len(m.embedding))) AS dim) i
+                   GROUP BY 1, 2),
+                 subc AS (SELECT sc, dim, CAST(ssum AS DOUBLE) / (n_members * 1e15) AS cval
+                          FROM subsum),
+                 subcn AS (SELECT sc, SUM(CAST(FLOOR(cval * cval * 1e15) AS BIGINT)) AS norm2
+                           FROM subc GROUP BY 1),
+                 subsc AS (
+                   SELECT m.vec_id, c.sc,
+                          SUM(CAST(FLOOR(CAST(m.embedding[CAST(c.dim + 1 AS INT)] AS DOUBLE) * c.cval * 1e15) AS BIGINT)) AS dot
+                   FROM mem m CROSS JOIN subc c GROUP BY 1, 2),
+                 suba1 AS (SELECT vec_id, sc FROM (
+                             SELECT s.vec_id, s.sc,
+                                    ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                      ORDER BY CAST(s.dot AS DOUBLE) / SQRT(CAST(n.norm2 AS DOUBLE)) DESC, s.sc) AS rn
+                             FROM subsc s JOIN subcn n USING (sc)) WHERE rn = 1)
+               SELECT CAST((SELECT cell FROM hot) AS INT) AS parent_cell,
+                      (SELECT n FROM hot) AS parent_n,
+                      CAST(sc AS INT) AS subcell, COUNT(*) AS n_vecs
+               FROM suba1 GROUP BY 3 ORDER BY subcell"""),
       bench = false)
   )
 

@@ -286,7 +286,8 @@ class PlanAuditSpec extends SparkSpec {
     "c58_nullsafe_join" -> 2, // broadcast dim + label agg split
     "c59_lateral_topn" -> 4, // distinct types + decorrelated join + rank window + final sort
     "c60_group_by_all" -> 2, // one map-side-combined agg split + final sort
-    "e16_ticket_single_block" -> 0) // single-block bounded scan, no shuffle at all
+    "e16_ticket_single_block" -> 0, // single-block bounded scan, no shuffle at all
+    "sim35_hot_cell_split" -> 2) // member argmax map-only; subcell count agg split (hot pick + sums run on build)
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

@@ -533,4 +533,19 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(kw.headOption.forall(top => !fusedKw.contains(top) ||
       rows.find(_.getLong(0) == top).exists(_.getInt(1) == 1)))
   }
+
+  test("sim35 split conserves the hot cell's mass and genuinely divides it") {
+    val balance = Catalog.byName("sim33_cell_balance").build(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n_vecs"))
+    val (hotCell, hotN) = balance.maxBy { case (c, n) => (n, -c) }
+    val rows = Catalog.byName("sim35_hot_cell_split").build(spark, sfDir).collect()
+    assert(rows.length == 2 && rows.map(_.getAs[Int]("subcell")).toSet == Set(0, 1))
+    rows.foreach { r =>
+      assert(r.getAs[Int]("parent_cell") == hotCell, "split a non-hottest cell")
+      assert(r.getAs[Long]("parent_n") == hotN)
+    }
+    val subs = rows.map(_.getAs[Long]("n_vecs"))
+    assert(subs.sum == hotN, "split must conserve the hot cell's members")
+    assert(subs.max < hotN, "split failed to divide the hot cell at all")
+  }
 }
