@@ -580,6 +580,43 @@ object EngineOps {
       },
       Some(s"""SELECT number, gasUsed, n_tx
                FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet'
-               WHERE number = 777"""))
+               WHERE number = 777""")),
+
+    // CASE-INSENSITIVE ADDRESS FILTER VIA TICKET — the reference compares
+    // addresses case-insensitively (SURVEY §8.5, LogSubscription.java:
+    // 44-45), and a real client sends checksummed MIXED-case addresses:
+    // the ticket carries the range's two busiest contracts UPPERCASED,
+    // and the router + connector must normalize and push them to the node
+    // side (asserted on the scan description: addrs=2). Oracle: the chain
+    // dump filtered on the lowercase forms — a case-sensitivity
+    // regression anywhere in parse, route, or node filter hash-fails to
+    // an empty result.
+    Q("e17_ticket_ci_address",
+      (s, d) => {
+        def range = s.read.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", "500").option("endBlock", "899").load()
+        val top2 = range.groupBy("address").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("address")).limit(2)
+          .collect().map(_.getString(0))
+        require(top2.length == 2 && top2(0) != top2(1),
+          s"e17 needs two distinct addresses in blocks 500-899, got ${top2.mkString(", ")}")
+        val ticket =
+          s"""{"dataset": "logs", "startBlock": "500", "endBlock": "899",
+              "contractAddresses": ["${top2(0).toUpperCase}", "${top2(1).toUpperCase}"]}"""
+        val routed = graft.api.RequestRouter.route(s, graft.api.RequestRouter.parseTicket(ticket))
+        val scanDesc = routed.queryExecution.executedPlan.toString
+        require(scanDesc.contains("addrs=2"),
+          s"ticket address set did not reach the graft-eth scan:\n$scanDesc")
+        routed.select("blockNumber", "logIndex", "address", "data")
+          .orderBy("blockNumber", "logIndex")
+      },
+      Some(s"""WITH rng AS (
+                 SELECT * FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+                 WHERE blockNumber BETWEEN 500 AND 899),
+                 top2 AS (SELECT address FROM rng
+                          GROUP BY 1 ORDER BY COUNT(*) DESC, address LIMIT 2)
+               SELECT blockNumber, logIndex, address, data
+               FROM rng WHERE address IN (SELECT address FROM top2)
+               ORDER BY blockNumber, logIndex"""))
   )
 }

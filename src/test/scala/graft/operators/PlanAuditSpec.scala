@@ -287,7 +287,8 @@ class PlanAuditSpec extends SparkSpec {
     "c59_lateral_topn" -> 4, // distinct types + decorrelated join + rank window + final sort
     "c60_group_by_all" -> 2, // one map-side-combined agg split + final sort
     "e16_ticket_single_block" -> 0, // single-block bounded scan, no shuffle at all
-    "sim35_hot_cell_split" -> 2) // member argmax map-only; subcell count agg split (hot pick + sums run on build)
+    "sim35_hot_cell_split" -> 2, // member argmax map-only; subcell count agg split (hot pick + sums run on build)
+    "e17_ticket_ci_address" -> 1) // address set pushed as scan options; final sort only (top-2 agg runs on build)
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
