@@ -1767,6 +1767,47 @@ object TextOps {
                      CAST(SUM(CASE WHEN r_cap OR r_k OR r_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
                      CAST(SUM(CASE WHEN NOT (r_cap OR r_k OR r_ts) THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
               FROM checks"""),
+      bench = false),
+
+    // SOURCE VOCABULARY-OVERLAP MATRIX — the corpus-composition diagnostic
+    // d13's doc-level leakage cannot see: how much of their WORD STOCK two
+    // sources share (Jaccard of vocabularies, exact ppm). Near-identical
+    // vocabularies mean two "sources" are really one register (and their
+    // mix weights double-count); a disjoint one flags a domain outlier.
+    // Scale shape: the vocabulary is one (source, token) DISTINCT; the
+    // pair space is a bucketed equi-join ON THE TOKEN (the d02 move), so
+    // a token contributes at most sources²/2 pairs — bounded by the
+    // source-count constant, never corpus size; sizes broadcast back.
+    Q("t34_source_vocab_overlap",
+      (s, d) => {
+        val vt = t(s, d, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .where(length(col("tok")) > 0).distinct()
+        val sizes = vt.groupBy("source").agg(count(lit(1)).as("nv"))
+        val inter = vt.select(col("source").as("sa"), col("tok"))
+          .join(vt.select(col("source").as("sb"), col("tok")), "tok")
+          .where(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("sa"), col("nv").as("na"))), "sa")
+          .join(broadcast(sizes.select(col("source").as("sb"), col("nv").as("nb"))), "sb")
+          .select(col("sa"), col("sb"), col("inter"), col("na"), col("nb"),
+            expr("inter * 1000000 div (na + nb - inter)").as("jaccard_ppm"))
+          .orderBy("sa", "sb")
+      },
+      Some("""WITH vt AS (SELECT DISTINCT source, tok FROM (
+                            SELECT source, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+                            FROM documents)
+                          WHERE length(tok) > 0),
+                 sz AS (SELECT source, COUNT(*) AS nv FROM vt GROUP BY 1),
+                 iv AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS inter
+                        FROM vt a JOIN vt b ON a.tok = b.tok AND a.source < b.source
+                        GROUP BY 1, 2)
+              SELECT sa, sb, inter, na.nv AS na, nb.nv AS nb,
+                     inter * 1000000 // (na.nv + nb.nv - inter) AS jaccard_ppm
+              FROM iv JOIN sz na ON na.source = iv.sa
+                      JOIN sz nb ON nb.source = iv.sb
+              ORDER BY sa, sb"""),
       bench = false)
   )
 }

@@ -288,7 +288,8 @@ class PlanAuditSpec extends SparkSpec {
     "c60_group_by_all" -> 2, // one map-side-combined agg split + final sort
     "e16_ticket_single_block" -> 0, // single-block bounded scan, no shuffle at all
     "sim35_hot_cell_split" -> 2, // member argmax map-only; subcell count agg split (hot pick + sums run on build)
-    "e17_ticket_ci_address" -> 1) // address set pushed as scan options; final sort only (top-2 agg runs on build)
+    "e17_ticket_ci_address" -> 1, // address set pushed as scan options; final sort only (top-2 agg runs on build)
+    "t34_source_vocab_overlap" -> 8) // vocab distinct + token equi-join + pair agg + sizes joins + sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

@@ -488,4 +488,28 @@ class TextOpsSpec extends SparkSpec {
     assert(cap == ev.count(_.getDouble(0) > 150.0).toLong)
     assert(k == ev.count(row => row.getString(1).toLong > 90L).toLong)
   }
+
+  test("t34 vocabulary-overlap matrix == a driver-side set computation") {
+    val docs = Catalog.t(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocab = docs.groupBy(_._1).view.mapValues(_.flatMap(d =>
+      d._2.replaceAll("^ +", "").replaceAll(" +$", "")
+        .split("\\s+", -1).filter(_.nonEmpty)).toSet).toMap
+    val srcs = vocab.keys.toSeq.sorted
+    val expect = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.size
+      va = vocab(srcs(i)); vb = vocab(srcs(j))
+      inter = (va & vb).size.toLong if inter > 0
+    } yield (srcs(i), srcs(j)) ->
+      (inter, va.size.toLong, vb.size.toLong,
+        inter * 1000000L / (va.size + vb.size - inter))).toMap
+    val got = Catalog.byName("t34_source_vocab_overlap").build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == expect, "overlap matrix mismatch")
+    // the matrix is complete and informative at fixture scale
+    assert(got.size == srcs.size * (srcs.size - 1) / 2, "missing source pairs")
+    assert(got.values.map(_._4).toSet.size > 1, "all pairs identical — degenerate signal")
+  }
 }
