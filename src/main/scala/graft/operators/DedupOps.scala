@@ -1118,6 +1118,32 @@ object DedupOps {
                       CASE WHEN szb < sza THEN db ELSE da END AS contained_id
                FROM pgraph
                WHERE inter * 5 >= LEAST(sza, szb) * 4
-               ORDER BY da, db"""))
+               ORDER BY da, db""")),
+
+    // CLUSTER-SIZE HISTOGRAM — the shape-of-duplication report read off
+    // d06's resolved clusters, SINGLETONS INCLUDED (an un-paired doc is
+    // its own cluster of one — without that row the histogram silently
+    // describes only the duplicated minority): how many clusters of each
+    // size the near-dup graph resolves to. The tail of this histogram is
+    // what dedup actually removes; a fat tail means boilerplate families,
+    // a spike at 2 means pairwise near-copies. Two map-side-combined
+    // aggregates over the cluster table; output is O(max cluster size).
+    Q("d23_cluster_size_histogram",
+      (s, d) => {
+        val clusters = byNameLocal("d06_dedup_clusters").build(s, d)
+        t(s, d, "documents").select("doc_id")
+          .join(clusters, Seq("doc_id"), "left")
+          .select(coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .groupBy("cluster").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("sz")
+      },
+      Some(s"""WITH RECURSIVE $sqlLshClusterCtes,
+                 fullc AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+                           FROM documents d LEFT JOIN lclusters c USING (doc_id)),
+                 per AS (SELECT cluster, COUNT(*) AS sz FROM fullc GROUP BY 1)
+               SELECT sz, COUNT(*) AS n_clusters FROM per
+               GROUP BY sz ORDER BY sz"""),
+      bench = false)
   )
 }

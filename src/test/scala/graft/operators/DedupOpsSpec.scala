@@ -435,4 +435,17 @@ class DedupOpsSpec extends SparkSpec {
       s"missing=${(batchPairs -- found).take(5)} extra=${(found.toSet -- batchPairs).take(5)}")
   }
 
+  test("d23 histogram covers the whole corpus; singleton bucket == unpaired docs") {
+    val hist = Catalog.byName("d23_cluster_size_histogram").build(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = Catalog.t(spark, sfDir, "documents").count()
+    assert(hist.map { case (sz, n) => sz * n }.sum == nDocs,
+      "histogram mass must equal the corpus")
+    val paired = Catalog.byName("d03_minhash_lsh").build(spark, sfDir)
+      .select("da", "db").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(hist.getOrElse(1L, 0L) == nDocs - paired.size,
+      "singleton bucket != docs outside every near-dup pair")
+    assert(hist.keys.exists(_ >= 2), "no multi-doc cluster — dedup signal degenerate")
+  }
 }

@@ -289,7 +289,8 @@ class PlanAuditSpec extends SparkSpec {
     "e16_ticket_single_block" -> 0, // single-block bounded scan, no shuffle at all
     "sim35_hot_cell_split" -> 2, // member argmax map-only; subcell count agg split (hot pick + sums run on build)
     "e17_ticket_ci_address" -> 1, // address set pushed as scan options; final sort only (top-2 agg runs on build)
-    "t34_source_vocab_overlap" -> 8) // vocab distinct + token equi-join + pair agg + sizes joins + sort
+    "t34_source_vocab_overlap" -> 8, // vocab distinct + token equi-join + pair agg + sizes joins + sort
+    "d23_cluster_size_histogram" -> 5) // cluster left join + per-cluster agg + histogram agg + sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
