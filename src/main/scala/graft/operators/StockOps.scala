@@ -1735,7 +1735,40 @@ object StockOps {
       },
       Some("""SELECT event_type, user_id, COUNT(*) AS n,
                      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
-              FROM events GROUP BY ALL ORDER BY ALL"""))
+              FROM events GROUP BY ALL ORDER BY ALL""")),
+
+    // VARIANT — Spark 4's semi-structured flagship type: the stored JSON
+    // props column is parsed ONCE into a variant (the open-schema ingest
+    // pattern — no upfront schema, typed extraction at query time), the
+    // field is pulled with variant_get under an explicit type, and the
+    // rows flow through a typed filter + aggregate. DuckDB's JSON type
+    // plays the same role via json_extract — the entry pins that the two
+    // engines' semi-structured paths read the SAME stored bytes to the
+    // SAME typed values. Map-only parse + one aggregate.
+    Q("c61_variant",
+      (s, d) => {
+        val view = s"graft_var_${Catalog.pathTag(d)}"
+        t(s, d, "events").select("event_id", "props").createOrReplaceTempView(view)
+        s.sql(
+          s"""WITH v AS (SELECT event_id, parse_json(props) AS pv FROM $view),
+                 x AS (SELECT event_id,
+                              variant_get(pv, '$$.k', 'bigint') AS k,
+                              variant_get(pv, '$$.missing') AS miss
+                       FROM v)
+              SELECT k div 10 AS k_decile, COUNT(*) AS n,
+                     CAST(SUM(CASE WHEN miss IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+              FROM x WHERE k IS NOT NULL
+              GROUP BY 1 ORDER BY 1""")
+      },
+      // every stored props object lacks '$.missing', so the missing-path
+      // law reads n_missing == n on both engines
+      Some("""WITH x AS (SELECT event_id,
+                                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                         FROM events)
+              SELECT k // 10 AS k_decile, COUNT(*) AS n,
+                     COUNT(*) AS n_missing
+              FROM x WHERE k IS NOT NULL
+              GROUP BY 1 ORDER BY 1"""))
   )
 
 

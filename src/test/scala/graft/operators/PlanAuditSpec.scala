@@ -290,7 +290,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim35_hot_cell_split" -> 2, // member argmax map-only; subcell count agg split (hot pick + sums run on build)
     "e17_ticket_ci_address" -> 1, // address set pushed as scan options; final sort only (top-2 agg runs on build)
     "t34_source_vocab_overlap" -> 8, // vocab distinct + token equi-join + pair agg + sizes joins + sort
-    "d23_cluster_size_histogram" -> 5) // cluster left join + per-cluster agg + histogram agg + sort
+    "d23_cluster_size_histogram" -> 5, // cluster left join + per-cluster agg + histogram agg + sort
+    "c61_variant" -> 2) // map-only variant parse/extract + one decile agg split
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
