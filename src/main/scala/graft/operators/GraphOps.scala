@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType}
 import Catalog._
 
 /** Graph analytics over a document LINK graph — the web-graph side of a
@@ -577,6 +577,58 @@ object GraphOps {
                ${iter(2)},
                ${iter(3)}
              SELECT doc_id, mass FROM m3 ORDER BY doc_id"""
-      })
+      }),
+
+    // DEGREE ASSORTATIVITY — does the graph wire hubs to hubs (r > 0) or
+    // hubs to leaves (r < 0)? The one-number wiring diagnosis run before
+    // trusting degree-based sampling or pruning heuristics. Computed as
+    // Pearson r over the undirected edge list's endpoint degrees: all
+    // five moments (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT integer sums in
+    // one map-side-combined aggregate — the only floating point is the
+    // final closed-form division, identical IEEE steps on both engines.
+    // Output is one row (allowlisted single-row report).
+    Q("g11_assortativity",
+      (s, d) => {
+        val n = nodeCount(s, d)
+        val docs = t(s, d, "documents")
+        val base = linkEdges(docs, n).where(col("src") =!= col("dst"))
+        val und = base.select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v")).distinct()
+        val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+          .union(und.select(col("v").as("node"), col("u").as("nbr")))
+        val deg = adj.groupBy("node").agg(count(lit(1)).as("dg"))
+        // each undirected edge contributes BOTH orientations (the standard
+        // symmetric formulation — r is orientation-free)
+        val pairs = adj
+          .join(deg.select(col("node"), col("dg").as("dx")), "node")
+          .join(deg.select(col("node").as("nbr"), col("dg").as("dy")), "nbr")
+        pairs.agg(count(lit(1)).as("m"),
+            sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+            sum(col("dx") * col("dy")).as("sxy"),
+            sum(col("dx") * col("dx")).as("sxx"),
+            sum(col("dy") * col("dy")).as("syy"))
+          .select(col("m"), col("sx"), col("sxy"),
+            ((col("m") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+              sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+                (col("m") * col("syy") - col("sy") * col("sy")).cast(DoubleType)))
+              .as("assortativity"))
+      },
+      Some(s"""WITH $sqlEdges,
+                 und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                         FROM e WHERE src <> dst),
+                 adj AS (SELECT u AS node, v AS nbr FROM und
+                         UNION ALL SELECT v, u FROM und),
+                 deg AS (SELECT node, COUNT(*) AS dg FROM adj GROUP BY node),
+                 p AS (SELECT a.node, a.nbr, dx.dg AS dx, dy.dg AS dy
+                       FROM adj a JOIN deg dx ON dx.node = a.node
+                                  JOIN deg dy ON dy.node = a.nbr)
+               SELECT COUNT(*) AS m,
+                      CAST(SUM(dx) AS BIGINT) AS sx,
+                      CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+                      CAST(COUNT(*) * SUM(dx * dy) - SUM(dx) * SUM(dy) AS DOUBLE) /
+                        SQRT(CAST(COUNT(*) * SUM(dx * dx) - SUM(dx) * SUM(dx) AS DOUBLE) *
+                             CAST(COUNT(*) * SUM(dy * dy) - SUM(dy) * SUM(dy) AS DOUBLE)) AS assortativity
+               FROM p"""),
+      bench = false)
   )
 }

@@ -218,4 +218,25 @@ class GraphOpsSpec extends SparkSpec {
     ids.filter(_ % GraphOps.PprSeedMod == 0)
       .foreach(sd => assert(got(sd) >= seedBase, s"seed $sd below teleport base"))
   }
+
+  test("g11 assortativity == driver-side Pearson r over endpoint degrees") {
+    val und = GraphOps.linkEdges(docs, n).where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = und.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val deg = adj.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val (m, sx, sy, sxy, sxx, syy) = adj.foldLeft((0L, 0L, 0L, 0L, 0L, 0L)) {
+      case ((m0, a, b, c, d2, e), (x, y)) =>
+        val dx = deg(x); val dy = deg(y)
+        (m0 + 1, a + dx, b + dy, c + dx * dy, d2 + dx * dx, e + dy * dy)
+    }
+    val expected = (m * sxy - sx * sy).toDouble /
+      math.sqrt((m * sxx - sx * sx).toDouble * (m * syy - sy * sy).toDouble)
+    val r = Catalog.byName("g11_assortativity").build(spark, sfDir).head()
+    assert(r.getAs[Long]("m") == m)
+    assert(r.getAs[Long]("sx") == sx && r.getAs[Long]("sxy") == sxy)
+    assert(r.getAs[Double]("assortativity") == expected, "r must be bit-identical")
+    // the symmetric formulation makes sx == sy by construction
+    assert(sx == sy)
+  }
 }

@@ -117,6 +117,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim33_cell_balance" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
     // quarantine report: the answer IS one row (the c56/a12 shape)
     "p11_quarantine" -> Set("SinglePartition"),
+    // assortativity: the answer IS one row of exact moments
+    "g11_assortativity" -> Set("SinglePartition"),
     // hybrid fusion: t22's 1-row doc-count normalizer (crossJoin back) +
     // sim01's bounded broadcast probe (≠ predicate forces BNLJ)
     "sim34_hybrid_rrf" -> Set("SinglePartition", "BroadcastNestedLoopJoin"))
@@ -291,7 +293,8 @@ class PlanAuditSpec extends SparkSpec {
     "e17_ticket_ci_address" -> 1, // address set pushed as scan options; final sort only (top-2 agg runs on build)
     "t34_source_vocab_overlap" -> 8, // vocab distinct + token equi-join + pair agg + sizes joins + sort
     "d23_cluster_size_histogram" -> 5, // cluster left join + per-cluster agg + histogram agg + sort
-    "c61_variant" -> 2) // map-only variant parse/extract + one decile agg split
+    "c61_variant" -> 2, // map-only variant parse/extract + one decile agg split
+    "g11_assortativity" -> 8) // edge dedup + degree agg + two degree joins + 1-row moment agg
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
