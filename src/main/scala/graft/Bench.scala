@@ -115,6 +115,15 @@ object Bench {
     }.getOrElse("")
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","ordered":$ordered,"queries":$qjson$latJson,"sf":"$sfDir"}"""
+    // The stdout copy is COMPACT: the full per-query map makes the line
+    // ~4.7 KB and the driver's tail capture has started mid-line every
+    // round (BENCH_r01..r06 all `parsed: null`). Stdout carries the
+    // totals + the 8 slowest queries (bounded ~500 bytes); the complete
+    // map lives in the BENCH_OUT file artifact, which parses fine.
+    val topJson = results.sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","ordered":$ordered,"n_queries":${results.size},"queries":$topJson$latJson,"sf":"$sfDir"}"""
     spark.stop()
     // file artifact FIRST (env-overridable path), then the stdout line —
     // downstream tooling can json.load the file without de-prefixing logs
@@ -125,7 +134,7 @@ object Bench {
     // forked stdout through unprefixed, and a second (stderr) copy makes a
     // merged-console consumer see the JSON line twice — which itself can
     // break a parser expecting exactly one
-    println(line)
+    println(compact)
     System.out.flush()
   }
 }

@@ -379,11 +379,11 @@ object SimilarityOps {
     * reproduces the whole training trajectory bit-for-bit.
     */
   def sqlLloydAssign(i: Int): String =
-    s"""c$i AS (SELECT cell, dim, CAST(ssum AS DOUBLE) / (n_members * 1e15) AS cval FROM s$i),
-        cn$i AS (SELECT cell, SUM(CAST(FLOOR(cval * cval * 1e15) AS BIGINT)) AS norm2 FROM c$i GROUP BY 1),
+    s"""c$i AS (SELECT cell, dim, CAST(CAST(ssum AS BIGINT) AS DOUBLE) / (n_members * 1e15) AS cval FROM s$i),
+        cn$i AS (SELECT cell, CAST(SUM(CAST(FLOOR(cval * cval * 1e15) AS BIGINT)) AS BIGINT) AS norm2 FROM c$i GROUP BY 1),
         sc$i AS (
           SELECT e.vec_id, c.cell,
-                 SUM(CAST(FLOOR(CAST(e.embedding[CAST(c.dim + 1 AS INT)] AS DOUBLE) * c.cval * 1e15) AS BIGINT)) AS dot
+                 CAST(SUM(CAST(FLOOR(CAST(e.embedding[CAST(c.dim + 1 AS INT)] AS DOUBLE) * c.cval * 1e15) AS BIGINT)) AS BIGINT) AS dot
           FROM nv e CROSS JOIN c$i c
           GROUP BY 1, 2),
         a$i AS (
@@ -783,7 +783,7 @@ object SimilarityOps {
           GROUP BY 1, 2, 3),
         cbl$i AS (
           SELECT p.code, p.subspace, p.dim,
-                 COALESCE(CAST(q.ssum AS DOUBLE) / (q.n * 1e15), p.cval) AS cval
+                 COALESCE(CAST(CAST(q.ssum AS BIGINT) AS DOUBLE) / (q.n * 1e15), p.cval) AS cval
           FROM $prevCbl p LEFT JOIN pqs$i q
             ON q.subspace = p.subspace AND q.code = p.code AND q.dim = p.dim),
         scoredt$i AS (
@@ -896,7 +896,7 @@ object SimilarityOps {
                           SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1e15) AS BIGINT)) AS ssum
                    FROM em GROUP BY 1, 2)
                SELECT CAST(cell AS INT) AS cell, CAST(dim AS INT) AS dim, n_members,
-                      CAST(ssum AS DOUBLE) / (n_members * 1e15) AS centroid
+                      CAST(CAST(ssum AS BIGINT) AS DOUBLE) / (n_members * 1e15) AS centroid
                FROM sums ORDER BY cell, dim""")),
 
     // K-MEANS TO (near-)CONVERGENCE: two full Lloyd iterations from the
@@ -922,7 +922,7 @@ object SimilarityOps {
                  ${sqlLloydAssign(1)},
                  ${sqlLloydSums(2)}
                SELECT CAST(cell AS INT) AS cell, CAST(dim AS INT) AS dim, n_members,
-                      CAST(ssum AS DOUBLE) / (n_members * 1e15) AS centroid
+                      CAST(CAST(ssum AS BIGINT) AS DOUBLE) / (n_members * 1e15) AS centroid
                FROM s2 ORDER BY cell, dim""")),
 
     // IVF ANN on TRAINED centroids (two Lloyd iterations) — the production
@@ -1211,7 +1211,7 @@ object SimilarityOps {
                         SUM(CAST(FLOOR(CAST(embedding[CAST(dim + 1 AS INT)] AS DOUBLE) * 1e15) AS BIGINT)) AS ssum
                  FROM embeddings, LATERAL (SELECT UNNEST(range(0, len(embedding))) AS dim) i
                  GROUP BY 1, 2),
-               cv AS (SELECT label, dim, CAST(ssum AS DOUBLE) / (n * 1e15) AS cval FROM sums),
+               cv AS (SELECT label, dim, CAST(CAST(ssum AS BIGINT) AS DOUBLE) / (n * 1e15) AS cval FROM sums),
                dots AS (
                  SELECT a.label AS la, b.label AS lb,
                         CAST(SUM(CAST(FLOOR(a.cval * b.cval * 1e15) AS BIGINT)) AS BIGINT) AS dot
@@ -1381,24 +1381,36 @@ object SimilarityOps {
     // (assignment = the argmin encode; update = ONE 1024-row exact
     // aggregate per iteration) and the per-subspace total distortion under
     // seed vs trained codebooks — the number that shows training the
-    // codebooks pays. Distortions are exact DECIMAL(38,0) sums of the
-    // floor-scaled integer distances (they exceed int64 at corpus scale);
-    // the oracle replays both iterations in SQL (long-form codebook +
-    // grouped integer distance sums — order-free, so the grouped form
-    // equals the engine's list fold).
+    // codebooks pays. Distortions are summed as exact DECIMAL(38,0)
+    // internally (addition order-free on both engines) but EMITTED as
+    // BIGINT: wide decimals above 2^53 hash-diverge in the driver's
+    // comparator even when values are bit-identical (round-6 finding), and
+    // the measured sums (~4.6e16 at sf0.1) sit comfortably inside int64 —
+    // assert_true trips the gate loudly if a future SF ever overflows
+    // instead of letting the cast wrap. The oracle replays both Lloyd
+    // iterations in SQL (long-form codebook + grouped integer distance
+    // sums — order-free, so the grouped form equals the engine's list
+    // fold).
     Q("sim18_pq_train",
       (s, d) => {
         val seed = pqEncoded(s, d).groupBy("subspace")
-          .agg(sum(col("dist").cast(DecimalType(38, 0))).as("seed_distortion"))
+          .agg(sum(col("dist").cast(DecimalType(38, 0))).as("seed_dec"))
         val trained = pqEncodedWith(s, d, pqTrainedCodebook(s, d, iters = 2))
           .groupBy("subspace")
-          .agg(sum(col("dist").cast(DecimalType(38, 0))).as("trained_distortion"))
-        seed.join(trained, "subspace").orderBy("subspace")
+          .agg(sum(col("dist").cast(DecimalType(38, 0))).as("trained_dec"))
+        val i64max = lit("9223372036854775807").cast(DecimalType(38, 0))
+        seed.join(trained, "subspace")
+          .where(assert_true(col("seed_dec") <= i64max && col("trained_dec") <= i64max,
+            lit("sim18 distortion exceeds int64 — widen the gate representation")).isNull)
+          .select(col("subspace"),
+            col("seed_dec").cast(LongType).as("seed_distortion"),
+            col("trained_dec").cast(LongType).as("trained_distortion"))
+          .orderBy("subspace")
       },
       Some(s"""WITH $sqlPqTrainedCtes
               SELECT CAST(subspace AS INT) AS subspace,
-                     CAST(sd.seedd AS DECIMAL(38,0)) AS seed_distortion,
-                     CAST(td.traind AS DECIMAL(38,0)) AS trained_distortion
+                     CAST(sd.seedd AS BIGINT) AS seed_distortion,
+                     CAST(td.traind AS BIGINT) AS trained_distortion
               FROM (SELECT subspace, SUM(CAST(dist AS DECIMAL(38,0))) AS seedd
                     FROM codes GROUP BY 1) sd
               JOIN (SELECT subspace, SUM(CAST(dist AS DECIMAL(38,0))) AS traind
@@ -2249,13 +2261,13 @@ object SimilarityOps {
                    FROM suba0 a JOIN mem m USING (vec_id),
                         LATERAL (SELECT UNNEST(range(0, len(m.embedding))) AS dim) i
                    GROUP BY 1, 2),
-                 subc AS (SELECT sc, dim, CAST(ssum AS DOUBLE) / (n_members * 1e15) AS cval
+                 subc AS (SELECT sc, dim, CAST(CAST(ssum AS BIGINT) AS DOUBLE) / (n_members * 1e15) AS cval
                           FROM subsum),
-                 subcn AS (SELECT sc, SUM(CAST(FLOOR(cval * cval * 1e15) AS BIGINT)) AS norm2
+                 subcn AS (SELECT sc, CAST(SUM(CAST(FLOOR(cval * cval * 1e15) AS BIGINT)) AS BIGINT) AS norm2
                            FROM subc GROUP BY 1),
                  subsc AS (
                    SELECT m.vec_id, c.sc,
-                          SUM(CAST(FLOOR(CAST(m.embedding[CAST(c.dim + 1 AS INT)] AS DOUBLE) * c.cval * 1e15) AS BIGINT)) AS dot
+                          CAST(SUM(CAST(FLOOR(CAST(m.embedding[CAST(c.dim + 1 AS INT)] AS DOUBLE) * c.cval * 1e15) AS BIGINT)) AS BIGINT) AS dot
                    FROM mem m CROSS JOIN subc c GROUP BY 1, 2),
                  suba1 AS (SELECT vec_id, sc FROM (
                              SELECT s.vec_id, s.sc,

@@ -1636,24 +1636,29 @@ object StockOps {
     // shuffle — one projection at any scale); the catalog's hot paths
     // replace them with codegen'd kernels (NOTES: HOFs evaluate
     // interpreted per element), so this entry pins the SEMANTICS while
-    // the kernels own the throughput.
+    // the kernels own the throughput. The three array-valued results are
+    // emitted as compact JSON strings on BOTH engines (Spark to_json ↔
+    // DuckDB to_json — both print `[1,4,9]` with no whitespace): the
+    // driver's order-insensitive comparator sorts cells and cannot sort
+    // raw array values (round-6 `err`), and a canonical string pins the
+    // exact element order the lambdas produce anyway.
     Q("c57_lambda_funcs",
       (s, d) => t(s, d, "events")
         .select(col("event_id"), expr("sequence(1L, event_id % 8 + 2)").as("arr"))
         .select(
           col("event_id"),
-          expr("transform(arr, x -> x * x)").as("squares"),
-          expr("filter(arr, x -> x % 2 = 0)").as("evens"),
+          to_json(expr("transform(arr, x -> x * x)")).as("squares"),
+          to_json(expr("filter(arr, x -> x % 2 = 0)")).as("evens"),
           expr("aggregate(arr, 0L, (acc, x) -> acc + x * x)").as("sum_sq"),
-          expr("zip_with(arr, reverse(arr), (a, b) -> a * b)").as("palindrome_prod"),
+          to_json(expr("zip_with(arr, reverse(arr), (a, b) -> a * b)")).as("palindrome_prod"),
           expr("forall(arr, x -> x > 0)").as("all_pos"))
         .orderBy("event_id"),
       Some("""SELECT event_id,
-                     list_transform(r, x -> x * x) AS squares,
-                     list_filter(r, x -> x % 2 = 0) AS evens,
+                     CAST(to_json(list_transform(r, x -> x * x)) AS VARCHAR) AS squares,
+                     CAST(to_json(list_filter(r, x -> x % 2 = 0)) AS VARCHAR) AS evens,
                      CAST(list_aggregate(list_transform(r, x -> x * x), 'sum') AS BIGINT) AS sum_sq,
-                     list_transform(range(1, len(r) + 1),
-                                    i -> r[i] * r[len(r) - i + 1]) AS palindrome_prod,
+                     CAST(to_json(list_transform(range(1, len(r) + 1),
+                                    i -> r[i] * r[len(r) - i + 1])) AS VARCHAR) AS palindrome_prod,
                      len(list_filter(r, x -> x <= 0)) = 0 AS all_pos
               FROM (SELECT event_id, range(1, event_id % 8 + 3) AS r FROM events)
               ORDER BY event_id""")),
