@@ -1446,15 +1446,16 @@ object StreamShape {
         // x19/x22 merges): FileStreamSource orders pending files by
         // modification time with no tiebreak, and coarse-mtime filesystems
         // can stamp both writes identically — force b1 strictly later
-        val maxB0 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/b0"))
-          .toArray.map(p => java.nio.file.Files.getLastModifiedTime(
-            p.asInstanceOf[java.nio.file.Path]).toMillis).max
-        java.nio.file.Files.list(java.nio.file.Paths.get(s"$srcDir/b1")).toArray
-          .foreach { p =>
-            java.nio.file.Files.setLastModifiedTime(
-              p.asInstanceOf[java.nio.file.Path],
-              java.nio.file.attribute.FileTime.fromMillis(maxB0 + 60000))
-          }
+        def listDir(dir: String): Array[java.nio.file.Path] = {
+          val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+          try s.toArray.map(_.asInstanceOf[java.nio.file.Path]) finally s.close()
+        }
+        val maxB0 = listDir(s"$srcDir/b0")
+          .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis).max
+        listDir(s"$srcDir/b1").foreach { p =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(maxB0 + 60000))
+        }
         val providerConf = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.getOption(providerConf)
         s.conf.set(providerConf,
@@ -1560,7 +1561,15 @@ object StreamShape {
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
         val gapStore = java.nio.file.Files.createTempDirectory("x33gaps").toString
-        val carry = new java.util.concurrent.atomic.AtomicReference[(Long, Long, Long)](null)
+        // carried state keyed BY BATCH ID, and the sink append keyed by
+        // batch id too (overwrite of its own directory): a micro-batch
+        // retry then recomputes from batch N-1's unchanged carry and
+        // overwrites its own partial output instead of double-appending —
+        // the foreachBatch idempotence contract. In a multi-run deployment
+        // the carry map lives in checkpointed state (transformWithState,
+        // the x31 convention); a driver-side map is the AvailableNow
+        // single-run equivalent.
+        val carry = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Long)]()
         val ckpt = java.nio.file.Files.createTempDirectory("x33ckpt").toString
         val sq = s.readStream.format("graft-eth").option("dataset", "blocks")
           .option("startBlock", "0").option("head", "999")
@@ -1568,7 +1577,7 @@ object StreamShape {
           .select(col("number"), col("timestamp"),
             size(col("transactions")).cast(LongType).as("n_tx"))
           .writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
             if (!batch.isEmpty) {
               val cur = batch.select("number", "timestamp", "n_tx")
               val prev = cur.select((col("number") + 1).as("number"),
@@ -1576,18 +1585,20 @@ object StreamShape {
               val within = cur.join(prev, "number")
                 .select(col("number"), (col("timestamp") - col("prev_ts")).as("gap"),
                   col("n_tx"))
-              // stitch the boundary pair against the carried last block
+              // stitch the boundary pair against the PREVIOUS batch's
+              // carried last block (stable under retry of this batch)
               val first = cur.orderBy("number").limit(1).collect()(0)
-              val boundary = Option(carry.get()).toSeq
+              val boundary = Option(carry.get(batchId - 1)).toSeq
                 .filter { case (n, _, _) => n + 1 == first.getLong(0) }
                 .map { case (_, ts, _) =>
                   (first.getLong(0), first.getLong(1) - ts, first.getLong(2))
                 }
               import batch.sparkSession.implicits._
               within.unionByName(boundary.toDF("number", "gap", "n_tx"))
-                .write.mode("append").parquet(gapStore)
+                .write.mode("overwrite").parquet(s"$gapStore/b$batchId")
               val last = cur.orderBy(desc("number")).limit(1).collect()(0)
-              carry.set((last.getLong(0), last.getLong(1), last.getLong(2)))
+              carry.put(batchId, (last.getLong(0), last.getLong(1), last.getLong(2)))
+              ()
             }
           }
           .trigger(Trigger.AvailableNow())
@@ -1597,7 +1608,7 @@ object StreamShape {
         val fed = sq.recentProgress.count(_.numInputRows > 0)
         require(fed >= 3,
           s"x33 drained in $fed micro-batch(es) — the boundary stitch was not exercised")
-        s.read.parquet(gapStore)
+        s.read.option("recursiveFileLookup", "true").parquet(gapStore)
           .select(expr("number div 100").as("epoch"), col("gap"), col("n_tx"))
           .groupBy("epoch")
           .agg(count(lit(1)).as("n_gaps"), sum("gap").as("gap_total"),

@@ -418,4 +418,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(t01.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"t01 scan not pruned to (doc_id, text):\n$t01")
   }
+
+  test("every catalog output column is gate-representable") {
+    // The driver's correctness gate hashes values through a pandas
+    // sort_values — two output shapes break it even on CORRECT answers
+    // (both shipped as round-6 reds): array/map/struct cells cannot be
+    // sorted, and DECIMAL columns wider than 18 digits can hold values
+    // above 2^53, where the two engines' decimal→float paths hash-diverge
+    // (DuckDB's HUGEINT→DOUBLE is additionally off by 1 ULP). Every gate
+    // output must therefore be a scalar: string, boolean, floating,
+    // integral (int64 or narrower), date/timestamp, or a DECIMAL of
+    // precision ≤ 18. Streaming (executesOnBuild) entries are asserted by
+    // their own drains; their post-drain projections share these columns.
+    import org.apache.spark.sql.types._
+    def ok(dt: DataType): Boolean = dt match {
+      case StringType | BooleanType | DoubleType | FloatType |
+           LongType | IntegerType | ShortType | ByteType |
+           DateType | TimestampType | TimestampNTZType => true
+      case d: DecimalType => d.precision <= 18
+      case _ => false
+    }
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    Catalog.all.filterNot(q => executesOnBuild(q.name)).foreach { q =>
+      q.build(spark, sfDir).schema.fields.foreach { f =>
+        if (!ok(f.dataType))
+          offenders += s"${q.name}.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      "gate-unreadable output columns (stringify arrays, BIGINT-cast wide decimals):\n" +
+        offenders.mkString("\n"))
+  }
 }
