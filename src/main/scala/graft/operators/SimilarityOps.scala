@@ -2278,6 +2278,98 @@ object SimilarityOps {
                       (SELECT n FROM hot) AS parent_n,
                       CAST(sc AS INT) AS subcell, COUNT(*) AS n_vecs
                FROM suba1 GROUP BY 3 ORDER BY subcell"""),
+      bench = false),
+
+    // k-NN GRAPH CONSTRUCTION — the precursor of every graph-ANN
+    // (HNSW/NSW-class) serving structure: for each vector, its k=4 exact
+    // nearest neighbors with candidates BOUNDED BY THE TRAINED IVF CELL
+    // (the sim10 pair space — Σ n_cell² pairs set by cell granularity,
+    // never corpus-wide O(n²); a cross-cell true neighbor is the method's
+    // documented miss, priced by sim09's recall). Within-cell pairs are an
+    // equi-join on the cell id, exact integer cosine, and the per-node
+    // top-k rides perKeyTopK (two-phase, no one-task-per-key window).
+    // Oracle: DuckDB replays the full training trajectory (a2) and the
+    // within-cell ranking.
+    Q("sim36_knn_graph",
+      (s, d) => {
+        val assigned = assignCells(withNorm(s, d), trainedCentroids(s, d, iters = 2))
+        val l = assigned.select(col("cell"), col("vec_id").as("u"),
+          col("embedding").as("ea"), col("norm2").as("na"))
+        val r = assigned.select(col("cell"), col("vec_id").as("v"),
+          col("embedding").as("eb"), col("norm2").as("nb"))
+        val cand = l.join(r, Seq("cell")).where(col("u") =!= col("v"))
+          .select(col("u"), col("v"),
+            cosine(scaledDot(col("ea"), col("eb")), col("na"), col("nb")).as("cos_sim"))
+        StockOps.perKeyTopK(cand, Seq("u"), Seq(desc("cos_sim"), col("v")), 4, outCol = "rank")
+          .select(col("u").as("vec_id"), col("rank"), col("v").as("nbr_id"), col("cos_sim"))
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH $sqlTrainedAssignCtes,
+                 kcand AS (
+                   SELECT a.vec_id AS u, b.vec_id AS v,
+                          $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                   FROM a2 pa JOIN a2 pb ON pa.cell = pb.cell AND pa.vec_id <> pb.vec_id
+                        JOIN nv a ON a.vec_id = pa.vec_id
+                        JOIN nv b ON b.vec_id = pb.vec_id),
+                 ktop AS (
+                   SELECT u, v, cos_sim,
+                          ROW_NUMBER() OVER (PARTITION BY u ORDER BY cos_sim DESC, v) AS rk
+                   FROM kcand)
+               SELECT u AS vec_id, CAST(rk AS INT) AS rank, v AS nbr_id, cos_sim
+               FROM ktop WHERE rk <= 4 ORDER BY vec_id, rank"""),
+      bench = false),
+
+    // k-NN GRAPH CONNECTIVITY — the serviceability report of sim36's
+    // graph: a graph-ANN walk can only reach what is connected, so the
+    // component structure (count, largest, and how many vectors never
+    // enter the graph because their cell is a singleton) is the number
+    // that says whether greedy search needs multiple entry points.
+    // Undirected components over the symmetrized k-NN edges via the d06
+    // min-label propagation (O(log diameter) rounds); the oracle replays
+    // the edges from the trained assignment and closes them with a
+    // recursive CTE.
+    Q("sim37_knn_connectivity",
+      (s, d) => {
+        val knn = byNameLocal("sim36_knn_graph").build(s, d)
+        val pairs = knn.select(least(col("vec_id"), col("nbr_id")).as("da"),
+            greatest(col("vec_id"), col("nbr_id")).as("db")).distinct()
+        val cc = DedupOps.connectedComponents(pairs, maxIter = 20)
+        val comp = cc.groupBy("label").agg(count(lit(1)).as("csize"))
+        val nTotal = withNorm(s, d).select(countDistinct(col("vec_id")).as("n_corpus"))
+        comp.agg(
+            sum(col("csize")).cast(LongType).as("n_in_graph"),
+            count(lit(1)).cast(LongType).as("n_components"),
+            max(col("csize")).cast(LongType).as("largest_component"))
+          .crossJoin(broadcast(nTotal))
+          .select(col("n_corpus"), col("n_in_graph"),
+            (col("n_corpus") - col("n_in_graph")).as("n_isolated"),
+            col("n_components"), col("largest_component"))
+      },
+      Some(s"""WITH RECURSIVE $sqlTrainedAssignCtes,
+                 kcand AS (
+                   SELECT a.vec_id AS u, b.vec_id AS v,
+                          $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                   FROM a2 pa JOIN a2 pb ON pa.cell = pb.cell AND pa.vec_id <> pb.vec_id
+                        JOIN nv a ON a.vec_id = pa.vec_id
+                        JOIN nv b ON b.vec_id = pb.vec_id),
+                 ktop AS (
+                   SELECT u, v FROM (
+                     SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY cos_sim DESC, v) AS rk
+                     FROM kcand) WHERE rk <= 4),
+                 kedges AS (SELECT u AS src, v AS dst FROM ktop
+                            UNION SELECT v, u FROM ktop),
+                 kreach(id, r) AS (
+                   SELECT src, src FROM kedges
+                   UNION
+                   SELECT e.src, rr.r FROM kedges e JOIN kreach rr ON e.dst = rr.id),
+                 kcomp AS (SELECT id, MIN(r) AS label FROM kreach GROUP BY id),
+                 ksizes AS (SELECT label, COUNT(*) AS csize FROM kcomp GROUP BY label)
+               SELECT (SELECT COUNT(DISTINCT vec_id) FROM nv) AS n_corpus,
+                      CAST(SUM(csize) AS BIGINT) AS n_in_graph,
+                      (SELECT COUNT(DISTINCT vec_id) FROM nv) - CAST(SUM(csize) AS BIGINT) AS n_isolated,
+                      CAST(COUNT(*) AS BIGINT) AS n_components,
+                      CAST(MAX(csize) AS BIGINT) AS largest_component
+               FROM ksizes"""),
       bench = false)
   )
 

@@ -121,7 +121,10 @@ class PlanAuditSpec extends SparkSpec {
     "g11_assortativity" -> Set("SinglePartition"),
     // hybrid fusion: t22's 1-row doc-count normalizer (crossJoin back) +
     // sim01's bounded broadcast probe (≠ predicate forces BNLJ)
-    "sim34_hybrid_rrf" -> Set("SinglePartition", "BroadcastNestedLoopJoin"))
+    "sim34_hybrid_rrf" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
+    // connectivity report: the answer IS one row (component-count agg) and
+    // its crossJoin-back of the 1-row corpus total is the c16 pattern
+    "sim37_knn_connectivity" -> Set("SinglePartition", "BroadcastNestedLoopJoin"))
 
   test("no catalog query plans cartesian / nested-loop / single-partition shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -294,7 +297,10 @@ class PlanAuditSpec extends SparkSpec {
     "t34_source_vocab_overlap" -> 8, // vocab distinct + token equi-join + pair agg + sizes joins + sort
     "d23_cluster_size_histogram" -> 5, // cluster left join + per-cluster agg + histogram agg + sort
     "c61_variant" -> 2, // map-only variant parse/extract + one decile agg split
-    "g11_assortativity" -> 8) // edge dedup + degree agg + two degree joins + 1-row moment agg
+    "g11_assortativity" -> 8, // edge dedup + degree agg + two degree joins + 1-row moment agg
+    // round-7 queries (ceilings = measured at spec SF)
+    "sim36_knn_graph" -> 3, // within-cell equi-join + perKeyTopK (local+final) + sort
+    "sim37_knn_connectivity" -> 2) // CC rounds checkpoint on build; sizes agg + 1-row report
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
