@@ -1741,6 +1741,106 @@ object StreamShape {
                      CAST(SUM(CASE WHEN r_cap OR r_k OR r_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
                      CAST(SUM(CASE WHEN NOT (r_cap OR r_k OR r_ts) THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
               FROM checks"""),
+      bench = false),
+
+    // STREAMING SCD2 MAINTENANCE — c35's interval table kept live through
+    // transformWithState (the x31 ValueState convention): one row of state
+    // per user (the open interval), a state change closes it and opens the
+    // next version, append-safe because each version is emitted at most
+    // twice (open, then its close — collapsed by max(to_us) after drain).
+    // The cross-batch interval-close LAW is require()d non-vacuous on the
+    // staged split: some user changes state across the batch boundary (its
+    // batch-1-opened interval can only close from carried state) AND some
+    // user holds state across it (a per-batch rebuild would open a
+    // spurious version — either failure hash-fails against c35's batch
+    // oracle, pinned verbatim).
+    Q("x36_stream_scd2",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = s"x36_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x36ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x36src").toString
+        val base = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+            col("event_type").as("state"))
+        val Array(lo, hi) = base.agg(min("us"), max("us")).head() match {
+          case r => Array(r.getLong(0), r.getLong(1))
+        }
+        val mid = lo + (hi - lo) / 2
+        base.where(col("us") < mid).coalesce(1).write.parquet(s"$srcDir/b0")
+        base.where(col("us") >= mid).coalesce(1).write.parquet(s"$srcDir/b1")
+        // delivery order is load-bearing (the x31 lesson): force b1's
+        // mtime strictly past b0's so FileStreamSource feeds them in order
+        def listDir(dir: String): Array[java.nio.file.Path] = {
+          val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+          try st.toArray.map(_.asInstanceOf[java.nio.file.Path]) finally st.close()
+        }
+        val maxB0 = listDir(s"$srcDir/b0")
+          .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis).max
+        listDir(s"$srcDir/b1").foreach { p =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(maxB0 + 60000))
+        }
+        // the boundary laws must be exercised, not just possible: per-user
+        // last batch-1 state vs first batch-2 state
+        val lastB1 = base.where(col("us") < mid)
+          .groupBy(col("user_id").as("u1"))
+          .agg(max(struct(col("us"), col("event_id"), col("state"))).as("l"))
+          .select(col("u1"), col("l.state").as("s1"))
+        val firstB2 = base.where(col("us") >= mid)
+          .groupBy(col("user_id").as("u2"))
+          .agg(min(struct(col("us"), col("event_id"), col("state"))).as("f"))
+          .select(col("u2"), col("f.state").as("s2"))
+        val boundary = lastB1.join(firstB2, col("u1") === col("u2"))
+        require(boundary.where(col("s1") =!= col("s2")).count() > 0,
+          "no user changes state across the batch boundary — the carried close is vacuous")
+        require(boundary.where(col("s1") === col("s2")).count() > 0,
+          "no user holds state across the batch boundary — the spurious-version trap is vacuous")
+        val providerConf = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerConf)
+        s.conf.set(providerConf,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import s.implicits._
+          val in = s.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(srcDir)
+            .as[graft.streaming.StreamOps.Scd2Event]
+          val sq = graft.streaming.StreamOps.scd2Stream(in).toDF()
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .start()
+          sq.awaitTermination()
+          val fed = sq.recentProgress.count(_.numInputRows > 0)
+          require(fed >= 2,
+            s"x36 drained in $fed micro-batch(es) — cross-batch maintenance was not exercised")
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set(providerConf, p)
+            case None => s.conf.unset(providerConf)
+          }
+        }
+        // collapse (open, close) emissions: the close carries to_us
+        s.table(name)
+          .groupBy("user_id", "version")
+          .agg(max(col("state")).as("state"), min(col("from_us")).as("from_us"),
+            max(col("to_us")).as("to_us"))
+          .select(col("user_id"), col("state"),
+            timestamp_micros(col("from_us")).as("valid_from"),
+            timestamp_micros(col("to_us")).as("valid_to"), col("version"))
+          .orderBy("user_id", "version")
+      },
+      // c35's batch oracle verbatim — the stream must land on it
+      Some("""WITH o AS (SELECT user_id, ts, event_id, event_type AS state,
+                                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                         FROM events),
+                 c AS (SELECT * FROM o WHERE prev IS NULL OR prev <> state)
+              SELECT user_id, state, ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+                     CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+              FROM c ORDER BY user_id, version"""),
       bench = false)
   )
 }

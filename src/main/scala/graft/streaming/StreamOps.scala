@@ -149,6 +149,67 @@ object StreamOps {
     }
   }
 
+  // ---- custom state v4: streaming SCD2 interval maintenance ----
+
+  final case class Scd2Event(user_id: Long, event_id: Long, us: Long, state: String)
+  final case class Scd2Open(state: String, from_us: Long, version: Int)
+  final case class Scd2Row(user_id: Long, state: String, from_us: Long,
+      to_us: Option[Long], version: Int)
+
+  /** Streaming SCD TYPE-2 maintenance — c35's changelog→dimension-history
+    * build kept live: per user, ONE row of state (the currently-open
+    * interval) carried across micro-batches. A state change closes the
+    * open interval (emits it with `to_us`) and opens the next version;
+    * an unchanged state emits nothing. Each version is therefore emitted
+    * at most twice (open, then close) — append-mode-safe, with the close
+    * superseding the open downstream (x36 collapses by max(to_us)). The
+    * cross-batch law: an interval opened in batch N must be closed by the
+    * first differing event of batch N+1 (carried state, not a per-batch
+    * window), and an unchanged state across the boundary must NOT open a
+    * spurious version — both asserted non-vacuous in the x36 gate. Within
+    * a micro-batch the iterator is unordered → sorted per key by
+    * (us, event_id), the c35 change-point order; cross-batch correctness
+    * needs per-user event-time-ordered delivery (the x31 staging).
+    */
+  class Scd2Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Scd2Event, Scd2Row] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ValueState}
+    @transient private var open: ValueState[Scd2Open] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[Scd2Open](
+        "open_interval", org.apache.spark.sql.Encoders.product[Scd2Open], TTLConfig.NONE)
+    override def handleInputRows(user: Long, events: Iterator[Scd2Event],
+        tv: TimerValues): Iterator[Scd2Row] = {
+      var cur: Option[Scd2Open] = if (open.exists()) Some(open.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+      events.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+        cur match {
+          case Some(o) if o.state == e.state => () // unchanged: same interval
+          case Some(o) =>
+            out += Scd2Row(user, o.state, o.from_us, Some(e.us), o.version)
+            val next = Scd2Open(e.state, e.us, o.version + 1)
+            out += Scd2Row(user, e.state, e.us, None, next.version)
+            cur = Some(next)
+          case None =>
+            out += Scd2Row(user, e.state, e.us, None, 1)
+            cur = Some(Scd2Open(e.state, e.us, 1))
+        }
+      }
+      cur.foreach(open.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming SCD2 via [[Scd2Processor]] (x36's engine path). */
+  def scd2Stream(events: Dataset[Scd2Event]): Dataset[Scd2Row] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming forward fill via [[LocfProcessor]] (x31's engine path). */
   def locfStream(events: Dataset[LocfEvent]): Dataset[LocfFilled] = {
     val spark = events.sparkSession
