@@ -15,7 +15,8 @@ object ScratchCount {
       import org.apache.spark.sql.types._
       graft.operators.Catalog.all
         .filterNot(q => q.name.startsWith("x") ||
-          q.name == "e05_eth_stream_scan" || q.name == "e06_arrow_roundtrip")
+          q.name == "e05_eth_stream_scan" || q.name == "e06_arrow_roundtrip" ||
+          q.name == "d24_incremental_clusters")
         .foreach { q =>
           val schema = q.build(spark, "/root/testdata/sf0.001").schema
           val bad = schema.fields.collect {

@@ -17,6 +17,25 @@ object StreamShape {
   // unique memory-sink names so repeated builds in one session never collide
   private val memId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Force every file under `laterDir` to an mtime strictly past any file
+    * under `earlierDir`: FileStreamSource orders pending files by
+    * modification time with no tiebreak, and coarse-mtime filesystems can
+    * stamp two writes identically — staged feeds whose delivery order is
+    * load-bearing (x31/x36/d24) must pin it explicitly.
+    */
+  private def forceDeliveryOrder(earlierDir: String, laterDir: String): Unit = {
+    def listDir(dir: String): Array[java.nio.file.Path] = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try st.toArray.map(_.asInstanceOf[java.nio.file.Path]) finally st.close()
+    }
+    val maxEarlier = listDir(earlierDir)
+      .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis).max
+    listDir(laterDir).foreach { p =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(maxEarlier + 60000))
+    }
+  }
+
   /** x10's chain head — ONE constant shared by the engine build (trigger
     * size = head+1) and its oracle's block-range predicate.
     */
@@ -1446,16 +1465,7 @@ object StreamShape {
         // x19/x22 merges): FileStreamSource orders pending files by
         // modification time with no tiebreak, and coarse-mtime filesystems
         // can stamp both writes identically — force b1 strictly later
-        def listDir(dir: String): Array[java.nio.file.Path] = {
-          val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-          try s.toArray.map(_.asInstanceOf[java.nio.file.Path]) finally s.close()
-        }
-        val maxB0 = listDir(s"$srcDir/b0")
-          .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis).max
-        listDir(s"$srcDir/b1").foreach { p =>
-          java.nio.file.Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(maxB0 + 60000))
-        }
+        forceDeliveryOrder(s"$srcDir/b0", s"$srcDir/b1")
         val providerConf = "spark.sql.streaming.stateStore.providerClass"
         val prev = s.conf.getOption(providerConf)
         s.conf.set(providerConf,
@@ -1769,18 +1779,8 @@ object StreamShape {
         val mid = lo + (hi - lo) / 2
         base.where(col("us") < mid).coalesce(1).write.parquet(s"$srcDir/b0")
         base.where(col("us") >= mid).coalesce(1).write.parquet(s"$srcDir/b1")
-        // delivery order is load-bearing (the x31 lesson): force b1's
-        // mtime strictly past b0's so FileStreamSource feeds them in order
-        def listDir(dir: String): Array[java.nio.file.Path] = {
-          val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-          try st.toArray.map(_.asInstanceOf[java.nio.file.Path]) finally st.close()
-        }
-        val maxB0 = listDir(s"$srcDir/b0")
-          .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis).max
-        listDir(s"$srcDir/b1").foreach { p =>
-          java.nio.file.Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(maxB0 + 60000))
-        }
+        // delivery order is load-bearing (the x31 lesson)
+        forceDeliveryOrder(s"$srcDir/b0", s"$srcDir/b1")
         // the boundary laws must be exercised, not just possible: per-user
         // last batch-1 state vs first batch-2 state
         val lastB1 = base.where(col("us") < mid)
@@ -1841,6 +1841,111 @@ object StreamShape {
                      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
                      CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
               FROM c ORDER BY user_id, version"""),
+      bench = false),
+
+    // INCREMENTAL CLUSTER MAINTENANCE — the step x28 leaves batch-only:
+    // near-dup PAIRS surface at ingest, but cluster ids (d06) were still a
+    // full-corpus rebuild. Here the union-find label store is maintained
+    // ACROSS micro-batches: each batch's verified pairs are contracted to
+    // a label graph (nodes = current cluster labels, size ≤ 2 × batch
+    // pairs — never the corpus), min-label CC merges it, and the mapping
+    // relabels the store. Per-batch work is bounded by the batch's
+    // discoveries; the corpus is never rescanned. The staging withholds
+    // every multi-member cluster's min-id member to batch 2, so batch 2
+    // MUST relabel clusters batch 1 already closed over — the mapping-
+    // update path a "labels never change" implementation lacks — and the
+    // relabel count is require()d > 0. Drained labels pinned to d06's
+    // batch oracle verbatim.
+    Q("d24_incremental_clusters",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ckpt = java.nio.file.Files.createTempDirectory("d24ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("d24src").toString
+        val sigStore = java.nio.file.Files.createTempDirectory("d24sigs").toString
+        val labelRoot = java.nio.file.Files.createTempDirectory("d24labels").toString
+        val labelDirs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+        val relabels = new java.util.concurrent.atomic.AtomicLong(0)
+        val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+        // canonical (min-id) members of multi-member clusters arrive LAST
+        val canon = DedupOps.all.find(_.name == "d06_dedup_clusters").get.build(s, d)
+          .groupBy("cluster").agg(count(lit(1)).as("n")).where(col("n") >= 2)
+          .select(col("cluster").as("doc_id"))
+        docs.join(canon, Seq("doc_id"), "left_anti").coalesce(1).write.parquet(s"$srcDir/b0")
+        docs.join(canon, Seq("doc_id"), "left_semi").coalesce(1).write.parquet(s"$srcDir/b1")
+        forceDeliveryOrder(s"$srcDir/b0", s"$srcDir/b1")
+        val sq = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            if (!batch.isEmpty) {
+              val bb = DedupOps.bandBuckets(batch.toDF())
+              // per-batch-id sink dirs: a micro-batch retry overwrites its
+              // own partials instead of double-appending (the x33 contract)
+              bb.write.mode("overwrite").parquet(s"$sigStore/b$batchId")
+              val store = s.read.option("recursiveFileLookup", "true").parquet(sigStore)
+              val cands = bb.select(col("doc_id").as("da"), col("band"), col("sig"))
+                .join(store.select(col("doc_id").as("db"), col("band"), col("sig")),
+                  Seq("band", "sig"))
+                .where(col("da") =!= col("db"))
+                .select(least(col("da"), col("db")).as("da"),
+                  greatest(col("da"), col("db")).as("db"))
+                .distinct()
+              val verified = DedupOps.jaccardVerified(s, d, cands).select("da", "db")
+              val prevLabels = Option(labelDirs.get(batchId - 1))
+                .map(p => s.read.parquet(p))
+                .getOrElse {
+                  import s.implicits._
+                  Seq.empty[(Long, Long)].toDF("doc_id", "label")
+                }
+              val nodes = verified.select(col("da").as("doc_id"))
+                .union(verified.select(col("db").as("doc_id"))).distinct()
+              val withLab = nodes.join(prevLabels, Seq("doc_id"), "left")
+                .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+              // contract pair edges to the label graph and merge it
+              val lg = verified
+                .join(withLab.select(col("doc_id").as("da"), col("label").as("la")), Seq("da"))
+                .join(withLab.select(col("doc_id").as("db"), col("label").as("lb")), Seq("db"))
+                .select(col("la").as("da"), col("lb").as("db"))
+                .where(col("da") =!= col("db")).distinct()
+              val mapping = DedupOps.connectedComponents(lg, maxIter = 20)
+                .select(col("id").as("old_label"), col("label").as("new_label"))
+                .where(col("old_label") =!= col("new_label"))
+                .localCheckpoint()
+              relabels.addAndGet(
+                mapping.join(prevLabels.select(col("label").as("old_label")).distinct(),
+                  Seq("old_label"), "left_semi").count())
+              val allNodes = prevLabels.unionByName(
+                withLab.join(prevLabels.select("doc_id"), Seq("doc_id"), "left_anti"))
+              allNodes.join(mapping, col("label") === col("old_label"), "left")
+                .select(col("doc_id"), coalesce(col("new_label"), col("label")).as("label"))
+                .write.mode("overwrite").parquet(s"$labelRoot/b$batchId")
+              labelDirs.put(batchId, s"$labelRoot/b$batchId")
+              ()
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fed = sq.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 2,
+          s"d24 drained in $fed micro-batch(es) — incremental maintenance was not exercised")
+        require(relabels.get() > 0,
+          "no existing cluster was relabeled by a later batch — the mapping-update path was vacuous")
+        val finalDir = {
+          var maxId = Long.MinValue
+          labelDirs.forEach((k, _) => if (k > maxId) maxId = k)
+          labelDirs.get(maxId)
+        }
+        s.read.parquet(finalDir)
+          .select(col("doc_id"), col("label").as("cluster"))
+          .orderBy("doc_id")
+      },
+      // d06's batch oracle verbatim — the maintained store must land on it
+      Some(s"""WITH RECURSIVE ${DedupOps.sqlLshClusterCtes}
+               SELECT doc_id, cluster FROM lclusters ORDER BY doc_id"""),
       bench = false)
   )
 }
