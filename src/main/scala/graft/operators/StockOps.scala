@@ -237,6 +237,77 @@ object StockOps {
         when(col("sketch_k") < KmvK, col("sketch_k"))
           .otherwise(expr(s"${(KmvK - 1).toLong * KmvM}L div kth_hash")))
 
+  /** HyperLogLog parameters: 64 registers (top 6 bits of the 60-bit hash),
+    * 54 rank bits, α₆₄ = 0.709 (Flajolet et al. 2007). The register value
+    * is ρ = leading-zeros-of-rank-bits + 1 ∈ [1, 55], computed from the
+    * minimal binary representation length — integer on both engines, no
+    * floating log2 anywhere near a bit boundary.
+    */
+  val HllRegs = 64
+  val HllRankBits = 54
+
+  /** Per-(key, register) max-ρ rows of an events frame — the HLL partial.
+    * Valid on any subset of the stream; partials merge by MAX per register
+    * (the mergeable-sketch property that distinguishes HLL from the
+    * additive CMS and the union+re-take-k KMV).
+    */
+  def hllPartial(df: DataFrame): DataFrame =
+    df.select(col("event_type"),
+        Catalog.docHash(col("user_id"), 1L << (6 + HllRankBits)).as("h"))
+      .distinct()
+      .select(col("event_type"), expr(s"h div ${1L << HllRankBits}").as("reg"),
+        expr(s"h % ${1L << HllRankBits}").as("rest"))
+      .withColumn("rho",
+        when(col("rest") === 0L, lit(HllRankBits + 1))
+          .otherwise(lit(HllRankBits + 1) - length(bin(col("rest")))))
+      .groupBy("event_type", "reg").agg(max(col("rho")).as("mj"))
+
+  /** Harmonic-mean read-out of [[hllPartial]] rows. The indicator sum
+    * Σ 2^(−M_j) is computed as the INTEGER Σ 2^(55−M_j) (≤ 64·2^55 < 2^62 —
+    * exact and order-free; a float sum of 64 spread-exponent terms rounds
+    * order-dependently), with the 64−n_filled empty registers contributing
+    * 2^55 each; doubles appear only in the final α·m²·2^55 ∕ isum divide,
+    * an identical IEEE expression on both engines.
+    */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_filled"),
+        sum(expr(s"shiftleft(1L, ${HllRankBits + 1} - mj)")).as("filled_isum"))
+      .withColumn("reg_isum",
+        col("filled_isum") +
+          (lit(HllRegs.toLong) - col("n_filled")) * lit(1L << (HllRankBits + 1)))
+      .withColumn("est_distinct",
+        lit(0.709) * lit((HllRegs.toLong * HllRegs).toDouble) *
+          lit((1L << (HllRankBits + 1)).toDouble) / col("reg_isum").cast(DoubleType))
+      .drop("filled_isum")
+
+  lazy val sqlHll: String =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+                          ${Catalog.sqlDocHash("user_id", 1L << (6 + HllRankBits))} AS h
+                   FROM events),
+            b AS (SELECT event_type, h // ${1L << HllRankBits} AS reg,
+                         h % ${1L << HllRankBits} AS rest FROM h),
+            r AS (SELECT event_type, reg,
+                         CASE WHEN rest = 0 THEN ${HllRankBits + 1}
+                              ELSE ${HllRankBits + 1} - LENGTH(bin(rest)) END AS rho
+                  FROM b),
+            m AS (SELECT event_type, reg, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+            ro AS (SELECT event_type, COUNT(*) AS n_filled,
+                          SUM(CAST(1::BIGINT << (${HllRankBits + 1} - mj) AS BIGINT)) AS filled_isum
+                   FROM m GROUP BY 1),
+            -- BIGINT hop before any DOUBLE cast: the SUM is HUGEINT and
+            -- DuckDB's hugeint→double is off by 1 ULP above 2^53 (NOTES)
+            est AS (SELECT event_type, n_filled,
+                           CAST(filled_isum + ($HllRegs - n_filled) * ${1L << (HllRankBits + 1)} AS BIGINT) AS reg_isum
+                    FROM ro),
+            tru AS (SELECT event_type, COUNT(DISTINCT user_id) AS true_distinct
+                    FROM events GROUP BY 1)
+         SELECT e.event_type, CAST(e.n_filled AS BIGINT) AS n_filled,
+                CAST(e.reg_isum AS BIGINT) AS reg_isum,
+                0.709 * ${(HllRegs.toLong * HllRegs).toDouble} * ${(1L << (HllRankBits + 1)).toDouble} / CAST(e.reg_isum AS DOUBLE) AS est_distinct,
+                u.true_distinct
+         FROM est e JOIN tru u USING (event_type) ORDER BY event_type"""
+
   val all: Seq[Q] = Seq(
     // Ranking window functions (row_number / rank / dense_rank).
     Q("c01_window_rank",
@@ -1773,7 +1844,30 @@ object StockOps {
               SELECT k // 10 AS k_decile, COUNT(*) AS n,
                      COUNT(*) AS n_missing
               FROM x WHERE k IS NOT NULL
-              GROUP BY 1 ORDER BY 1"""))
+              GROUP BY 1 ORDER BY 1""")),
+
+    // HYPERLOGLOG — the third mergeable cardinality/frequency sketch
+    // family next to CMS (c34, merges by ADDITION) and KMV (c38, merges by
+    // UNION + re-take-k): HLL registers merge by per-register MAX, the
+    // property x37 exercises live. 64 registers × one byte of state per
+    // key no matter how many events flow through; the register build is
+    // ONE map-side-combined aggregate over the distinct hash stream, and
+    // the ρ rank is integer (minimal-binary-representation length — no
+    // floating log2 near a bit boundary). The harmonic-mean read-out keeps
+    // the indicator sum INTEGER (Σ 2^(55−M_j) — a float sum of 64
+    // spread-exponent terms rounds order-dependently) and prices the
+    // estimate against the exact distinct count in-row (the c34/c38
+    // convention).
+    Q("c62_hll_sketch",
+      (s, d) => {
+        val est = hllEstimate(hllPartial(t(s, d, "events")))
+        val tru = t(s, d, "events").groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("true_distinct"))
+        est.join(tru, "event_type")
+          .select("event_type", "n_filled", "reg_isum", "est_distinct", "true_distinct")
+          .orderBy("event_type")
+      },
+      Some(sqlHll))
   )
 
 

@@ -1946,6 +1946,52 @@ object StreamShape {
       // d06's batch oracle verbatim — the maintained store must land on it
       Some(s"""WITH RECURSIVE ${DedupOps.sqlLshClusterCtes}
                SELECT doc_id, cluster FROM lclusters ORDER BY doc_id"""),
+      bench = false),
+
+    // STREAMING HLL MERGE — c62's cardinality sketch maintained across
+    // micro-batches, completing the mergeable-sketch trio's streaming
+    // twins: CMS merges by ADDITION (x19), KMV by UNION + re-take-k
+    // (x22), HLL by per-register MAX — each batch contributes a valid
+    // (key, register, ρ) partial, and the drained MAX-merge must read out
+    // the same estimates as the batch sketch (c62's oracle verbatim). The
+    // user split across batches makes the merge reconcile overlapping
+    // registers, not just concatenate.
+    Q("x37_stream_hll_merge",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ckpt = java.nio.file.Files.createTempDirectory("x37ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x37src").toString
+        val store = java.nio.file.Files.createTempDirectory("x37sketch").toString
+        val ev = s.read.parquet(s"$d/events.parquet").select("event_id", "event_type", "user_id")
+        ev.where(col("user_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/f0")
+        ev.where(col("user_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/f1")
+        val sq = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            if (!batch.isEmpty)
+              StockOps.hllPartial(batch.toDF())
+                .write.mode("overwrite").parquet(s"$store/b$batchId")
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fedBatches = sq.recentProgress.count(_.numInputRows > 0)
+        require(fedBatches >= 2,
+          s"x37 drained in $fedBatches micro-batch(es) — the register merge was not exercised")
+        val merged = s.read.option("recursiveFileLookup", "true").parquet(store)
+          .groupBy("event_type", "reg").agg(max(col("mj")).as("mj"))
+        val tru = t(s, d, "events").groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("true_distinct"))
+        StockOps.hllEstimate(merged).join(tru, "event_type")
+          .select("event_type", "n_filled", "reg_isum", "est_distinct", "true_distinct")
+          .orderBy("event_type")
+      },
+      Some(StockOps.sqlHll),
       bench = false)
   )
 }

@@ -26,7 +26,7 @@ class PlanAuditSpec extends SparkSpec {
     "x27_stream_hist_merge", "x28_stream_lsh_neardup", "x29_backfill_handoff",
     "x30_stream_address_activity", "x31_stream_locf", "x32_stream_ticket_serve",
     "x33_stream_cadence", "x34_stream_live_tail", "x35_stream_quarantine",
-    "x36_stream_scd2", "d24_incremental_clusters",
+    "x36_stream_scd2", "d24_incremental_clusters", "x37_stream_hll_merge",
     // Arrow IPC roundtrip: the build writes+reads IPC files eagerly; the
     // returned frame is a bounded local relation (scan itself is audited
     // via e01's plan — same connector path)
@@ -301,7 +301,8 @@ class PlanAuditSpec extends SparkSpec {
     "g11_assortativity" -> 8, // edge dedup + degree agg + two degree joins + 1-row moment agg
     // round-7 queries (ceilings = measured at spec SF)
     "sim36_knn_graph" -> 3, // within-cell equi-join + perKeyTopK (local+final) + sort
-    "sim37_knn_connectivity" -> 2) // CC rounds checkpoint on build; sizes agg + 1-row report
+    "sim37_knn_connectivity" -> 2, // CC rounds checkpoint on build; sizes agg + 1-row report
+    "c62_hll_sketch" -> 6) // distinct hash agg + register agg + read-out agg + true-count join + sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

@@ -259,6 +259,38 @@ class StockOpsSpec extends SparkSpec {
     }
   }
 
+  test("c62: HLL registers merge by per-register MAX; read-out is integer-exact") {
+    val ev = Catalog.t(spark, sfDir, "events")
+    val whole = StockOps.hllEstimate(StockOps.hllPartial(ev))
+      .collect().map(_.toSeq).toSet
+    // merge law: MAX-merging shard partials == the whole-stream registers,
+    // across the parity split and 3 pseudo-random 3-way layouts (each
+    // shard sees overlapping users, so the merge genuinely reconciles)
+    val layouts: Seq[Seq[org.apache.spark.sql.DataFrame]] =
+      Seq(Seq(ev.where(col("event_id") % 2 === 0), ev.where(col("event_id") % 2 === 1))) ++
+        (0 until 3).map { salt =>
+          val shardOf = Catalog.docHash(col("event_id") + lit(salt.toLong * 7919L), 3L)
+          (0L until 3L).map(i => ev.where(shardOf === i)).toSeq
+        }
+    layouts.foreach { shards =>
+      val merged = shards.map(StockOps.hllPartial).reduce(_ unionByName _)
+        .groupBy("event_type", "reg").agg(max(col("mj")).as("mj"))
+      assert(StockOps.hllEstimate(merged).collect().map(_.toSeq).toSet == whole,
+        "MAX-merged shard registers != whole-stream sketch")
+    }
+    // register bounds: reg ∈ [0, 64), ρ ∈ [1, 55]; and the estimate lands
+    // within an order of magnitude of truth on the 15-user fixture
+    val regs = StockOps.hllPartial(ev).collect()
+    regs.foreach { r =>
+      val (reg, mj) = (r.getAs[Long]("reg"), r.getAs[Int]("mj"))
+      assert(reg >= 0 && reg < StockOps.HllRegs && mj >= 1 && mj <= StockOps.HllRankBits + 1)
+    }
+    Catalog.byName("c62_hll_sketch").build(spark, sfDir).collect().foreach { r =>
+      val (est, tru) = (r.getAs[Double]("est_distinct"), r.getAs[Long]("true_distinct"))
+      assert(est >= tru / 10.0 && est <= tru * 10.0, s"est $est vs true $tru")
+    }
+  }
+
   test("per-key top-k merges by union + re-take-k under arbitrary shard layouts (x24's law)") {
     val ev = Catalog.t(spark, sfDir, "events").select("event_id", "event_type", "value")
     def topk(df: org.apache.spark.sql.DataFrame) =
