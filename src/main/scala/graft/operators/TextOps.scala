@@ -1808,6 +1808,42 @@ object TextOps {
               FROM iv JOIN sz na ON na.source = iv.sa
                       JOIN sz nb ON nb.source = iv.sb
               ORDER BY sa, sb"""),
+      bench = false),
+
+    // RAG CHUNKING — the retrieval-side document shaping every
+    // embedding/RAG pipeline runs before sim-family indexing: fixed
+    // 64-token windows at stride 48 (16-token overlap so no boundary
+    // sentence is lost to both neighbors), each chunk carrying its
+    // provenance (doc_id, chunk_id, start token offset). A pure map-only
+    // projection — explode over ⌈n/stride⌉ window starts, slice, rejoin —
+    // no shuffle at any corpus size beyond the deterministic output sort.
+    // The windowing law: every token position is covered by ≥ 1 chunk and
+    // consecutive chunks overlap by exactly 16 positions (interior), both
+    // pinned by the oracle replay.
+    Q("t35_rag_chunks",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, (n - 1) div 48)")).as("chunk_id"))
+        .withColumn("start_tok", col("chunk_id") * 48)
+        .withColumn("chunk", slice(col("toks"), col("start_tok") + 1, lit(64)))
+        .select(col("doc_id"), col("chunk_id").cast(IntegerType).as("chunk_id"),
+          col("start_tok").cast(IntegerType).as("start_tok"),
+          size(col("chunk")).as("n_chunk_toks"),
+          array_join(col("chunk"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                          FROM documents),
+                 ch AS (SELECT doc_id, toks, CAST(w.i AS INT) AS chunk_id
+                        FROM tk, LATERAL (SELECT UNNEST(range(0, (len(toks) - 1) // 48 + 1)) AS i) w),
+                 sl AS (SELECT doc_id, chunk_id, CAST(chunk_id * 48 AS INT) AS start_tok,
+                               toks[chunk_id * 48 + 1 : chunk_id * 48 + 64] AS chunk
+                        FROM ch)
+              SELECT doc_id, chunk_id, start_tok,
+                     CAST(len(chunk) AS INT) AS n_chunk_toks,
+                     array_to_string(chunk, ' ') AS chunk_text
+              FROM sl ORDER BY doc_id, chunk_id"""),
       bench = false)
   )
 }

@@ -302,7 +302,8 @@ class PlanAuditSpec extends SparkSpec {
     // round-7 queries (ceilings = measured at spec SF)
     "sim36_knn_graph" -> 3, // within-cell equi-join + perKeyTopK (local+final) + sort
     "sim37_knn_connectivity" -> 2, // CC rounds checkpoint on build; sizes agg + 1-row report
-    "c62_hll_sketch" -> 6) // distinct hash agg + register agg + read-out agg + true-count join + sort
+    "c62_hll_sketch" -> 6, // distinct hash agg + register agg + read-out agg + true-count join + sort
+    "t35_rag_chunks" -> 1) // map-only window explode + final sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
