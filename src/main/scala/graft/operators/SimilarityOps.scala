@@ -2280,6 +2280,9 @@ object SimilarityOps {
                FROM suba1 GROUP BY 3 ORDER BY subcell"""),
       bench = false),
 
+    // (knnTop builds the ranked edge table shared by sim36/sim37/sim38 —
+    // defined below `all`, next to byNameLocal.)
+    //
     // k-NN GRAPH CONSTRUCTION — the precursor of every graph-ANN
     // (HNSW/NSW-class) serving structure: for each vector, its k=4 exact
     // nearest neighbors with candidates BOUNDED BY THE TRAINED IVF CELL
@@ -2291,30 +2294,10 @@ object SimilarityOps {
     // Oracle: DuckDB replays the full training trajectory (a2) and the
     // within-cell ranking.
     Q("sim36_knn_graph",
-      (s, d) => {
-        val assigned = assignCells(withNorm(s, d), trainedCentroids(s, d, iters = 2))
-        val l = assigned.select(col("cell"), col("vec_id").as("u"),
-          col("embedding").as("ea"), col("norm2").as("na"))
-        val r = assigned.select(col("cell"), col("vec_id").as("v"),
-          col("embedding").as("eb"), col("norm2").as("nb"))
-        val cand = l.join(r, Seq("cell")).where(col("u") =!= col("v"))
-          .select(col("u"), col("v"),
-            cosine(scaledDot(col("ea"), col("eb")), col("na"), col("nb")).as("cos_sim"))
-        StockOps.perKeyTopK(cand, Seq("u"), Seq(desc("cos_sim"), col("v")), 4, outCol = "rank")
-          .select(col("u").as("vec_id"), col("rank"), col("v").as("nbr_id"), col("cos_sim"))
-          .orderBy("vec_id", "rank")
-      },
-      Some(s"""WITH $sqlTrainedAssignCtes,
-                 kcand AS (
-                   SELECT a.vec_id AS u, b.vec_id AS v,
-                          $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
-                   FROM a2 pa JOIN a2 pb ON pa.cell = pb.cell AND pa.vec_id <> pb.vec_id
-                        JOIN nv a ON a.vec_id = pa.vec_id
-                        JOIN nv b ON b.vec_id = pb.vec_id),
-                 ktop AS (
-                   SELECT u, v, cos_sim,
-                          ROW_NUMBER() OVER (PARTITION BY u ORDER BY cos_sim DESC, v) AS rk
-                   FROM kcand)
+      (s, d) => knnTop(s, d)
+        .select(col("u").as("vec_id"), col("rank"), col("v").as("nbr_id"), col("cos_sim"))
+        .orderBy("vec_id", "rank"),
+      Some(s"""WITH $sqlTrainedAssignCtes, $sqlKnnCtes
                SELECT u AS vec_id, CAST(rk AS INT) AS rank, v AS nbr_id, cos_sim
                FROM ktop WHERE rk <= 4 ORDER BY vec_id, rank"""),
       bench = false),
@@ -2345,23 +2328,11 @@ object SimilarityOps {
             (col("n_corpus") - col("n_in_graph")).as("n_isolated"),
             col("n_components"), col("largest_component"))
       },
-      Some(s"""WITH RECURSIVE $sqlTrainedAssignCtes,
-                 kcand AS (
-                   SELECT a.vec_id AS u, b.vec_id AS v,
-                          $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
-                   FROM a2 pa JOIN a2 pb ON pa.cell = pb.cell AND pa.vec_id <> pb.vec_id
-                        JOIN nv a ON a.vec_id = pa.vec_id
-                        JOIN nv b ON b.vec_id = pb.vec_id),
-                 ktop AS (
-                   SELECT u, v FROM (
-                     SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY cos_sim DESC, v) AS rk
-                     FROM kcand) WHERE rk <= 4),
-                 kedges AS (SELECT u AS src, v AS dst FROM ktop
-                            UNION SELECT v, u FROM ktop),
+      Some(s"""WITH RECURSIVE $sqlTrainedAssignCtes, $sqlKnnCtes,
                  kreach(id, r) AS (
-                   SELECT src, src FROM kedges
+                   SELECT u, u FROM kedges
                    UNION
-                   SELECT e.src, rr.r FROM kedges e JOIN kreach rr ON e.dst = rr.id),
+                   SELECT e.u, rr.r FROM kedges e JOIN kreach rr ON e.v = rr.id),
                  kcomp AS (SELECT id, MIN(r) AS label FROM kreach GROUP BY id),
                  ksizes AS (SELECT label, COUNT(*) AS csize FROM kcomp GROUP BY label)
                SELECT (SELECT COUNT(DISTINCT vec_id) FROM nv) AS n_corpus,
@@ -2370,10 +2341,126 @@ object SimilarityOps {
                       CAST(COUNT(*) AS BIGINT) AS n_components,
                       CAST(MAX(csize) AS BIGINT) AS largest_component
                FROM ksizes"""),
+      bench = false),
+
+    // GRAPH-ANN GREEDY BEAM SEARCH — serving FROM sim36's k-NN graph, the
+    // HNSW/NSW-class navigation step: start every probe at one fixed
+    // entry point (the graph's min vec_id — query-independent, the way a
+    // real navigable graph keeps one global entry), then 3 hops of
+    // keep-the-best beam search (beam 4): candidates = frontier ∪ its
+    // out-neighbors over the SYMMETRIZED edges, rescored against the
+    // probe, top-beam survives. Per-query work is O(hops × beam × k) —
+    // INDEPENDENT of corpus size, the property that makes graph ANN the
+    // serving path when even IVF's cell scan is too much. The emitted
+    // top-3 carries the walk's cos_sim so sim09-style recall is readable
+    // against sim01's exact truth. Frontiers are ≤ probes × beam rows
+    // (bounded broadcast side of every hop join); the oracle replays
+    // training, graph build, and every hop.
+    Q("sim38_graph_ann_walk",
+      (s, d) => {
+        val beam = 4
+        val corpus = withNorm(s, d)
+        val probes = corpus.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("norm2").as("qnorm2"))
+        val edges = knnTop(s, d).select("u", "v")
+        val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+          .distinct().localCheckpoint()
+        val entry = sym.agg(min(col("u")).as("vec_id"))
+        var frontier = probes.select("qid").crossJoin(broadcast(entry))
+        for (_ <- 1 to 3) {
+          val nbrs = frontier.select("qid", "vec_id")
+            .join(sym, col("vec_id") === col("u"))
+            .select(col("qid"), col("v").as("vec_id"))
+          val cand = frontier.select("qid", "vec_id").union(nbrs).distinct()
+            .where(col("vec_id") =!= col("qid"))
+          val scored = cand.join(corpus, "vec_id").join(broadcast(probes), "qid")
+            .select(col("qid"), col("vec_id"),
+              cosine(scaledDot(col("qvec"), col("embedding")),
+                col("qnorm2"), col("norm2")).as("cos_sim"))
+          frontier = StockOps.perKeyTopK(scored, Seq("qid"),
+            Seq(desc("cos_sim"), col("vec_id")), beam)
+            .select("qid", "vec_id", "cos_sim").localCheckpoint()
+        }
+        StockOps.perKeyTopK(frontier, Seq("qid"),
+            Seq(desc("cos_sim"), col("vec_id")), 3, outCol = "rank")
+          .select(col("qid"), col("rank"), col("vec_id"), col("cos_sim"))
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH $sqlTrainedAssignCtes, $sqlKnnCtes,
+                 entry AS (SELECT MIN(u) AS e FROM kedges),
+                 wf0 AS (SELECT vec_id AS qid, (SELECT e FROM entry) AS vec_id
+                         FROM nv WHERE vec_id < 10),
+                 ${sqlWalkHop(1, 4)},
+                 ${sqlWalkHop(2, 4)},
+                 ${sqlWalkHop(3, 4)}
+               SELECT qid, CAST(rk AS INT) AS rank, vec_id, cos_sim FROM (
+                 SELECT qid, vec_id, cos_sim,
+                        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                 FROM wf3) WHERE rk <= 3 ORDER BY qid, rank"""),
       bench = false)
   )
 
   /** Local alias to avoid a Catalog init cycle. */
   private def byNameLocal(name: String): Q =
     all.find(_.name == name).getOrElse(throw new NoSuchElementException(name))
+
+  /** Ranked k-NN edge table (u, rank, v, cos_sim): each vector's 4 exact
+    * nearest within-trained-cell neighbors — sim36's output, sim37's edge
+    * set, sim38's navigation structure. Candidates are an equi-join on the
+    * trained cell id (Σ n_cell² pairs, never corpus-wide); per-node top-k
+    * rides the two-phase perKeyTopK.
+    */
+  private def knnTop(s: SparkSession, d: String): DataFrame = {
+    val assigned = assignCells(withNorm(s, d), trainedCentroids(s, d, iters = 2))
+    val l = assigned.select(col("cell"), col("vec_id").as("u"),
+      col("embedding").as("ea"), col("norm2").as("na"))
+    val r = assigned.select(col("cell"), col("vec_id").as("v"),
+      col("embedding").as("eb"), col("norm2").as("nb"))
+    val cand = l.join(r, Seq("cell")).where(col("u") =!= col("v"))
+      .select(col("u"), col("v"),
+        cosine(scaledDot(col("ea"), col("eb")), col("na"), col("nb")).as("cos_sim"))
+    StockOps.perKeyTopK(cand, Seq("u"), Seq(desc("cos_sim"), col("v")), 4, outCol = "rank")
+  }
+
+  /** Oracle CTEs for the k-NN edge set: within-trained-cell candidate
+    * pairs (`kcand`), the directed top-4 edges (`ktop`), and the
+    * symmetrized navigation edges (`kedges`) — shared by sim36/37/38.
+    */
+  private lazy val sqlKnnCtes: String =
+    s"""kcand AS (
+          SELECT a.vec_id AS u, b.vec_id AS v,
+                 $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+          FROM a2 pa JOIN a2 pb ON pa.cell = pb.cell AND pa.vec_id <> pb.vec_id
+               JOIN nv a ON a.vec_id = pa.vec_id
+               JOIN nv b ON b.vec_id = pb.vec_id),
+        ktop AS (
+          SELECT u, v, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY u ORDER BY cos_sim DESC, v) AS rk
+          FROM kcand),
+        kedges AS (SELECT u, v FROM ktop WHERE rk <= 4
+                   UNION SELECT v, u FROM ktop WHERE rk <= 4)"""
+
+  /** One oracle-side beam-search hop `i`: candidates = previous frontier ∪
+    * its out-neighbors (minus the query itself), rescored against the
+    * probe, new frontier = top-`beam` per query — the same monotone
+    * keep-the-best step the engine loop runs.
+    */
+  private def sqlWalkHop(i: Int, beam: Int): String = {
+    // SUFFIXED CTE names (wc/ws/wf): c$i/s$i live inside the Lloyd chain
+    // this composes with — the p02 collision lesson
+    val prev = s"wf${i - 1}"
+    s"""wc$i AS (SELECT qid, vec_id FROM $prev
+                 UNION
+                 SELECT f.qid, e.v AS vec_id FROM $prev f JOIN kedges e ON e.u = f.vec_id),
+        ws$i AS (SELECT c.qid, c.vec_id,
+                        $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                 FROM wc$i c JOIN nv a ON a.vec_id = c.qid
+                             JOIN nv b ON b.vec_id = c.vec_id
+                 WHERE c.vec_id <> c.qid),
+        wf$i AS (SELECT qid, vec_id, cos_sim FROM (
+                   SELECT qid, vec_id, cos_sim,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                   FROM ws$i) WHERE rk <= $beam)"""
+  }
 }

@@ -303,7 +303,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim36_knn_graph" -> 3, // within-cell equi-join + perKeyTopK (local+final) + sort
     "sim37_knn_connectivity" -> 2, // CC rounds checkpoint on build; sizes agg + 1-row report
     "c62_hll_sketch" -> 6, // distinct hash agg + register agg + read-out agg + true-count join + sort
-    "t35_rag_chunks" -> 1) // map-only window explode + final sort
+    "t35_rag_chunks" -> 1, // map-only window explode + final sort
+    "sim38_graph_ann_walk" -> 3) // hops checkpoint on build; final perKeyTopK (local+final) + sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
@@ -362,6 +363,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim27_sq_recall" -> "perKeyTopK phase 2 (SQ search + brute-force truth): <= k*parts rows per qid",
     "sim28_quantization_pareto" -> "perKeyTopK phase 2 (all five search branches + truth): <= k*parts rows per qid",
     "sim29_binary_search" -> "perKeyTopK phase 2: <= k*parts rows per qid",
+    "sim38_graph_ann_walk" -> "perKeyTopK phase 2 over the checkpointed frontier: <= probes*beam rows total",
     "r03_interval_overlap" -> "groupedRunningTotal offsets window: <= parts rows per event_type by phase-1 aggregation",
     "c50_robust_stats" -> "groupedRunningTotal offsets windows (median + MAD passes): <= parts rows per event_type by phase-1 aggregation",
     "r08_period_delta" -> "lag window runs POST-aggregation: <= #days rows per event_type regardless of event volume",
