@@ -2344,18 +2344,20 @@ object SimilarityOps {
       bench = false),
 
     // GRAPH-ANN GREEDY BEAM SEARCH — serving FROM sim36's k-NN graph, the
-    // HNSW/NSW-class navigation step: start every probe at one fixed
-    // entry point (the graph's min vec_id — query-independent, the way a
-    // real navigable graph keeps one global entry), then 3 hops of
-    // keep-the-best beam search (beam 4): candidates = frontier ∪ its
-    // out-neighbors over the SYMMETRIZED edges, rescored against the
-    // probe, top-beam survives. Per-query work is O(hops × beam × k) —
-    // INDEPENDENT of corpus size, the property that makes graph ANN the
-    // serving path when even IVF's cell scan is too much. The emitted
-    // top-3 carries the walk's cos_sim so sim09-style recall is readable
-    // against sim01's exact truth. Frontiers are ≤ probes × beam rows
-    // (bounded broadcast side of every hop join); the oracle replays
-    // training, graph build, and every hop.
+    // HNSW/NSW-class navigation step: every probe starts at ONE ENTRY PER
+    // COMPONENT (query-independent, the multi-entry remedy sim37's
+    // connectivity report exists to motivate — a single global entry
+    // walked recall@3 = 0.1 here because other components are
+    // unreachable), then 3 hops of keep-the-best beam search (beam 4):
+    // candidates = frontier ∪ its out-neighbors over the SYMMETRIZED
+    // edges, rescored against the probe, top-beam survives. Per-query
+    // work is O(hops × beam × k + entries) with entries bounded by the
+    // component count (set by cell granularity) — INDEPENDENT of corpus
+    // size, the property that makes graph ANN the serving path when even
+    // IVF's cell scan is too much. The emitted top-3 carries the walk's
+    // cos_sim so sim39's recall is readable against exact truth. The
+    // oracle replays training, graph build, the component closure, and
+    // every hop.
     Q("sim38_graph_ann_walk",
       (s, d) => {
         val beam = 4
@@ -2366,8 +2368,11 @@ object SimilarityOps {
         val edges = knnTop(s, d).select("u", "v")
         val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
           .distinct().localCheckpoint()
-        val entry = sym.agg(min(col("u")).as("vec_id"))
-        var frontier = probes.select("qid").crossJoin(broadcast(entry))
+        val pairs = edges.select(least(col("u"), col("v")).as("da"),
+          greatest(col("u"), col("v")).as("db")).distinct()
+        val entries = DedupOps.connectedComponents(pairs, maxIter = 20)
+          .select(col("label").as("vec_id")).distinct()
+        var frontier = probes.select("qid").crossJoin(broadcast(entries))
         for (_ <- 1 to 3) {
           val nbrs = frontier.select("qid", "vec_id")
             .join(sym, col("vec_id") === col("u"))
@@ -2387,17 +2392,55 @@ object SimilarityOps {
           .select(col("qid"), col("rank"), col("vec_id"), col("cos_sim"))
           .orderBy("qid", "rank")
       },
-      Some(s"""WITH $sqlTrainedAssignCtes, $sqlKnnCtes,
-                 entry AS (SELECT MIN(u) AS e FROM kedges),
-                 wf0 AS (SELECT vec_id AS qid, (SELECT e FROM entry) AS vec_id
-                         FROM nv WHERE vec_id < 10),
-                 ${sqlWalkHop(1, 4)},
-                 ${sqlWalkHop(2, 4)},
-                 ${sqlWalkHop(3, 4)}
+      Some(s"""WITH RECURSIVE $sqlWalkCtes
                SELECT qid, CAST(rk AS INT) AS rank, vec_id, cos_sim FROM (
                  SELECT qid, vec_id, cos_sim,
                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
                  FROM wf3) WHERE rk <= 3 ORDER BY qid, rank"""),
+      bench = false),
+
+    // Recall@3 of the GRAPH WALK vs exact brute force — sim09's pricing
+    // convention applied to sim38: the number that says what 3 hops from
+    // the per-component entries buy (and what the documented misses —
+    // cross-cell edges absent from the graph, hop-limited reach — cost;
+    // the single-entry variant measured 0.1 here, the multi-entry walk is
+    // the remediation sim37 motivates). Hard
+    // oracle: DuckDB recomputes brute-force truth AND replays the full
+    // walk, so the recall NUMBER itself is cross-engine-verified.
+    Q("sim39_walk_recall",
+      (s, d) => {
+        val truth = StockOps.perKeyTopK(probePairs(s, d, 10),
+            Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
+          .select("qid", "vec_id")
+        val walk = byNameLocal("sim38_graph_ann_walk").build(s, d)
+        val hits = walk.select("qid", "vec_id")
+          .join(truth, Seq("qid", "vec_id"), "left_semi").count()
+        val total = truth.count()
+        import s.implicits._
+        Seq(("graph_walk", total, hits, hits.toDouble / total))
+          .toDF("method", "n_truth", "n_hit", "recall")
+      },
+      Some(s"""WITH RECURSIVE $sqlWalkCtes,
+                 walk_top AS (
+                   SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                     FROM wf3) WHERE rk <= 3),
+                 bpairs AS (
+                   SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                          $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                   FROM nv a JOIN nv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+                 brute_top AS (
+                   SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                     FROM bpairs) WHERE rk <= 3),
+                 hits AS (SELECT COUNT(*) AS n_hit
+                          FROM walk_top w JOIN brute_top b USING (qid, vec_id)),
+                 tot AS (SELECT COUNT(*) AS n_truth FROM brute_top)
+               SELECT 'graph_walk' AS method, n_truth, n_hit,
+                      CAST(n_hit AS DOUBLE) / n_truth AS recall
+               FROM tot, hits"""),
       bench = false)
   )
 
@@ -2438,8 +2481,34 @@ object SimilarityOps {
           SELECT u, v, cos_sim,
                  ROW_NUMBER() OVER (PARTITION BY u ORDER BY cos_sim DESC, v) AS rk
           FROM kcand),
-        kedges AS (SELECT u, v FROM ktop WHERE rk <= 4
-                   UNION SELECT v, u FROM ktop WHERE rk <= 4)"""
+        kedges AS (SELECT DISTINCT u, v FROM (
+                     SELECT u, v FROM ktop WHERE rk <= 4
+                     UNION ALL SELECT v, u FROM ktop WHERE rk <= 4))"""
+  // NOTE the explicit DISTINCT-over-UNION-ALL: inside a WITH RECURSIVE
+  // block, DuckDB 1.0.0 evaluates UNION in NON-recursive CTEs as UNION ALL
+  // (verified: `WITH RECURSIVE r(..)..., e AS (SELECT .. UNION SELECT ..)`
+  // keeps duplicates). Closure/grouping read-outs (sim37, d06) are immune,
+  // but anything ranked (a beam's ROW_NUMBER) would count duplicates as
+  // distinct slots and silently narrow the beam.
+
+  /** Everything from raw embeddings to sim38's final walk frontier `wf3`:
+    * trained assignment → k-NN edges → component closure → one entry per
+    * component → 3 beam-search hops. Shared by sim38 (the walk) and sim39
+    * (its recall). Must sit inside a `WITH RECURSIVE`.
+    */
+  private lazy val sqlWalkCtes: String =
+    s"""$sqlTrainedAssignCtes, $sqlKnnCtes,
+        kreach(id, r) AS (
+          SELECT u, u FROM kedges
+          UNION
+          SELECT e.u, rr.r FROM kedges e JOIN kreach rr ON e.v = rr.id),
+        wkcomp AS (SELECT id, MIN(r) AS label FROM kreach GROUP BY id),
+        wentries AS (SELECT DISTINCT label FROM wkcomp),
+        wf0 AS (SELECT p.vec_id AS qid, e.label AS vec_id
+                FROM nv p, wentries e WHERE p.vec_id < 10),
+        ${sqlWalkHop(1, 4)},
+        ${sqlWalkHop(2, 4)},
+        ${sqlWalkHop(3, 4)}"""
 
   /** One oracle-side beam-search hop `i`: candidates = previous frontier ∪
     * its out-neighbors (minus the query itself), rescored against the
@@ -2450,9 +2519,10 @@ object SimilarityOps {
     // SUFFIXED CTE names (wc/ws/wf): c$i/s$i live inside the Lloyd chain
     // this composes with — the p02 collision lesson
     val prev = s"wf${i - 1}"
-    s"""wc$i AS (SELECT qid, vec_id FROM $prev
-                 UNION
-                 SELECT f.qid, e.v AS vec_id FROM $prev f JOIN kedges e ON e.u = f.vec_id),
+    s"""wc$i AS (SELECT DISTINCT qid, vec_id FROM (
+                   SELECT qid, vec_id FROM $prev
+                   UNION ALL
+                   SELECT f.qid, e.v AS vec_id FROM $prev f JOIN kedges e ON e.u = f.vec_id)),
         ws$i AS (SELECT c.qid, c.vec_id,
                         $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
                  FROM wc$i c JOIN nv a ON a.vec_id = c.qid

@@ -304,7 +304,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim37_knn_connectivity" -> 2, // CC rounds checkpoint on build; sizes agg + 1-row report
     "c62_hll_sketch" -> 6, // distinct hash agg + register agg + read-out agg + true-count join + sort
     "t35_rag_chunks" -> 1, // map-only window explode + final sort
-    "sim38_graph_ann_walk" -> 3) // hops checkpoint on build; final perKeyTopK (local+final) + sort
+    "sim38_graph_ann_walk" -> 3, // hops checkpoint on build; final perKeyTopK (local+final) + sort
+    "sim39_walk_recall" -> 0) // hit/truth counts run on build; emitted report is one local row
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
