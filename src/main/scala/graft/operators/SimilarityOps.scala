@@ -2470,7 +2470,7 @@ object SimilarityOps {
     * pairs (`kcand`), the directed top-4 edges (`ktop`), and the
     * symmetrized navigation edges (`kedges`) — shared by sim36/37/38.
     */
-  private lazy val sqlKnnCtes: String =
+  lazy val sqlKnnCtes: String =
     s"""kcand AS (
           SELECT a.vec_id AS u, b.vec_id AS v,
                  $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim

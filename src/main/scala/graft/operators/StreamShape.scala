@@ -1992,6 +1992,99 @@ object StreamShape {
           .orderBy("event_type")
       },
       Some(StockOps.sqlHll),
+      bench = false),
+
+    // STREAMING k-NN GRAPH MAINTENANCE — sim36's navigation structure
+    // kept live at ingest (the ANN sibling of d24's cluster maintenance):
+    // the quantizer is trained ONCE on the corpus (sim11's
+    // train-once/serve-many convention), each arriving vector is assigned
+    // its cell as a pure projection, candidate pairs are the new vectors
+    // × the cell-local vector store IN BOTH DIRECTIONS (a new vector both
+    // builds its own list and can enter EXISTING nodes' lists), and the
+    // per-node top-4 edge store merges by union + re-take-k (the x24
+    // law). Per-batch work is O(batch × cell occupancy) — the corpus is
+    // never rescanned. Both maintenance laws are require()d non-vacuous
+    // on the parity staging: a batch-2 vector ENTERS some batch-1 node's
+    // list, and DISPLACES some batch-1 edge from a full list. Drained
+    // graph pinned to sim36's batch oracle verbatim.
+    Q("x38_stream_knn_maintain",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ckpt = java.nio.file.Files.createTempDirectory("x38ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x38src").toString
+        val vecStore = java.nio.file.Files.createTempDirectory("x38vecs").toString
+        val edgeRoot = java.nio.file.Files.createTempDirectory("x38edges").toString
+        val edgeDirs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+        val cents = SimilarityOps.trainedCentroids(s, d, iters = 2)
+        val vecs = s.read.parquet(s"$d/embeddings.parquet").select("vec_id", "embedding")
+        vecs.where(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$srcDir/b0")
+        vecs.where(col("vec_id") % 2 === 1).coalesce(1).write.parquet(s"$srcDir/b1")
+        forceDeliveryOrder(s"$srcDir/b0", s"$srcDir/b1")
+        val sq = s.readStream.schema(vecs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            if (!batch.isEmpty) {
+              val assigned = SimilarityOps.assignCells(
+                SimilarityOps.withNormOf(batch.toDF()), cents)
+                .select("cell", "vec_id", "embedding", "norm2")
+              assigned.write.mode("overwrite").parquet(s"$vecStore/b$batchId")
+              val store = s.read.option("recursiveFileLookup", "true").parquet(vecStore)
+              val a = assigned.select(col("cell"), col("vec_id").as("na"),
+                col("embedding").as("ea"), col("norm2").as("nna"))
+              val b = store.select(col("cell"), col("vec_id").as("nb"),
+                col("embedding").as("eb"), col("norm2").as("nnb"))
+              val scored = a.join(b, Seq("cell")).where(col("na") =!= col("nb"))
+                .withColumn("cos_sim", SimilarityOps.cosine(
+                  SimilarityOps.scaledDot(col("ea"), col("eb")), col("nna"), col("nnb")))
+              // both directions: the new vector's own list AND its entry
+              // into existing lists (same exact cosine either way)
+              val newEdges = scored.select(col("na").as("u"), col("nb").as("v"), col("cos_sim"))
+                .unionByName(scored.select(col("nb").as("u"), col("na").as("v"), col("cos_sim")))
+                .distinct()
+              val prev = Option(edgeDirs.get(batchId - 1))
+                .map(p => s.read.parquet(p))
+                .getOrElse {
+                  import s.implicits._
+                  Seq.empty[(Long, Long, Double)].toDF("u", "v", "cos_sim")
+                }
+              StockOps.perKeyTopK(prev.unionByName(newEdges).distinct(),
+                  Seq("u"), Seq(desc("cos_sim"), col("v")), 4)
+                .select("u", "v", "cos_sim")
+                .write.mode("overwrite").parquet(s"$edgeRoot/b$batchId")
+              edgeDirs.put(batchId, s"$edgeRoot/b$batchId")
+              ()
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fed = sq.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 2,
+          s"x38 drained in $fed micro-batch(es) — incremental maintenance was not exercised")
+        var maxId = Long.MinValue
+        edgeDirs.forEach((k, _) => if (k > maxId) maxId = k)
+        val finalEdges = s.read.parquet(edgeDirs.get(maxId))
+        val firstEdges = s.read.parquet(edgeDirs.get(0L))
+        // maintenance laws: a later (odd) vector entered an existing
+        // (even) node's list, and displaced one of its batch-1 edges
+        require(finalEdges.where(col("u") % 2 === 0 && col("v") % 2 === 1).count() > 0,
+          "no batch-2 vector entered an existing node's list — entry law vacuous")
+        require(firstEdges.select("u", "v")
+            .join(finalEdges.select("u", "v"), Seq("u", "v"), "left_anti").count() > 0,
+          "no batch-1 edge was displaced by a later arrival — displacement law vacuous")
+        StockOps.perKeyTopK(finalEdges, Seq("u"),
+            Seq(desc("cos_sim"), col("v")), 4, outCol = "rank")
+          .select(col("u").as("vec_id"), col("rank"), col("v").as("nbr_id"), col("cos_sim"))
+          .orderBy("vec_id", "rank")
+      },
+      // sim36's batch oracle verbatim — the maintained graph must land on it
+      Some(s"""WITH ${SimilarityOps.sqlTrainedAssignCtes}, ${SimilarityOps.sqlKnnCtes}
+               SELECT u AS vec_id, CAST(rk AS INT) AS rank, v AS nbr_id, cos_sim
+               FROM ktop WHERE rk <= 4 ORDER BY vec_id, rank"""),
       bench = false)
   )
 }
