@@ -551,6 +551,77 @@ object TemporalOps {
               SELECT cohort_day, day_offset, n_active, cohort_size,
                      n_active * 1000000 // cohort_size AS retention_ppm
               FROM tri JOIN sizes USING (cohort_day)
-              ORDER BY cohort_day, day_offset"""))
+              ORDER BY cohort_day, day_offset""")),
+
+    // LINEAR INTERPOLATION on the regular grid — r04's fill with the
+    // other standard gap policy: between bracketing observations the
+    // value is the straight line v0 + (v1−v0)·(t−t0)∕(t1−t0), not the
+    // carried v0. Both brackets arrive by r04's two-phase discipline run
+    // in BOTH directions (prefix obs-count → prev bracket, suffix
+    // obs-count via the negated order column → next bracket; each an
+    // equi-join on (user, rank) — never a per-user last/first window).
+    // The grid spans each user's min..max observation, so both brackets
+    // always exist; at observed days the brackets coincide and the CASE
+    // short-circuits the 0∕0. Doubles appear only in the final
+    // identically-written interpolation expression (exact-decimal sums
+    // before it), so both engines run the same IEEE ops in the same
+    // order.
+    Q("r10_linear_interp",
+      (s, d) => {
+        val obs = t(s, d, "events").where(col("event_type") === "purchase")
+          .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("day"), col("value"))
+          .groupBy("user_id", "day").agg(dsum(col("value")).as("obs_val"))
+        val grid = obs.groupBy("user_id").agg(min("day").as("mn"), max("day").as("mx"))
+          .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("day"))
+        val g = grid.join(obs, Seq("user_id", "day"), "left")
+          .withColumn("is_obs", when(col("obs_val").isNotNull, 1L).otherwise(0L))
+          .withColumn("nday", -col("day"))
+        val idx = StockOps.groupedRunningTotal(g, "user_id", "day", "is_obs", "obs_idx")
+        val bidx = StockOps.groupedRunningTotal(idx, "user_id", "nday", "is_obs", "robs_idx")
+        val obs1 = obs.withColumn("one", lit(1L)).withColumn("nday", -col("day"))
+        val prevSrc = StockOps.groupedRunningTotal(obs1, "user_id", "day", "one", "obs_idx")
+          .select(col("user_id"), col("obs_idx"), col("day").as("day0"), col("obs_val").as("v0"))
+        val nextSrc = StockOps.groupedRunningTotal(obs1, "user_id", "nday", "one", "robs_idx")
+          .select(col("user_id"), col("robs_idx"), col("day").as("day1"), col("obs_val").as("v1"))
+        bidx.join(prevSrc, Seq("user_id", "obs_idx"))
+          .join(nextSrc, Seq("user_id", "robs_idx"))
+          .select(col("user_id"), col("day"), col("obs_val"),
+            when(col("day1") === col("day0"), col("v0"))
+              .otherwise(col("v0") + (col("v1") - col("v0"))
+                * (col("day") - col("day0")).cast("double")
+                / (col("day1") - col("day0")).cast("double")).as("interp"),
+            col("obs_val").isNull.as("is_gap"))
+          .orderBy("user_id", "day")
+      },
+      Some(s"""WITH p AS (SELECT user_id, (epoch_ns(ts) // 1000) // $DayUs AS day, value
+                          FROM events WHERE event_type = 'purchase'),
+                  obs AS (SELECT user_id, day,
+                                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS obs_val
+                          FROM p GROUP BY 1, 2),
+                  span AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM obs GROUP BY 1),
+                  grid AS (SELECT user_id, UNNEST(range(mn, mx + 1)) AS day FROM span),
+                  g AS (SELECT gr.user_id, gr.day, o.obs_val
+                        FROM grid gr LEFT JOIN obs o
+                          ON o.user_id = gr.user_id AND o.day = gr.day),
+                  br AS (SELECT user_id, day, obs_val,
+                                LAST_VALUE(CASE WHEN obs_val IS NOT NULL THEN day END IGNORE NULLS)
+                                  OVER (PARTITION BY user_id ORDER BY day
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day0,
+                                LAST_VALUE(obs_val IGNORE NULLS)
+                                  OVER (PARTITION BY user_id ORDER BY day
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+                                FIRST_VALUE(CASE WHEN obs_val IS NOT NULL THEN day END IGNORE NULLS)
+                                  OVER (PARTITION BY user_id ORDER BY day
+                                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS day1,
+                                FIRST_VALUE(obs_val IGNORE NULLS)
+                                  OVER (PARTITION BY user_id ORDER BY day
+                                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+                         FROM g)
+               SELECT user_id, day, obs_val,
+                      CASE WHEN day1 = day0 THEN v0
+                           ELSE v0 + (v1 - v0) * CAST(day - day0 AS DOUBLE)
+                                / CAST(day1 - day0 AS DOUBLE) END AS interp,
+                      obs_val IS NULL AS is_gap
+               FROM br ORDER BY user_id, day"""))
   )
 }
