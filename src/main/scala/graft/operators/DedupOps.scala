@@ -250,6 +250,13 @@ object DedupOps {
       labels = next
       i += 1
     }
+    // Exhausting maxIter on a chain-like graph (diameter > maxIter) would
+    // otherwise RETURN PARTIAL LABELS silently — the caller's oracle then
+    // hash-fails with no local diagnostic (review finding, round 7). Loud
+    // failure here names the fix: more iterations or the star variant.
+    require(converged,
+      s"connectedComponents did not converge in $maxIter iterations — " +
+        "component diameter exceeds the cap; raise maxIter or use connectedComponentsStar")
     labels
   }
 
@@ -318,6 +325,9 @@ object DedupOps {
       dir = next
       i += 1
     }
+    require(converged || i < maxIter,
+      s"connectedComponentsStar did not converge in $maxIter rounds — " +
+        "raise maxIter (O(log n) rounds expected; this indicates a bug or an enormous graph)")
     // at the fixpoint edges form stars on component minima: label(u) =
     // min(u, its star center); centers appear only as targets → self label
     val centers = dir.groupBy("u").agg(min("v").as("mv"))

@@ -74,6 +74,15 @@ object SimilarityOps {
   val IvfCells = 16
   val IvfProbe = 4
 
+  /** k-NN graph/walk parameters (sim36–39, x38): neighbors per node, walk
+    * beam width, walk hop count. Declared as named vals and interpolated
+    * into every oracle string (the sqlCms lesson): a literal duplicated
+    * across engine code and SQL diverges silently on the first retune.
+    */
+  val KnnK = 4
+  val WalkBeam = 4
+  val WalkHops = 3
+
   /** Matryoshka truncation width for sim25 (first 16 of 64 dims — 4×
     * cheaper dot products). Declared before `val all`: the oracle string
     * interpolates it at init (the sqlCms lesson).
@@ -2299,7 +2308,7 @@ object SimilarityOps {
         .orderBy("vec_id", "rank"),
       Some(s"""WITH $sqlTrainedAssignCtes, $sqlKnnCtes
                SELECT u AS vec_id, CAST(rk AS INT) AS rank, v AS nbr_id, cos_sim
-               FROM ktop WHERE rk <= 4 ORDER BY vec_id, rank"""),
+               FROM ktop WHERE rk <= $KnnK ORDER BY vec_id, rank"""),
       bench = false),
 
     // k-NN GRAPH CONNECTIVITY — the serviceability report of sim36's
@@ -2360,7 +2369,7 @@ object SimilarityOps {
     // every hop.
     Q("sim38_graph_ann_walk",
       (s, d) => {
-        val beam = 4
+        val beam = WalkBeam
         val corpus = withNorm(s, d)
         val probes = corpus.where(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
@@ -2373,7 +2382,7 @@ object SimilarityOps {
         val entries = DedupOps.connectedComponents(pairs, maxIter = 20)
           .select(col("label").as("vec_id")).distinct()
         var frontier = probes.select("qid").crossJoin(broadcast(entries))
-        for (_ <- 1 to 3) {
+        for (_ <- 1 to WalkHops) {
           val nbrs = frontier.select("qid", "vec_id")
             .join(sym, col("vec_id") === col("u"))
             .select(col("qid"), col("v").as("vec_id"))
@@ -2396,7 +2405,7 @@ object SimilarityOps {
                SELECT qid, CAST(rk AS INT) AS rank, vec_id, cos_sim FROM (
                  SELECT qid, vec_id, cos_sim,
                         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
-                 FROM wf3) WHERE rk <= 3 ORDER BY qid, rank"""),
+                 FROM wf$WalkHops) WHERE rk <= 3 ORDER BY qid, rank"""),
       bench = false),
 
     // Recall@3 of the GRAPH WALK vs exact brute force — sim09's pricing
@@ -2425,7 +2434,7 @@ object SimilarityOps {
                    SELECT qid, vec_id FROM (
                      SELECT qid, vec_id,
                             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
-                     FROM wf3) WHERE rk <= 3),
+                     FROM wf$WalkHops) WHERE rk <= 3),
                  bpairs AS (
                    SELECT a.vec_id AS qid, b.vec_id AS vec_id,
                           $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
@@ -2463,7 +2472,7 @@ object SimilarityOps {
     val cand = l.join(r, Seq("cell")).where(col("u") =!= col("v"))
       .select(col("u"), col("v"),
         cosine(scaledDot(col("ea"), col("eb")), col("na"), col("nb")).as("cos_sim"))
-    StockOps.perKeyTopK(cand, Seq("u"), Seq(desc("cos_sim"), col("v")), 4, outCol = "rank")
+    StockOps.perKeyTopK(cand, Seq("u"), Seq(desc("cos_sim"), col("v")), KnnK, outCol = "rank")
   }
 
   /** Oracle CTEs for the k-NN edge set: within-trained-cell candidate
@@ -2482,8 +2491,8 @@ object SimilarityOps {
                  ROW_NUMBER() OVER (PARTITION BY u ORDER BY cos_sim DESC, v) AS rk
           FROM kcand),
         kedges AS (SELECT DISTINCT u, v FROM (
-                     SELECT u, v FROM ktop WHERE rk <= 4
-                     UNION ALL SELECT v, u FROM ktop WHERE rk <= 4))"""
+                     SELECT u, v FROM ktop WHERE rk <= $KnnK
+                     UNION ALL SELECT v, u FROM ktop WHERE rk <= $KnnK))"""
   // NOTE the explicit DISTINCT-over-UNION-ALL: inside a WITH RECURSIVE
   // block, DuckDB 1.0.0 evaluates UNION in NON-recursive CTEs as UNION ALL
   // (verified: `WITH RECURSIVE r(..)..., e AS (SELECT .. UNION SELECT ..)`
@@ -2506,9 +2515,7 @@ object SimilarityOps {
         wentries AS (SELECT DISTINCT label FROM wkcomp),
         wf0 AS (SELECT p.vec_id AS qid, e.label AS vec_id
                 FROM nv p, wentries e WHERE p.vec_id < 10),
-        ${sqlWalkHop(1, 4)},
-        ${sqlWalkHop(2, 4)},
-        ${sqlWalkHop(3, 4)}"""
+        ${(1 to WalkHops).map(sqlWalkHop(_, WalkBeam)).mkString(",\n        ")}"""
 
   /** One oracle-side beam-search hop `i`: candidates = previous frontier ∪
     * its out-neighbors (minus the query itself), rescored against the

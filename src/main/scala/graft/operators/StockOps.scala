@@ -249,11 +249,17 @@ object StockOps {
   /** Per-(key, register) max-ρ rows of an events frame — the HLL partial.
     * Valid on any subset of the stream; partials merge by MAX per register
     * (the mergeable-sketch property that distinguishes HLL from the
-    * additive CMS and the union+re-take-k KMV).
+    * additive CMS and the union+re-take-k KMV). The hash is the catalog's
+    * md5→60-bit convention (c36's), NOT the multiplicative docHash: HLL
+    * reads the TOP bits as the register index and the low bits' leading
+    * zeros as the rank, so it needs avalanche — under docHash every
+    * user_id below ~2^23 lands in register 0 and the sketch degenerates
+    * to one register (review finding, round 7).
     */
   def hllPartial(df: DataFrame): DataFrame =
     df.select(col("event_type"),
-        Catalog.docHash(col("user_id"), 1L << (6 + HllRankBits)).as("h"))
+        conv(substring(md5(col("user_id").cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
+          .cast(LongType).as("h"))
       .distinct()
       .select(col("event_type"), expr(s"h div ${1L << HllRankBits}").as("reg"),
         expr(s"h % ${1L << HllRankBits}").as("rest"))
@@ -283,7 +289,7 @@ object StockOps {
 
   lazy val sqlHll: String =
     s"""WITH h AS (SELECT DISTINCT event_type,
-                          ${Catalog.sqlDocHash("user_id", 1L << (6 + HllRankBits))} AS h
+                          CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
                    FROM events),
             b AS (SELECT event_type, h // ${1L << HllRankBits} AS reg,
                          h % ${1L << HllRankBits} AS rest FROM h),

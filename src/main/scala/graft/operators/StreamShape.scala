@@ -23,6 +23,22 @@ object StreamShape {
     * stamp two writes identically — staged feeds whose delivery order is
     * load-bearing (x31/x36/d24) must pin it explicitly.
     */
+  /** Latest value stored at a batch id STRICTLY BEFORE `batchId` in a
+    * batchId-keyed state map (x33/d24/x38's cross-batch chains). An empty
+    * micro-batch writes nothing under its id, so a plain get(batchId - 1)
+    * would silently continue from EMPTY state — dropping x33's boundary
+    * row or discarding d24/x38's whole accumulated store (review finding,
+    * round 7). Retry-idempotence is preserved: a retry of batch N still
+    * reads only ids < N, which the retry cannot have changed.
+    */
+  private def latestBefore[V](
+      m: java.util.concurrent.ConcurrentHashMap[Long, V], batchId: Long): Option[V] = {
+    var bestK = Long.MinValue
+    var best: Option[V] = None
+    m.forEach((k, v) => if (k < batchId && k > bestK) { bestK = k; best = Some(v) })
+    best
+  }
+
   private def forceDeliveryOrder(earlierDir: String, laterDir: String): Unit = {
     def listDir(dir: String): Array[java.nio.file.Path] = {
       val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
@@ -1595,10 +1611,11 @@ object StreamShape {
               val within = cur.join(prev, "number")
                 .select(col("number"), (col("timestamp") - col("prev_ts")).as("gap"),
                   col("n_tx"))
-              // stitch the boundary pair against the PREVIOUS batch's
-              // carried last block (stable under retry of this batch)
+              // stitch the boundary pair against the latest PRIOR batch's
+              // carried last block (stable under retry of this batch;
+              // empty batches leave no entry, so `latest before` not -1)
               val first = cur.orderBy("number").limit(1).collect()(0)
-              val boundary = Option(carry.get(batchId - 1)).toSeq
+              val boundary = latestBefore(carry, batchId).toSeq
                 .filter { case (n, _, _) => n + 1 == first.getLong(0) }
                 .map { case (_, ts, _) =>
                   (first.getLong(0), first.getLong(1) - ts, first.getLong(2))
@@ -1893,7 +1910,7 @@ object StreamShape {
                   greatest(col("da"), col("db")).as("db"))
                 .distinct()
               val verified = DedupOps.jaccardVerified(s, d, cands).select("da", "db")
-              val prevLabels = Option(labelDirs.get(batchId - 1))
+              val prevLabels = latestBefore(labelDirs, batchId)
                 .map(p => s.read.parquet(p))
                 .getOrElse {
                   import s.implicits._
@@ -2044,14 +2061,14 @@ object StreamShape {
               val newEdges = scored.select(col("na").as("u"), col("nb").as("v"), col("cos_sim"))
                 .unionByName(scored.select(col("nb").as("u"), col("na").as("v"), col("cos_sim")))
                 .distinct()
-              val prev = Option(edgeDirs.get(batchId - 1))
+              val prev = latestBefore(edgeDirs, batchId)
                 .map(p => s.read.parquet(p))
                 .getOrElse {
                   import s.implicits._
                   Seq.empty[(Long, Long, Double)].toDF("u", "v", "cos_sim")
                 }
               StockOps.perKeyTopK(prev.unionByName(newEdges).distinct(),
-                  Seq("u"), Seq(desc("cos_sim"), col("v")), 4)
+                  Seq("u"), Seq(desc("cos_sim"), col("v")), SimilarityOps.KnnK)
                 .select("u", "v", "cos_sim")
                 .write.mode("overwrite").parquet(s"$edgeRoot/b$batchId")
               edgeDirs.put(batchId, s"$edgeRoot/b$batchId")
@@ -2077,14 +2094,14 @@ object StreamShape {
             .join(finalEdges.select("u", "v"), Seq("u", "v"), "left_anti").count() > 0,
           "no batch-1 edge was displaced by a later arrival — displacement law vacuous")
         StockOps.perKeyTopK(finalEdges, Seq("u"),
-            Seq(desc("cos_sim"), col("v")), 4, outCol = "rank")
+            Seq(desc("cos_sim"), col("v")), SimilarityOps.KnnK, outCol = "rank")
           .select(col("u").as("vec_id"), col("rank"), col("v").as("nbr_id"), col("cos_sim"))
           .orderBy("vec_id", "rank")
       },
       // sim36's batch oracle verbatim — the maintained graph must land on it
       Some(s"""WITH ${SimilarityOps.sqlTrainedAssignCtes}, ${SimilarityOps.sqlKnnCtes}
                SELECT u AS vec_id, CAST(rk AS INT) AS rank, v AS nbr_id, cos_sim
-               FROM ktop WHERE rk <= 4 ORDER BY vec_id, rank"""),
+               FROM ktop WHERE rk <= ${SimilarityOps.KnnK} ORDER BY vec_id, rank"""),
       bench = false)
   )
 }

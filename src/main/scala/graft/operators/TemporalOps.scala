@@ -575,16 +575,24 @@ object TemporalOps {
           .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("day"))
         val g = grid.join(obs, Seq("user_id", "day"), "left")
           .withColumn("is_obs", when(col("obs_val").isNotNull, 1L).otherwise(0L))
-          .withColumn("nday", -col("day"))
         val idx = StockOps.groupedRunningTotal(g, "user_id", "day", "is_obs", "obs_idx")
-        val bidx = StockOps.groupedRunningTotal(idx, "user_id", "nday", "is_obs", "robs_idx")
-        val obs1 = obs.withColumn("one", lit(1L)).withColumn("nday", -col("day"))
-        val prevSrc = StockOps.groupedRunningTotal(obs1, "user_id", "day", "one", "obs_idx")
-          .select(col("user_id"), col("obs_idx"), col("day").as("day0"), col("obs_val").as("v0"))
-        val nextSrc = StockOps.groupedRunningTotal(obs1, "user_id", "nday", "one", "robs_idx")
-          .select(col("user_id"), col("robs_idx"), col("day").as("day1"), col("obs_val").as("v1"))
-        bidx.join(prevSrc, Seq("user_id", "obs_idx"))
-          .join(nextSrc, Seq("user_id", "robs_idx"))
+        // ONE ranked-observation pass serves both brackets: prev = rank
+        // obs_idx, next = rank obs_idx + 1 − is_obs (an observed row IS
+        // its own next bracket; the grid ends on an observation, so the
+        // +1 rank always exists for gap rows). A reverse-order suffix
+        // count would be a second whole prefix-sum pass for a number
+        // derivable in closed form. Checkpointed once — branching into
+        // two join sides would re-run the pass per side (the p05 lesson).
+        val ranked = StockOps.groupedRunningTotal(
+            obs.withColumn("one", lit(1L)), "user_id", "day", "one", "rk")
+          .localCheckpoint()
+        val prevSrc = ranked.select(col("user_id"), col("rk").as("obs_idx"),
+          col("day").as("day0"), col("obs_val").as("v0"))
+        val nextSrc = ranked.select(col("user_id"), col("rk").as("nrk"),
+          col("day").as("day1"), col("obs_val").as("v1"))
+        idx.withColumn("nrk", col("obs_idx") + lit(1L) - col("is_obs"))
+          .join(prevSrc, Seq("user_id", "obs_idx"))
+          .join(nextSrc, Seq("user_id", "nrk"))
           .select(col("user_id"), col("day"), col("obs_val"),
             when(col("day1") === col("day0"), col("v0"))
               .otherwise(col("v0") + (col("v1") - col("v0"))

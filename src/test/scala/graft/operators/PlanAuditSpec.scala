@@ -307,7 +307,7 @@ class PlanAuditSpec extends SparkSpec {
     "t35_rag_chunks" -> 1, // map-only window explode + final sort
     "sim38_graph_ann_walk" -> 3, // hops checkpoint on build; final perKeyTopK (local+final) + sort
     "sim39_walk_recall" -> 0, // hit/truth counts run on build; emitted report is one local row
-    "r10_linear_interp" -> 10) // obs agg + 2 grid & 2 obs prefix-sum passes + 2 bracket joins + sort
+    "r10_linear_interp" -> 4) // obs agg + grid prefix pass + one ranked-obs pass (checkpointed, both brackets) + sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
