@@ -2102,6 +2102,84 @@ object StreamShape {
       Some(s"""WITH ${SimilarityOps.sqlTrainedAssignCtes}, ${SimilarityOps.sqlKnnCtes}
                SELECT u AS vec_id, CAST(rk AS INT) AS rank, v AS nbr_id, cos_sim
                FROM ktop WHERE rk <= ${SimilarityOps.KnnK} ORDER BY vec_id, rank"""),
+      bench = false),
+
+    // STREAMING SEQUENCE PACKING — t20's continuous form: the
+    // pretraining-data assembler never stops ingesting, so each source's
+    // packed token offset must carry across micro-batches (ONE Long of
+    // state per source via transformWithState). A per-batch rebuild
+    // restarts every source at token 0; the staging pins that bug out by
+    // require()ing a source whose batch-1 token total ends MID-CHUNK —
+    // its batch-2 documents can only land at the right offsets from
+    // carried state. Chunk spans derive arithmetically after drain;
+    // pinned to t20's batch oracle verbatim.
+    Q("x39_stream_packing",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = s"x39_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x39ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x39src").toString
+        val nt = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))).cast(LongType).as("n_toks"))
+        val mid = nt.agg(min("doc_id"), max("doc_id")).head() match {
+          case r => r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+        }
+        nt.where(col("doc_id") < mid).coalesce(1).write.parquet(s"$srcDir/b0")
+        nt.where(col("doc_id") >= mid).coalesce(1).write.parquet(s"$srcDir/b1")
+        forceDeliveryOrder(s"$srcDir/b0", s"$srcDir/b1")
+        // the restart bug must be catchable: some source's batch-1 total
+        // ends mid-chunk (continuation offset not a multiple of 128)
+        val midChunk = nt.where(col("doc_id") < mid)
+          .groupBy("source").agg(sum("n_toks").as("tot"))
+          .where(pmod(col("tot"), lit(128L)) =!= 0L).count()
+        require(midChunk > 0,
+          "every source's batch-1 total is chunk-aligned — the carried-offset law is vacuous")
+        val providerConf = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerConf)
+        s.conf.set(providerConf,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import s.implicits._
+          val in = s.readStream.schema(nt.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(srcDir)
+            .as[graft.streaming.StreamOps.PackDoc]
+          val sq = graft.streaming.StreamOps.packStream(in).toDF()
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .start()
+          sq.awaitTermination()
+          val fed = sq.recentProgress.count(_.numInputRows > 0)
+          require(fed >= 2,
+            s"x39 drained in $fed micro-batch(es) — the carried offset was not exercised")
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set(providerConf, p)
+            case None => s.conf.unset(providerConf)
+          }
+        }
+        s.table(name)
+          .withColumn("start_tok", col("end_tok") - col("n_toks"))
+          .withColumn("first_chunk", expr("start_tok div 128"))
+          .withColumn("last_chunk", expr("(end_tok - 1) div 128"))
+          .select("doc_id", "source", "n_toks", "start_tok", "first_chunk", "last_chunk")
+          .orderBy("doc_id")
+      },
+      // t20's batch oracle verbatim — the carried offsets must land on it
+      Some("""WITH nt AS (SELECT doc_id, source,
+                                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+                          FROM documents),
+                 c AS (SELECT doc_id, source, n_toks,
+                              CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+                       FROM nt)
+              SELECT doc_id, source, n_toks, end_tok - n_toks AS start_tok,
+                     (end_tok - n_toks) // 128 AS first_chunk,
+                     (end_tok - 1) // 128 AS last_chunk
+              FROM c ORDER BY doc_id"""),
       bench = false)
   )
 }

@@ -200,6 +200,52 @@ object StreamOps {
     }
   }
 
+  // ---- custom state v5: streaming sequence packing ----
+
+  final case class PackDoc(doc_id: Long, source: String, n_toks: Long)
+  final case class PackPos(doc_id: Long, source: String, n_toks: Long, end_tok: Long)
+
+  /** Streaming SEQUENCE PACKING — t20's per-source token-offset assignment
+    * maintained at ingest: ONE Long of state per source (the cumulative
+    * token count) places every arriving document at its exact packed
+    * offset; chunk spans then derive arithmetically downstream. The
+    * cross-batch law: a source's batch-N+1 documents continue mid-chunk
+    * from the carried offset — a per-batch rebuild restarts every source
+    * at token 0 and hash-fails t20's oracle (the x39 gate require()s a
+    * source whose carried offset is mid-chunk, so the restart bug cannot
+    * pass vacuously). Within a micro-batch rows are sorted per source by
+    * doc_id (t20's packing order); cross-batch correctness needs
+    * per-source doc_id-ordered delivery (the x31 staging convention).
+    */
+  class PackProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, PackDoc, PackPos] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ValueState}
+    @transient private var cum: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cum = getHandle.getValueState[Long](
+        "cum_toks", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(source: String, docs: Iterator[PackDoc],
+        tv: TimerValues): Iterator[PackPos] = {
+      var c = if (cum.exists()) cum.get() else 0L
+      val out = docs.toSeq.sortBy(_.doc_id).map { d =>
+        c += d.n_toks
+        PackPos(d.doc_id, d.source, d.n_toks, c)
+      }
+      cum.update(c)
+      out.iterator
+    }
+  }
+
+  /** Streaming packing via [[PackProcessor]] (x39's engine path). */
+  def packStream(docs: Dataset[PackDoc]): Dataset[PackPos] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new PackProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming SCD2 via [[Scd2Processor]] (x36's engine path). */
   def scd2Stream(events: Dataset[Scd2Event]): Dataset[Scd2Row] = {
     val spark = events.sparkSession

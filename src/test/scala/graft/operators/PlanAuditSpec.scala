@@ -27,7 +27,7 @@ class PlanAuditSpec extends SparkSpec {
     "x30_stream_address_activity", "x31_stream_locf", "x32_stream_ticket_serve",
     "x33_stream_cadence", "x34_stream_live_tail", "x35_stream_quarantine",
     "x36_stream_scd2", "d24_incremental_clusters", "x37_stream_hll_merge",
-    "x38_stream_knn_maintain",
+    "x38_stream_knn_maintain", "x39_stream_packing",
     // Arrow IPC roundtrip: the build writes+reads IPC files eagerly; the
     // returned frame is a bounded local relation (scan itself is audited
     // via e01's plan — same connector path)
