@@ -2369,33 +2369,7 @@ object SimilarityOps {
     // every hop.
     Q("sim38_graph_ann_walk",
       (s, d) => {
-        val beam = WalkBeam
-        val corpus = withNorm(s, d)
-        val probes = corpus.where(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-            col("norm2").as("qnorm2"))
-        val edges = knnTop(s, d).select("u", "v")
-        val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-          .distinct().localCheckpoint()
-        val pairs = edges.select(least(col("u"), col("v")).as("da"),
-          greatest(col("u"), col("v")).as("db")).distinct()
-        val entries = DedupOps.connectedComponents(pairs, maxIter = 20)
-          .select(col("label").as("vec_id")).distinct()
-        var frontier = probes.select("qid").crossJoin(broadcast(entries))
-        for (_ <- 1 to WalkHops) {
-          val nbrs = frontier.select("qid", "vec_id")
-            .join(sym, col("vec_id") === col("u"))
-            .select(col("qid"), col("v").as("vec_id"))
-          val cand = frontier.select("qid", "vec_id").union(nbrs).distinct()
-            .where(col("vec_id") =!= col("qid"))
-          val scored = cand.join(corpus, "vec_id").join(broadcast(probes), "qid")
-            .select(col("qid"), col("vec_id"),
-              cosine(scaledDot(col("qvec"), col("embedding")),
-                col("qnorm2"), col("norm2")).as("cos_sim"))
-          frontier = StockOps.perKeyTopK(scored, Seq("qid"),
-            Seq(desc("cos_sim"), col("vec_id")), beam)
-            .select("qid", "vec_id", "cos_sim").localCheckpoint()
-        }
+        val frontier = walkFrontiers(s, d).last._2
         StockOps.perKeyTopK(frontier, Seq("qid"),
             Seq(desc("cos_sim"), col("vec_id")), 3, outCol = "rank")
           .select(col("qid"), col("rank"), col("vec_id"), col("cos_sim"))
@@ -2450,6 +2424,59 @@ object SimilarityOps {
                SELECT 'graph_walk' AS method, n_truth, n_hit,
                       CAST(n_hit AS DOUBLE) / n_truth AS recall
                FROM tot, hits"""),
+      bench = false),
+
+    // Hop-count SWEEP — sim31's knob-pricing convention applied to the
+    // walk: recall@3 after each hop 1…WalkHops, the curve an operator
+    // consults when trading serving latency (hops × beam × k candidate
+    // lookups) against recall. Each hop's frontier is priced against the
+    // same brute-force truth; the oracle replays every hop and reads out
+    // all of them. (On this fixture the curve saturates at hop 1 —
+    // per-component entries already sit near every probe's truth at
+    // ≤16-cell granularity; the per-hop machinery is what is pinned, and
+    // a production cell count makes the curve informative.)
+    Q("sim40_walk_hop_sweep",
+      (s, d) => {
+        val truth = StockOps.perKeyTopK(probePairs(s, d, 10),
+            Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
+          .select("qid", "vec_id").localCheckpoint()
+        val total = truth.count()
+        val rows = walkFrontiers(s, d).map { case (h, frontier) =>
+          val top3 = StockOps.perKeyTopK(frontier, Seq("qid"),
+            Seq(desc("cos_sim"), col("vec_id")), 3)
+          val hits = top3.select("qid", "vec_id")
+            .join(truth, Seq("qid", "vec_id"), "left_semi").count()
+          (h, total, hits, hits.toDouble / total)
+        }
+        import s.implicits._
+        rows.toDF("hops", "n_truth", "n_hit", "recall").orderBy("hops")
+      },
+      Some(s"""WITH RECURSIVE $sqlWalkCtes,
+                 bpairs AS (
+                   SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                          $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                   FROM nv a JOIN nv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+                 brute_top AS (
+                   SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                     FROM bpairs) WHERE rk <= 3),
+                 tot AS (SELECT COUNT(*) AS n_truth FROM brute_top),
+                 ${(1 to WalkHops).map(h =>
+                   s"""wtop$h AS (SELECT qid, vec_id FROM (
+                         SELECT qid, vec_id,
+                                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                         FROM wf$h) WHERE rk <= 3),
+                       whit$h AS (SELECT COUNT(*) AS n_hit
+                                  FROM wtop$h w JOIN brute_top b USING (qid, vec_id))""")
+                   .mkString(",\n                 ")}
+               SELECT * FROM (
+                 ${(1 to WalkHops).map(h =>
+                   s"""SELECT CAST($h AS INT) AS hops, (SELECT n_truth FROM tot) AS n_truth,
+                              (SELECT n_hit FROM whit$h) AS n_hit,
+                              CAST((SELECT n_hit FROM whit$h) AS DOUBLE) / (SELECT n_truth FROM tot) AS recall""")
+                   .mkString("\n                 UNION ALL\n                 ")})
+               ORDER BY hops"""),
       bench = false)
   )
 
@@ -2499,6 +2526,42 @@ object SimilarityOps {
   // keeps duplicates). Closure/grouping read-outs (sim37, d06) are immune,
   // but anything ranked (a beam's ROW_NUMBER) would count duplicates as
   // distinct slots and silently narrow the beam.
+
+  /** The walk's per-hop frontiers [(1, f1) … (WalkHops, f_WalkHops)] —
+    * sim38 emits the last, sim40 prices every hop. Each frontier is the
+    * keep-the-best beam over (previous frontier ∪ its out-neighbors),
+    * checkpointed per hop; entries are one per component (the sim37
+    * motivation — a single global entry cannot reach other components).
+    */
+  private def walkFrontiers(s: SparkSession, d: String): Seq[(Int, DataFrame)] = {
+    val corpus = withNorm(s, d)
+    val probes = corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("norm2").as("qnorm2"))
+    val edges = knnTop(s, d).select("u", "v")
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    val pairs = edges.select(least(col("u"), col("v")).as("da"),
+      greatest(col("u"), col("v")).as("db")).distinct()
+    val entries = DedupOps.connectedComponents(pairs, maxIter = 20)
+      .select(col("label").as("vec_id")).distinct()
+    var frontier = probes.select("qid").crossJoin(broadcast(entries))
+    (1 to WalkHops).map { h =>
+      val nbrs = frontier.select("qid", "vec_id")
+        .join(sym, col("vec_id") === col("u"))
+        .select(col("qid"), col("v").as("vec_id"))
+      val cand = frontier.select("qid", "vec_id").union(nbrs).distinct()
+        .where(col("vec_id") =!= col("qid"))
+      val scored = cand.join(corpus, "vec_id").join(broadcast(probes), "qid")
+        .select(col("qid"), col("vec_id"),
+          cosine(scaledDot(col("qvec"), col("embedding")),
+            col("qnorm2"), col("norm2")).as("cos_sim"))
+      frontier = StockOps.perKeyTopK(scored, Seq("qid"),
+        Seq(desc("cos_sim"), col("vec_id")), WalkBeam)
+        .select("qid", "vec_id", "cos_sim").localCheckpoint()
+      (h, frontier)
+    }
+  }
 
   /** Everything from raw embeddings to sim38's final walk frontier `wf3`:
     * trained assignment → k-NN edges → component closure → one entry per

@@ -307,7 +307,8 @@ class PlanAuditSpec extends SparkSpec {
     "t35_rag_chunks" -> 1, // map-only window explode + final sort
     "sim38_graph_ann_walk" -> 3, // hops checkpoint on build; final perKeyTopK (local+final) + sort
     "sim39_walk_recall" -> 0, // hit/truth counts run on build; emitted report is one local row
-    "r10_linear_interp" -> 4) // obs agg + grid prefix pass + one ranked-obs pass (checkpointed, both brackets) + sort
+    "r10_linear_interp" -> 4, // obs agg + grid prefix pass + one ranked-obs pass (checkpointed, both brackets) + sort
+    "sim40_walk_hop_sweep" -> 1) // per-hop recall counts run on build; emitted 3-row sweep + its sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
