@@ -279,16 +279,25 @@ object SimilarityOps {
     * carry (vec_id, embedding, norm2); only rows with vec_id < nProbes are
     * served (the probe-set convention every sim oracle shares).
     */
-  def serveIvfIndexed(s: SparkSession, d: String, queries: DataFrame, nProbes: Int): DataFrame = {
+  def serveIvfIndexed(s: SparkSession, d: String, queries: DataFrame, nProbes: Int,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     val db = ensureIvfIndex(s, d)
     val cents = s.table(s"$db.ivf_centroids").collect()
       .sortBy(_.getInt(0))
       .map(r => (r.getSeq[Double](1).toArray, r.getLong(2)))
-    val probes = probeCells(queries, cents, nProbes)
+    // deletions never rewrite the persisted postings: the index scan is
+    // anti-joined against the (bounded, broadcast) tombstone set at serve
+    // time — the serving-under-deletion shape until a compaction pass
+    // (k06's job) folds the tombstones into the postings themselves
+    val served = tombstones.fold(queries)(del =>
+      queries.join(broadcast(del), Seq("vec_id"), "left_anti"))
+    val probes = probeCells(served, cents, nProbes)
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
-    val idx = s.table(s"$db.corpus_ivf")
+    val idx0 = s.table(s"$db.corpus_ivf")
       .where(col("cell").isin(cells.map(Int.box): _*))
       .select("vec_id", "embedding", "norm2", "cell")
+    val idx = tombstones.fold(idx0)(del =>
+      idx0.join(broadcast(del), Seq("vec_id"), "left_anti"))
     val scanPlan = idx.queryExecution.executedPlan.toString
     require(raw"PartitionFilters: \[[^\]]*cell".r.findFirstIn(scanPlan).isDefined,
       s"indexed IVF scan lost its static cell partition pruning:\n${scanPlan.take(2000)}")
@@ -2477,6 +2486,53 @@ object SimilarityOps {
                               CAST((SELECT n_hit FROM whit$h) AS DOUBLE) / (SELECT n_truth FROM tot) AS recall""")
                    .mkString("\n                 UNION ALL\n                 ")})
                ORDER BY hops"""),
+      bench = false),
+
+    // SERVING UNDER DELETION — the ANN half of the p12 deletion-propagation
+    // story: the same deletion selector (docHash(id, 20) = 0, p12's
+    // embeddings artifact) applied to the PERSISTED trained-IVF index.
+    // Deleted vectors are tombstoned, never rewritten: the cell-pruned
+    // index scan anti-joins the (bounded, broadcast) tombstone set at
+    // serve time, deleted probes stop being served, and surviving probes'
+    // top-3 re-rank over the survivors — at this fixture probe 0 drops out
+    // AND two surviving probes change an answer row, so both effects are
+    // exercised, not just possible. Laws require()d in-build: no deleted
+    // id may appear as a probe or a result, every surviving probe still
+    // fills k slots, and the served table must actually DIFFER from the
+    // undeleted serve (a tombstone join that silently no-ops would pass
+    // every other check). Oracle: the sim08/sim11 trained-search replay
+    // with the deletion filter applied to probes and candidates — same
+    // centroids (deletion does not retrain the quantizer; sim32 prices
+    // assignment churn when one does).
+    Q("sim41_ivf_delete_serve",
+      (s, d) => {
+        val k = 3
+        val dels = withNorm(s, d).where(docHash(col("vec_id"), 20) === 0)
+          .select("vec_id").localCheckpoint()
+        val live = serveIvfIndexed(s, d, withNorm(s, d), nProbes = 10,
+          tombstones = Some(dels)).localCheckpoint()
+        require(live.join(dels, Seq("vec_id"), "left_semi").count() == 0,
+          "a tombstoned vector was served as a result")
+        require(live.join(dels.select(col("vec_id").as("qid")), Seq("qid"), "left_semi")
+          .count() == 0, "a tombstoned probe was still served")
+        val nProbesLive = live.select("qid").distinct().count()
+        require(live.count() == nProbesLive * k,
+          s"a surviving probe no longer fills $k result slots")
+        val full = serveIvfIndexed(s, d, withNorm(s, d), nProbes = 10)
+        require(live.exceptAll(full).count() > 0,
+          "deletion changed no served row — the tombstone path was vacuous")
+        live
+      },
+      Some(s"""WITH $sqlTrainedSearchCtes,
+                 sdel AS (SELECT vec_id FROM nv WHERE ${sqlDocHash("vec_id", 20)} = 0),
+                 ilive AS (SELECT qid, vec_id, cos_sim FROM iscored
+                           WHERE qid NOT IN (SELECT vec_id FROM sdel)
+                             AND vec_id NOT IN (SELECT vec_id FROM sdel))
+               SELECT qid, vec_id, cos_sim, rk FROM (
+                 SELECT qid, vec_id, cos_sim,
+                        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+                 FROM ilive)
+               WHERE rk <= 3 ORDER BY qid, rk"""),
       bench = false)
   )
 

@@ -2180,6 +2180,130 @@ object StreamShape {
                      (end_tok - n_toks) // 128 AS first_chunk,
                      (end_tok - 1) // 128 AS last_chunk
               FROM c ORDER BY doc_id"""),
+      bench = false),
+
+    // STREAMING DELETION PROPAGATION — p12's right-to-be-forgotten sweep
+    // as a continuous process over the near-dup cluster space (exact-digest
+    // duplicates don't exist below sf0.1; LSH clusters exist at every SF).
+    // Deletion requests arrive in waves and the cluster membership store +
+    // keep-list are maintained incrementally: per deletion batch, only the
+    // AFFECTED clusters (deletions ⋈ store — bounded by the batch, never a
+    // corpus rescan) re-elect their representative (min surviving doc_id).
+    // The staging makes every maintenance path load-bearing: wave 1
+    // deletes every cluster's CURRENT representative (all must re-elect,
+    // none may die — every cluster has ≥2 members), wave 2 deletes the
+    // re-elected representative (every pair cluster must DIE, and any
+    // ≥3-member cluster must re-elect a SECOND time — the cross-batch law
+    // a per-batch rebuild that forgets wave 1's store cannot satisfy).
+    // Each law is require()d per wave. Drained report pinned to a DuckDB
+    // replay over d06's cluster CTEs.
+    Q("x40_stream_deletions",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ckpt = java.nio.file.Files.createTempDirectory("x40ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x40src").toString
+        val storeRoot = java.nio.file.Files.createTempDirectory("x40store").toString
+        val storeDirs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+        val waveStats = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+        val clusters = DedupOps.all.find(_.name == "d06_dedup_clusters").get.build(s, d)
+          .localCheckpoint() // (doc_id, cluster); every cluster has ≥ 2 members
+        val sizes = clusters.groupBy("cluster")
+          .agg(count(lit(1)).as("n_before")).localCheckpoint()
+        val adds = clusters.select(lit("add").as("kind"), col("doc_id"), col("cluster"))
+        // wave 1: the current representative of every cluster (== the
+        // cluster id — d06 labels by min member); wave 2: the member that
+        // wave 1's re-election must have promoted (second-smallest)
+        val wave1 = clusters.select("cluster").distinct()
+          .select(lit("del").as("kind"), col("cluster").as("doc_id"),
+            lit(null).cast(LongType).as("cluster"))
+        val wave2 = clusters.where(col("doc_id") =!= col("cluster"))
+          .groupBy("cluster").agg(min("doc_id").as("doc_id"))
+          .select(lit("del").as("kind"), col("doc_id"),
+            lit(null).cast(LongType).as("cluster"))
+        adds.coalesce(1).write.parquet(s"$srcDir/b0")
+        wave1.coalesce(1).write.parquet(s"$srcDir/b1")
+        wave2.coalesce(1).write.parquet(s"$srcDir/b2")
+        forceDeliveryOrder(s"$srcDir/b0", s"$srcDir/b1")
+        forceDeliveryOrder(s"$srcDir/b1", s"$srcDir/b2")
+        val sq = s.readStream.schema(adds.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            if (!batch.isEmpty) {
+              val newMembers = batch.where(col("kind") === "add").select("doc_id", "cluster")
+              val delIds = batch.where(col("kind") === "del").select("doc_id")
+              val prev = latestBefore(storeDirs, batchId)
+                .map(p => s.read.parquet(p))
+                .getOrElse {
+                  import s.implicits._
+                  Seq.empty[(Long, Long)].toDF("doc_id", "cluster")
+                }
+              val members = prev.unionByName(newMembers)
+              // re-election work is bounded by the deletion batch: only
+              // clusters a deleted id belongs to are touched
+              val affected = members.join(broadcast(delIds), Seq("doc_id"), "left_semi")
+                .select("cluster").distinct().localCheckpoint()
+              val oldReps = members.join(broadcast(affected), Seq("cluster"), "left_semi")
+                .groupBy("cluster").agg(min("doc_id").as("old_rep"))
+              val survivors = members.join(broadcast(delIds), Seq("doc_id"), "left_anti")
+                .localCheckpoint()
+              val newReps = survivors.join(broadcast(affected), Seq("cluster"), "left_semi")
+                .groupBy("cluster").agg(min("doc_id").as("new_rep"))
+              val reelected = newReps.join(oldReps, Seq("cluster"))
+                .where(col("new_rep") =!= col("old_rep")).count()
+              val died = affected.count() - newReps.count()
+              waveStats.put(batchId, (reelected, died))
+              // per-batch-id store dirs: a retry overwrites its own
+              // partials instead of double-applying (the x33/d24 contract)
+              survivors.write.mode("overwrite").parquet(s"$storeRoot/b$batchId")
+              storeDirs.put(batchId, s"$storeRoot/b$batchId")
+              ()
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fed = sq.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 3,
+          s"x40 drained in $fed micro-batch(es) — the two deletion waves were not separate")
+        val ks = waveStats.keySet().toArray.map(_.asInstanceOf[Long]).sorted
+        val (r1, d1) = waveStats.get(ks(ks.length - 2))
+        val (r2, d2) = waveStats.get(ks.last)
+        require(r1 > 0, "wave 1 deleted every representative yet re-elected none")
+        require(d1 == 0, "wave 1 killed a cluster — impossible, every cluster has ≥ 2 members")
+        require(d2 > 0, "wave 2 killed no pair cluster")
+        if (sizes.where(col("n_before") >= 3).count() > 0)
+          require(r2 > 0,
+            "a ≥3-member cluster lost its second representative without a second re-election")
+        val finalStore = s.read.parquet(storeDirs.get(ks.last))
+        val after = finalStore.groupBy("cluster")
+          .agg(count(lit(1)).as("n_after"), min("doc_id").as("rep_after"))
+        sizes.join(after, Seq("cluster"), "left")
+          .select(col("cluster"), col("n_before"),
+            (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_deleted"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"), col("rep_after"))
+          .orderBy("cluster")
+      },
+      // batch replay over d06's cluster CTEs: delete rep + second member,
+      // survivors re-elect by min — the maintained store must land on it
+      Some(s"""WITH RECURSIVE ${DedupOps.sqlLshClusterCtes},
+                 xsizes AS (SELECT cluster, COUNT(*) AS n_before FROM lclusters GROUP BY cluster),
+                 xd2 AS (SELECT MIN(doc_id) AS doc_id FROM lclusters
+                         WHERE doc_id <> cluster GROUP BY cluster),
+                 xdels AS (SELECT cluster AS doc_id FROM xsizes
+                           UNION ALL SELECT doc_id FROM xd2),
+                 xsurv AS (SELECT cluster, doc_id FROM lclusters
+                           WHERE doc_id NOT IN (SELECT doc_id FROM xdels)),
+                 xafter AS (SELECT cluster, COUNT(*) AS n_after, MIN(doc_id) AS rep_after
+                            FROM xsurv GROUP BY cluster)
+               SELECT s.cluster, s.n_before,
+                      s.n_before - COALESCE(a.n_after, 0) AS n_deleted,
+                      COALESCE(a.n_after, 0) AS n_after, a.rep_after
+               FROM xsizes s LEFT JOIN xafter a USING (cluster)
+               ORDER BY cluster"""),
       bench = false)
   )
 }

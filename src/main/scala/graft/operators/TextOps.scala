@@ -1844,6 +1844,133 @@ object TextOps {
                      CAST(len(chunk) AS INT) AS n_chunk_toks,
                      array_to_string(chunk, ' ') AS chunk_text
               FROM sl ORDER BY doc_id, chunk_id"""),
+      bench = false),
+
+    // DELETION PROPAGATION — the right-to-be-forgotten sweep every
+    // training-data owner must be able to run: a deletion list (~5% of
+    // doc_ids via the deterministic docHash selector) propagates through
+    // every derived artifact — the documents themselves, the t35 RAG
+    // chunks keyed by doc_id, the aligned embeddings table, and the p08
+    // dedup keep-list. The keep-list is the trap this report pins: when a
+    // deleted doc was the elected representative (min doc_id) of a
+    // duplicate cluster, the cluster must RE-ELECT a surviving member —
+    // dropping the whole cluster would silently delete innocent documents.
+    // `n_reelected` counts those re-elections, and the per-artifact
+    // conservation law (before − deleted + reelected = after) is
+    // require()d in-query, so a propagation bug fails the build, not an
+    // audit. Each artifact's survivors carry an ORDER-FREE checksum (Σ
+    // 60-bit md5 prefix of the row key in exact decimal — the p10
+    // manifest convention), so two deletion runs are comparable as one
+    // 4-row diff. Scale shape: the deletion list is a pushed-down
+    // predicate (never a driver-side collect), every propagation is an
+    // equi-join or left_anti on the artifact key, and the re-election is
+    // one extra digest aggregate over the survivor side.
+    Q("p12_deletion_propagation",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val delPred = docHash(col("doc_id"), 20) === 0
+        val sigOf = (k: Column) =>
+          conv(substring(md5(k.cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
+            .cast(LongType)
+        def report(ord: Int, name: String, before: DataFrame, after: DataFrame,
+            key: Column, reelected: Long = 0L) = {
+          val b = before.agg(count(lit(1)).as("n_before"))
+          val a = after.agg(count(lit(1)).as("n_after"),
+            sum(sigOf(key).cast(DecimalType(38, 0))).cast(StringType).as("checksum_after"))
+          b.crossJoin(broadcast(a)).select(lit(ord).as("ord"), lit(name).as("artifact"),
+            col("n_before"),
+            (col("n_before") - col("n_after") + lit(reelected)).as("n_deleted"),
+            col("n_after"), lit(reelected).as("n_reelected"), col("checksum_after"))
+        }
+        val survivors = docs.where(!delPred)
+        val chunkKeys = (df: DataFrame) => df
+          .select(col("doc_id"), size(tokens(col("text"))).as("n"))
+          .select(col("doc_id"), explode(expr("sequence(0, (n - 1) div 48)")).as("chunk_id"))
+          .select(concat_ws(":", col("doc_id"), col("chunk_id")).as("ck"))
+        val embs = t(s, d, "embeddings")
+        val keepOf = (df: DataFrame) => df
+          .groupBy(md5(col("text").cast(BinaryType)).as("dg"))
+          .agg(min("doc_id").as("doc_id")).select("doc_id")
+        val keepBefore = keepOf(docs).localCheckpoint()
+        val keepAfter = keepOf(survivors).localCheckpoint()
+        // re-elections: clusters whose representative changed (new id
+        // appears in the after-list only). A bounded count: ≤ |deletions|.
+        val nReelected = keepAfter.join(keepBefore, Seq("doc_id"), "left_anti").count()
+        val out = report(1, "documents", docs, survivors, col("doc_id"))
+          .unionByName(report(2, "chunks", chunkKeys(docs), chunkKeys(survivors), col("ck")))
+          .unionByName(report(3, "embeddings", embs,
+            embs.where(!(docHash(col("vec_id"), 20) === 0)), col("vec_id")))
+          .unionByName(report(4, "dedup_keep", keepBefore, keepAfter, col("doc_id"),
+            nReelected))
+          .orderBy("ord")
+        // Non-vacuous propagation law: the bookkeeping n_deleted
+        // (before − after + reelected) must equal the DIRECT selector-side
+        // counts — deleted docs, the chunks those docs owned, the aligned
+        // embeddings, and the keep-list representatives that were deleted.
+        // Two independent computations of the same quantity: a drift in
+        // chunk windowing, id alignment, or re-election fails here.
+        val expect = Map(
+          1 -> docs.where(delPred).count(),
+          2 -> chunkKeys(docs.where(delPred)).count(),
+          3 -> embs.where(docHash(col("vec_id"), 20) === 0).count(),
+          4 -> keepBefore.join(docs.where(delPred).select("doc_id"), Seq("doc_id"),
+            "left_semi").count())
+        val got = out.select("ord", "n_deleted").collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        require(got == expect,
+          s"deletion propagation drift: derived=$got selector-side=$expect")
+        out
+      },
+      Some(s"""WITH dels AS (SELECT doc_id FROM documents
+                             WHERE ${sqlDocHash("doc_id", 20)} = 0),
+                 surv AS (SELECT * FROM documents
+                          WHERE doc_id NOT IN (SELECT doc_id FROM dels)),
+                 cb AS (SELECT d.doc_id || ':' || w.i AS ck
+                        FROM (SELECT doc_id,
+                                     len(string_split_regex(trim(text), '\\s+')) AS n
+                              FROM documents) d,
+                             LATERAL (SELECT UNNEST(range(0, (n - 1) // 48 + 1)) AS i) w),
+                 ca AS (SELECT d.doc_id || ':' || w.i AS ck
+                        FROM (SELECT doc_id,
+                                     len(string_split_regex(trim(text), '\\s+')) AS n
+                              FROM surv) d,
+                             LATERAL (SELECT UNNEST(range(0, (n - 1) // 48 + 1)) AS i) w),
+                 kb AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+                 ka AS (SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY md5(text)),
+                 re AS (SELECT COUNT(*) AS n FROM ka
+                        WHERE doc_id NOT IN (SELECT doc_id FROM kb)),
+                 m AS (
+                   SELECT 1 AS ord, 'documents' AS artifact,
+                          (SELECT COUNT(*) FROM documents) AS n_before,
+                          (SELECT COUNT(*) FROM documents) - COUNT(*) AS n_deleted,
+                          COUNT(*) AS n_after, 0 AS n_reelected,
+                          SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)) AS checksum_after
+                   FROM surv
+                   UNION ALL
+                   SELECT 2, 'chunks',
+                          (SELECT COUNT(*) FROM cb),
+                          (SELECT COUNT(*) FROM cb) - COUNT(*),
+                          COUNT(*), 0,
+                          SUM(CAST('0x' || substr(md5(ck), 1, 15) AS BIGINT))
+                   FROM ca
+                   UNION ALL
+                   SELECT 3, 'embeddings',
+                          (SELECT COUNT(*) FROM embeddings),
+                          (SELECT COUNT(*) FROM embeddings) - COUNT(*),
+                          COUNT(*), 0,
+                          SUM(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT))
+                   FROM embeddings WHERE NOT ${sqlDocHash("vec_id", 20)} = 0
+                   UNION ALL
+                   SELECT 4, 'dedup_keep',
+                          (SELECT COUNT(*) FROM kb),
+                          (SELECT COUNT(*) FROM kb) - COUNT(*) + (SELECT n FROM re),
+                          COUNT(*), (SELECT n FROM re),
+                          SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT))
+                   FROM ka)
+              SELECT ord, artifact, n_before, n_deleted, n_after,
+                     CAST(n_reelected AS BIGINT) AS n_reelected,
+                     CAST(checksum_after AS VARCHAR) AS checksum_after
+              FROM m ORDER BY ord"""),
       bench = false)
   )
 }

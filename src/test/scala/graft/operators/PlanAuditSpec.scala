@@ -27,7 +27,7 @@ class PlanAuditSpec extends SparkSpec {
     "x30_stream_address_activity", "x31_stream_locf", "x32_stream_ticket_serve",
     "x33_stream_cadence", "x34_stream_live_tail", "x35_stream_quarantine",
     "x36_stream_scd2", "d24_incremental_clusters", "x37_stream_hll_merge",
-    "x38_stream_knn_maintain", "x39_stream_packing",
+    "x38_stream_knn_maintain", "x39_stream_packing", "x40_stream_deletions",
     // Arrow IPC roundtrip: the build writes+reads IPC files eagerly; the
     // returned frame is a bounded local relation (scan itself is audited
     // via e01's plan — same connector path)
@@ -126,7 +126,11 @@ class PlanAuditSpec extends SparkSpec {
     "sim34_hybrid_rrf" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
     // connectivity report: the answer IS one row (component-count agg) and
     // its crossJoin-back of the 1-row corpus total is the c16 pattern
-    "sim37_knn_connectivity" -> Set("SinglePartition", "BroadcastNestedLoopJoin"))
+    "sim37_knn_connectivity" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
+    // deletion report: four (1-row count × 1-row checksum-agg) branches —
+    // each crossJoin joins two single-row aggregates (the p06/p10 bounded
+    // report shape); the propagation joins themselves are equi/anti joins
+    "p12_deletion_propagation" -> Set("SinglePartition", "BroadcastNestedLoopJoin"))
 
   test("no catalog query plans cartesian / nested-loop / single-partition shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -308,7 +312,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim38_graph_ann_walk" -> 3, // hops checkpoint on build; final perKeyTopK (local+final) + sort
     "sim39_walk_recall" -> 0, // hit/truth counts run on build; emitted report is one local row
     "r10_linear_interp" -> 4, // obs agg + grid prefix pass + one ranked-obs pass (checkpointed, both brackets) + sort
-    "sim40_walk_hop_sweep" -> 1) // per-hop recall counts run on build; emitted 3-row sweep + its sort
+    "sim40_walk_hop_sweep" -> 1, // per-hop recall counts run on build; emitted 3-row sweep + its sort
+    "p12_deletion_propagation" -> 4, // keep-lists checkpoint on build; emitted 4-row report + its sort
+    "sim41_ivf_delete_serve" -> 0) // serve + deletion laws run on build; emitted table is the checkpointed serve
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

@@ -512,4 +512,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got.size == srcs.size * (srcs.size - 1) / 2, "missing source pairs")
     assert(got.values.map(_._4).toSet.size > 1, "all pairs identical — degenerate signal")
   }
+
+  test("p12 re-election on a CONSTRUCTED deleted representative (fixture has none)") {
+    // docHash(id, 20) == 0 ⇔ id % 20 == 0 (2654435761 ≡ 1 mod 20), so the
+    // deletion set is constructible. Four cluster shapes, one per law:
+    //  {20, 21} same text, rep 20 DELETED      → re-elect 21 (the trap)
+    //  {3, 60}  same text, member 60 deleted   → rep 3 unchanged, no re-election
+    //  {40}     singleton, deleted             → cluster disappears, no re-election
+    //  {1}, {2} untouched singletons           → carried through
+    val dir = java.nio.file.Files.createTempDirectory("graft_p12").toString
+    Seq((1L, "x"), (2L, "y"), (3L, "z"), (60L, "z"), (20L, "dup text"),
+      (21L, "dup text"), (40L, "solo"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((1L, Seq(1.0f), 0), (2L, Seq(2.0f), 0), (20L, Seq(3.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // build() also runs the in-query conservation require()s — a
+    // propagation drift on this input would throw here, not just mismatch
+    val m = Catalog.byName("p12_deletion_propagation").build(spark, dir)
+      .collect().map(r => r.getAs[String]("artifact") ->
+        (r.getAs[Long]("n_before"), r.getAs[Long]("n_deleted"),
+          r.getAs[Long]("n_after"), r.getAs[Long]("n_reelected"))).toMap
+    assert(m("documents") == ((7L, 3L, 4L, 0L)), s"documents row: ${m("documents")}")
+    assert(m("chunks") == ((7L, 3L, 4L, 0L)), "one chunk per short doc")
+    assert(m("embeddings") == ((3L, 1L, 2L, 0L)), "only vec_id 20 aligned-deleted")
+    // keep-list: 5 clusters before; reps 20 and 40 deleted; ONE re-election
+    // (21 takes over dup-text) — dropping whole clusters would read (5,3,3,0)
+    assert(m("dedup_keep") == ((5L, 2L, 4L, 1L)), s"keep row: ${m("dedup_keep")}")
+  }
 }
