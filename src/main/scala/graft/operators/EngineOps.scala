@@ -617,6 +617,49 @@ object EngineOps {
                           GROUP BY 1 ORDER BY COUNT(*) DESC, address LIMIT 2)
                SELECT blockNumber, logIndex, address, data
                FROM rng WHERE address IN (SELECT address FROM top2)
-               ORDER BY blockNumber, logIndex"""))
+               ORDER BY blockNumber, logIndex""")),
+
+    // DSv2 AGGREGATE + LIMIT PUSHDOWN — the client-side query the reference
+    // cannot avoid downloading for ("how many blocks, what range") answered
+    // with ZERO row fetches: COUNT(*)/MIN(number)/MAX(number) over blocks
+    // is completely pushed into the connector (block numbers are dense on a
+    // chain — a hole is an RPC error, never a gap), and LIMIT n caps the
+    // scan range before any fetch (one row per block makes the first n
+    // blocks valid limit rows; Spark still re-applies its limit). Both
+    // pushdowns are plan-require()d: the full branch must contain the
+    // AGG-PUSHDOWN scan and NO HashAggregate (complete pushdown means
+    // Spark does not re-aggregate), the limited branch must show the
+    // capped [0..4] range at the scan.
+    Q("e18_agg_pushdown",
+      (s, d) => {
+        val blocks = s.read.format("graft-eth").option("dataset", "blocks")
+          .option("startBlock", "0").option("endBlock", "999").load()
+        val full = blocks.agg(count(lit(1)).as("n_blocks"),
+          min("number").as("min_block"), max("number").as("max_block"))
+        val fullPlan = full.queryExecution.executedPlan.toString
+        require(fullPlan.contains("AGG-PUSHDOWN"),
+          s"blocks aggregate did not reach the connector:\n$fullPlan")
+        require(!fullPlan.contains("HashAggregate"),
+          s"aggregate pushed but Spark still re-aggregates (not complete):\n$fullPlan")
+        val limited = blocks.limit(5).agg(count(lit(1)).as("n_blocks"),
+          min("number").as("min_block"), max("number").as("max_block"))
+        val limPlan = limited.queryExecution.executedPlan.toString
+        require(limPlan.contains("[0..4]"),
+          s"LIMIT did not cap the connector scan range:\n$limPlan")
+        full.select(lit("full").as("mode"), col("n_blocks"), col("min_block"), col("max_block"))
+          .unionByName(limited.select(lit("limit5").as("mode"),
+            col("n_blocks"), col("min_block"), col("max_block")))
+          .orderBy("mode")
+      },
+      // the limit branch mirrors the pushed cap (blocks 0..4) — the range
+      // the connector serves, which Spark's re-applied limit passes through
+      Some(s"""SELECT 'full' AS mode, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                      MIN(number) AS min_block, MAX(number) AS max_block
+               FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet'
+               UNION ALL
+               SELECT 'limit5', CAST(COUNT(*) AS BIGINT), MIN(number), MAX(number)
+               FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet'
+               WHERE number BETWEEN 0 AND 4
+               ORDER BY mode"""))
   )
 }

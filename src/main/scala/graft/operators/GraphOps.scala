@@ -33,6 +33,15 @@ object GraphOps {
   /** Out-degree of every node (links per doc — constant by construction). */
   val OutDeg = 3
 
+  /** g12's BFS horizon: hops expanded before unreached nodes settle at -1.
+    * At OutDeg 3 from n/[[PprSeedMod]] seeds, 4 hops cover most of the
+    * fixture graph while leaving the -1 path exercised at small SFs.
+    * MUST be declared before `all`: the oracle string interpolates it at
+    * object-init time (a later declaration interpolates 0 — the named-
+    * constant init-order trap the round-7 review fixed for KnnK).
+    */
+  val BfsHops = 4
+
   /** Initial mass per node: 1.0 rank in 1e-6 units. */
   val Scale = 1000000L
 
@@ -629,6 +638,53 @@ object GraphOps {
                         SQRT(CAST(COUNT(*) * SUM(dx * dx) - SUM(dx) * SUM(dx) AS DOUBLE) *
                              CAST(COUNT(*) * SUM(dy * dy) - SUM(dy) * SUM(dy) AS DOUBLE)) AS assortativity
                FROM p"""),
+      bench = false),
+
+    // MULTI-SOURCE BFS DISTANCES — hop distance from the trusted seed set
+    // (g10's seeds: doc_id % PprSeedMod = 0) to every page, the integer
+    // companion of g10's mass-based locality: "how many clicks from a
+    // trusted page is this document" is a standard crawl-frontier /
+    // curation-priority signal. Frontier expansion as relational ops: per
+    // hop, ONE equi-join (frontier ⋈ edges) + ONE anti-join against the
+    // settled-distance store — Σ |frontier| work, never n·hops; lineage is
+    // checkpointed per hop (the d06/g05 iteration convention). Because each
+    // hop settles only UNSEEN nodes, the settled distance is the true
+    // shortest hop count — no relaxation pass needed on an unweighted
+    // graph. Nodes unreached within BfsHops emit -1 (the honest "beyond
+    // horizon" marker; the oracle's recursion is capped identically).
+    Q("g12_bfs_distances",
+      (s, d) => {
+        val n = nodeCount(s, d)
+        val docs = t(s, d, "documents")
+        val edges = linkEdges(docs, n).localCheckpoint()
+        var settled = docs.where(col("doc_id") % PprSeedMod === 0)
+          .select(col("doc_id"), lit(0L).as("dist")).localCheckpoint()
+        require(settled.count() > 0, "seed set is empty — BFS is vacuous")
+        var frontier = settled
+        for (h <- 1 to BfsHops) {
+          val next = frontier.select(col("doc_id").as("src"))
+            .join(edges, "src")
+            .select(col("dst").as("doc_id")).distinct()
+            .join(settled.select("doc_id"), Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), lit(h.toLong).as("dist"))
+            .localCheckpoint()
+          settled = settled.unionByName(next).localCheckpoint()
+          frontier = next
+        }
+        docs.select("doc_id").join(settled, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $sqlEdges,
+                 breach(id, dist) AS (
+                   SELECT doc_id, 0 FROM documents WHERE doc_id % $PprSeedMod = 0
+                   UNION
+                   SELECT e.dst, r.dist + 1 FROM e JOIN breach r ON e.src = r.id
+                   WHERE r.dist < $BfsHops),
+                 bmin AS (SELECT id AS doc_id, MIN(dist) AS dist FROM breach GROUP BY id)
+               SELECT d.doc_id, CAST(COALESCE(b.dist, -1) AS BIGINT) AS dist
+               FROM documents d LEFT JOIN bmin b USING (doc_id)
+               ORDER BY doc_id"""),
       bench = false)
   )
 }

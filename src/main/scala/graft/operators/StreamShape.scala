@@ -2304,6 +2304,103 @@ object StreamShape {
                       COALESCE(a.n_after, 0) AS n_after, a.rep_after
                FROM xsizes s LEFT JOIN xafter a USING (cluster)
                ORDER BY cluster"""),
+      bench = false),
+
+    // STREAMING TOMBSTONE SERVE — sim41's deletion-aware ANN serve under a
+    // LIVE deletion feed: tombstone waves arrive as micro-batches, the
+    // cumulative tombstone store is maintained across batches (per-batch-id
+    // parquet, the d24 idempotence contract), and the SAME static probe set
+    // is re-served after each wave through serveIvfIndexed — the answer a
+    // user gets depends on every deletion seen so far, which a per-batch
+    // rebuild that forgets wave 0's store cannot reproduce. Wave 0 is half
+    // of p12's selector (id % 40 = 0); wave 1 deletes the top-1 ANSWER of
+    // the lowest surviving probe under the wave-0 serve — a deletion that
+    // provably changes a served result, so the phase-1-differs law is
+    // guaranteed exercised, not just possible (a fixed second selector
+    // could silently stop intersecting the top-3 at a new SF). The oracle
+    // replays both phases AND re-derives wave 1's pick from the phase-0
+    // replay itself, so the pick rule is cross-engine-pinned too.
+    Q("x41_stream_tombstone_serve",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ckpt = java.nio.file.Files.createTempDirectory("x41ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x41src").toString
+        val tombRoot = java.nio.file.Files.createTempDirectory("x41tomb").toString
+        val outRoot = java.nio.file.Files.createTempDirectory("x41out").toString
+        val tombDirs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+        val outDirs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+        val corpus = SimilarityOps.withNorm(s, d)
+        val w0 = corpus.where(docHash(col("vec_id"), 40) === 0).select("vec_id")
+          .localCheckpoint()
+        // wave 1's pick: the top-1 result of the lowest surviving probe
+        // under the wave-0 serve — derived by the same deterministic serve
+        // the stream runs, and re-derived in SQL by the oracle
+        val ph0 = SimilarityOps.serveIvfIndexed(s, d, corpus, nProbes = 10,
+          tombstones = Some(w0)).localCheckpoint()
+        val minQid = ph0.agg(min("qid")).head().getLong(0)
+        val w1 = ph0.where(col("qid") === minQid && col("rk") === 1).select("vec_id")
+        w0.coalesce(1).write.parquet(s"$srcDir/b0")
+        w1.coalesce(1).write.parquet(s"$srcDir/b1")
+        forceDeliveryOrder(s"$srcDir/b0", s"$srcDir/b1")
+        val sq = s.readStream.schema(w0.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            if (!batch.isEmpty) {
+              val prev = latestBefore(tombDirs, batchId)
+                .map(p => s.read.parquet(p))
+                .getOrElse {
+                  import s.implicits._
+                  Seq.empty[Long].toDF("vec_id")
+                }
+              prev.unionByName(batch.toDF().select("vec_id")).distinct()
+                .write.mode("overwrite").parquet(s"$tombRoot/b$batchId")
+              tombDirs.put(batchId, s"$tombRoot/b$batchId")
+              val cum = s.read.parquet(s"$tombRoot/b$batchId")
+              SimilarityOps.serveIvfIndexed(s, d, corpus, nProbes = 10,
+                  tombstones = Some(cum))
+                .withColumn("phase", lit(batchId).cast(IntegerType))
+                .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
+              outDirs.put(batchId, s"$outRoot/b$batchId")
+              ()
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fed = sq.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 2,
+          s"x41 drained in $fed micro-batch(es) — the cumulative tombstone store was not exercised")
+        val out = s.read.option("recursiveFileLookup", "true").parquet(outRoot)
+        val p0 = out.where(col("phase") === 0).select("qid", "vec_id", "rk")
+        val p1 = out.where(col("phase") === 1).select("qid", "vec_id", "rk")
+        require(p1.exceptAll(p0).count() > 0,
+          "wave 1 changed no served row — the cross-batch tombstone carry was vacuous")
+        out.select("phase", "qid", "vec_id", "cos_sim", "rk")
+          .orderBy("phase", "qid", "rk")
+      },
+      Some(s"""WITH ${SimilarityOps.sqlTrainedSearchCtes},
+                 tdel0 AS (SELECT vec_id FROM nv WHERE ${Catalog.sqlDocHash("vec_id", 40)} = 0),
+                 tph0 AS (SELECT qid, vec_id, cos_sim,
+                                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+                          FROM iscored
+                          WHERE qid NOT IN (SELECT vec_id FROM tdel0)
+                            AND vec_id NOT IN (SELECT vec_id FROM tdel0)),
+                 tpick AS (SELECT vec_id FROM tph0
+                           WHERE rk = 1 AND qid = (SELECT MIN(qid) FROM tph0)),
+                 tdel1 AS (SELECT vec_id FROM tdel0 UNION SELECT vec_id FROM tpick),
+                 tph1 AS (SELECT qid, vec_id, cos_sim,
+                                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+                          FROM iscored
+                          WHERE qid NOT IN (SELECT vec_id FROM tdel1)
+                            AND vec_id NOT IN (SELECT vec_id FROM tdel1))
+               SELECT 0 AS phase, qid, vec_id, cos_sim, rk FROM tph0 WHERE rk <= 3
+               UNION ALL
+               SELECT 1, qid, vec_id, cos_sim, rk FROM tph1 WHERE rk <= 3
+               ORDER BY phase, qid, rk"""),
       bench = false)
   )
 }

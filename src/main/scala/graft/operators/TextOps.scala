@@ -1971,6 +1971,50 @@ object TextOps {
                      CAST(n_reelected AS BIGINT) AS n_reelected,
                      CAST(checksum_after AS VARCHAR) AS checksum_after
               FROM m ORDER BY ord"""),
+      bench = false),
+
+    // VOCABULARY GROWTH (Heaps' law) — per source, the cumulative
+    // (tokens-seen, distinct-types-seen) curve in ingestion (doc_id)
+    // order: the sub-linear type growth V ≈ K·n^β that tells a pipeline
+    // owner whether a source keeps contributing NEW vocabulary (worth
+    // ingesting more of) or has saturated (β→0: more tokens, same types —
+    // t34's overlap matrix says who duplicates whom; this says when one
+    // source starts duplicating itself). Scale shape: a token's first
+    // occurrence is ONE (source, token) aggregate — never a sort or a
+    // per-token window — and both cumulative sums ride the two-phase
+    // groupedRunningTotal (range partition → per-partition sums →
+    // broadcast offsets), so no global-order window funnel exists at any
+    // corpus size.
+    Q("t36_vocab_growth",
+      (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(filter(tokens(col("text")), x => length(x) > 0)).as("tok"))
+        val perDoc = tk.groupBy("doc_id", "source").agg(count(lit(1)).as("n_toks"))
+        val firsts = tk.groupBy("source", "tok").agg(min("doc_id").as("doc_id"))
+        val newTypes = firsts.groupBy("doc_id", "source").agg(count(lit(1)).as("n_new"))
+        val j = perDoc.join(newTypes, Seq("doc_id", "source"), "left")
+          .select(col("doc_id"), col("source"), col("n_toks"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+        val withToks = StockOps.groupedRunningTotal(j, "source", "doc_id", "n_toks", "cum_toks")
+        val withTypes = StockOps.groupedRunningTotal(withToks, "source", "doc_id", "n_new", "cum_types")
+        withTypes.select("doc_id", "source", "cum_toks", "cum_types").orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, source,
+                                  UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+                           FROM documents),
+                 tk AS (SELECT * FROM tok WHERE tok <> ''),
+                 perdoc AS (SELECT doc_id, source, COUNT(*) AS n_toks FROM tk GROUP BY 1, 2),
+                 firsts AS (SELECT source, tok, MIN(doc_id) AS doc_id FROM tk GROUP BY 1, 2),
+                 newt AS (SELECT doc_id, source, COUNT(*) AS n_new FROM firsts GROUP BY 1, 2),
+                 j AS (SELECT p.doc_id, p.source, p.n_toks, COALESCE(n.n_new, 0) AS n_new
+                       FROM perdoc p LEFT JOIN newt n USING (doc_id, source))
+              SELECT doc_id, source,
+                     CAST(SUM(n_toks) OVER w AS BIGINT) AS cum_toks,
+                     CAST(SUM(n_new) OVER w AS BIGINT) AS cum_types
+              FROM j
+              WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              ORDER BY doc_id"""),
       bench = false)
   )
 }

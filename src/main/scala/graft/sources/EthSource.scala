@@ -72,7 +72,8 @@ final class EthTable(schema: StructType, props: util.Map[String, String])
   * re-filter after node-side filtering (Subscription.java:161).
   */
 final class EthScanBuilder(dataset: String, fullSchema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private val blockCol = if (dataset == "logs") "blockNumber" else "number"
 
@@ -137,11 +138,68 @@ final class EthScanBuilder(dataset: String, fullSchema: StructType, options: Cas
     requiredSchema = required
   }
 
-  override def build(): Scan = new EthScan(
-    dataset, requiredSchema, startBlock, endBlock, addresses, topics,
-    options.getLong("maxBlockRange", 500L),
-    options.getLong("maxBlocksPerTrigger", 5000L),
-    EthRpcSpec.fromOptions(options))
+  /** COUNT(*)/MIN(number)/MAX(number) over the blocks dataset — COMPLETE
+    * aggregate pushdown (reference: the server has no aggregate surface at
+    * all; a client counting blocks downloads them). Block numbers are DENSE
+    * on the chain by construction (a missing block in [start, end] is an
+    * RPC error, never a gap — the reference's range loop assumes the same,
+    * LogsService.java:509-521), so the three aggregates are pure range
+    * arithmetic: zero RPC calls, zero rows fetched, one emitted row.
+    * Catalyst only attempts aggregate pushdown when no post-scan filter
+    * remains, and this builder reports every pushed predicate as residual —
+    * so the pushed-aggregate path is exactly the option-configured range.
+    * Logs aggregates are NOT claimed: log counts are data-dependent.
+    */
+  private var pushedAgg: Option[Seq[String]] = None
+
+  private def supportedAggFuncs(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[Seq[String]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match { case nr: NamedReference => Some(nr.fieldNames.mkString(".")); case _ => None }
+    if (dataset != "blocks" || agg.groupByExpressions.nonEmpty) return None
+    val funcs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if colOf(m.column).contains(blockCol) => Some("min")
+      case m: Max if colOf(m.column).contains(blockCol) => Some("max")
+      case _ => None
+    }
+    if (funcs.nonEmpty && funcs.forall(_.isDefined)) Some(funcs.flatten) else None
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    supportedAggFuncs(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    supportedAggFuncs(agg) match {
+      case some @ Some(_) => pushedAgg = some; true
+      case None => false
+    }
+
+  /** LIMIT n over blocks caps the scan range: one row per block, so the
+    * first n blocks of the range ARE n valid limit rows. Partial by the
+    * interface default — Spark re-applies its limit, the cap only stops
+    * the connector fetching blocks a limit would discard.
+    */
+  override def pushLimit(limit: Int): Boolean =
+    if (dataset == "blocks" && limit > 0) {
+      val cap = startBlock + limit - 1
+      endBlock = if (endBlock < 0) cap else math.min(endBlock, cap)
+      true
+    } else false
+
+  override def build(): Scan = pushedAgg match {
+    case Some(funcs) =>
+      new EthAggScan(funcs, startBlock, endBlock, EthRpcSpec.fromOptions(options))
+    case None => new EthScan(
+      dataset, requiredSchema, startBlock, endBlock, addresses, topics,
+      options.getLong("maxBlockRange", 500L),
+      options.getLong("maxBlocksPerTrigger", 5000L),
+      EthRpcSpec.fromOptions(options))
+  }
 }
 
 object EthScanBuilder {
@@ -178,4 +236,56 @@ final class EthScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new EthMicroBatchStream(
       dataset, requiredSchema, startBlock, addresses, topics, maxBlockRange, maxBlocksPerTrigger, rpc)
+}
+
+/** The completely-pushed-down blocks aggregate: one partition, one row,
+  * values from range arithmetic on the dense block-number domain. An
+  * unset end resolves to the chain head with the SAME latest-block call
+  * the row scan uses (S7) — the only RPC this scan ever makes.
+  */
+final class EthAggScan(funcs: Seq[String], start: Long, end: Long, rpc: EthRpcSpec)
+    extends Scan with Batch {
+  import org.apache.spark.sql.types.{LongType, StructField}
+
+  override def readSchema(): StructType = StructType(funcs.map {
+    case "count" => StructField("count(*)", LongType, nullable = false)
+    case f => StructField(s"$f(number)", LongType)
+  })
+
+  override def description(): String =
+    s"graft-eth blocks AGG-PUSHDOWN [$start..${if (end < 0) "latest" else end}] ${funcs.mkString(",")}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val resolvedEnd = if (end >= 0) end else rpc.build().blockNumber()
+    Array(EthAggPartition(funcs, start, resolvedEnd))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new EthAggReaderFactory
+}
+
+final case class EthAggPartition(funcs: Seq[String], start: Long, end: Long)
+    extends InputPartition
+
+final class EthAggReaderFactory extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[EthAggPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = {
+        val n = math.max(0L, p.end - p.start + 1)
+        new GenericInternalRow(p.funcs.map {
+          case "count" => n.asInstanceOf[Any]
+          case "min" => if (n == 0) null else p.start.asInstanceOf[Any]
+          case "max" => if (n == 0) null else p.end.asInstanceOf[Any]
+        }.toArray)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }

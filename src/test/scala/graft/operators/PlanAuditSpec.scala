@@ -28,6 +28,7 @@ class PlanAuditSpec extends SparkSpec {
     "x33_stream_cadence", "x34_stream_live_tail", "x35_stream_quarantine",
     "x36_stream_scd2", "d24_incremental_clusters", "x37_stream_hll_merge",
     "x38_stream_knn_maintain", "x39_stream_packing", "x40_stream_deletions",
+    "x41_stream_tombstone_serve",
     // Arrow IPC roundtrip: the build writes+reads IPC files eagerly; the
     // returned frame is a bounded local relation (scan itself is audited
     // via e01's plan — same connector path)
@@ -130,7 +131,10 @@ class PlanAuditSpec extends SparkSpec {
     // deletion report: four (1-row count × 1-row checksum-agg) branches —
     // each crossJoin joins two single-row aggregates (the p06/p10 bounded
     // report shape); the propagation joins themselves are equi/anti joins
-    "p12_deletion_propagation" -> Set("SinglePartition", "BroadcastNestedLoopJoin"))
+    "p12_deletion_propagation" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
+    // the limit branch's agg runs over ≤5 connector rows (the full branch
+    // has NO aggregate at all — completely pushed, require()d in-build)
+    "e18_agg_pushdown" -> Set("SinglePartition"))
 
   test("no catalog query plans cartesian / nested-loop / single-partition shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -314,7 +318,10 @@ class PlanAuditSpec extends SparkSpec {
     "r10_linear_interp" -> 4, // obs agg + grid prefix pass + one ranked-obs pass (checkpointed, both brackets) + sort
     "sim40_walk_hop_sweep" -> 1, // per-hop recall counts run on build; emitted 3-row sweep + its sort
     "p12_deletion_propagation" -> 4, // keep-lists checkpoint on build; emitted 4-row report + its sort
-    "sim41_ivf_delete_serve" -> 0) // serve + deletion laws run on build; emitted table is the checkpointed serve
+    "sim41_ivf_delete_serve" -> 0, // serve + deletion laws run on build; emitted table is the checkpointed serve
+    "g12_bfs_distances" -> 3, // hops checkpoint on build; emitted doc⋈settled join pair + final sort
+    "t36_vocab_growth" -> 4, // token aggs collapse into the 2 two-phase prefix sums (subtotal rows, not data) + sort
+    "e18_agg_pushdown" -> 1) // full branch is the pushed 1-row scan; limit branch aggs ≤5 rows; 2-row sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
@@ -378,7 +385,8 @@ class PlanAuditSpec extends SparkSpec {
     "c50_robust_stats" -> "groupedRunningTotal offsets windows (median + MAD passes): <= parts rows per event_type by phase-1 aggregation",
     "r08_period_delta" -> "lag window runs POST-aggregation: <= #days rows per event_type regardless of event volume",
     "sim34_hybrid_rrf" -> "perKeyTopK phase 2 (both rankings): <= k*parts rows per qid",
-    "c59_lateral_topn" -> "stock LATERAL-decorrelation semantics are the subject (Catalyst plans the rank window); the scale path is StockOps.perKeyTopK")
+    "c59_lateral_topn" -> "stock LATERAL-decorrelation semantics are the subject (Catalyst plans the rank window); the scale path is StockOps.perKeyTopK",
+    "t36_vocab_growth" -> "groupedRunningTotal offsets windows (both cumulative sums): <= parts rows per source by phase-1 aggregation")
 
   private def lowCardWindowKeys(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
     df.queryExecution.sparkPlan.collect {

@@ -258,4 +258,45 @@ class EthSourceSpec extends SparkSpec {
     // throughput genuinely varies across epochs (tx counts are not constant)
     assert(got.map(_.getAs[Long]("tx_per_ksec")).distinct.length > 1)
   }
+
+  test("blocks aggregate pushdown: complete, correct, and refused where unsound") {
+    val blocks = spark.read.format("graft-eth").option("dataset", "blocks")
+      .option("startBlock", "100").option("endBlock", "299").load()
+    val agg = blocks.agg(count(lit(1)), min("number"), max("number"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("AGG-PUSHDOWN"), s"aggregate not pushed:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"pushed aggregate re-aggregated:\n$plan")
+    assert(agg.head() === org.apache.spark.sql.Row(200L, 100L, 299L))
+    // grouped aggregates must NOT push (values from the row scan)
+    val grouped = blocks.groupBy(col("number") % 2).agg(count(lit(1)))
+    val gPlan = grouped.queryExecution.executedPlan.toString
+    assert(!gPlan.contains("AGG-PUSHDOWN") && gPlan.contains("HashAggregate"),
+      s"grouped aggregate wrongly claimed by the connector:\n$gPlan")
+    assert(grouped.collect().map(_.getLong(1)).sum === 200L)
+    // non-range aggregates must NOT push
+    val sums = blocks.agg(sum("gasUsed"))
+    assert(!sums.queryExecution.executedPlan.toString.contains("AGG-PUSHDOWN"),
+      "sum(gasUsed) is data-dependent — cannot come from range arithmetic")
+    // logs aggregates must NOT push (log counts are data-dependent)
+    val logs = readLogs("startBlock" -> "0", "endBlock" -> "99")
+    val lAgg = logs.agg(count(lit(1)), min("blockNumber"), max("blockNumber"))
+    assert(!lAgg.queryExecution.executedPlan.toString.contains("AGG-PUSHDOWN"),
+      "logs aggregate wrongly claimed by the connector")
+  }
+
+  test("blocks LIMIT pushdown caps the scan range; logs LIMIT does not") {
+    val blocks = spark.read.format("graft-eth").option("dataset", "blocks")
+      .option("startBlock", "10").option("endBlock", "999").load()
+    val lim = blocks.limit(7)
+    val plan = lim.queryExecution.executedPlan.toString
+    assert(plan.contains("[10..16]"), s"LIMIT 7 did not cap the range to 7 blocks:\n$plan")
+    // Spark re-applies the limit (partial pushdown) — exactly 7 rows, and
+    // they are the FIRST 7 blocks of the range (one row per block)
+    assert(lim.select("number").collect().map(_.getLong(0)).sorted.toSeq
+      === (10L to 16L))
+    val logsLim = readLogs("startBlock" -> "0", "endBlock" -> "999").limit(7)
+    assert(!logsLim.queryExecution.executedPlan.toString.contains("[0..6]"),
+      "logs LIMIT must not cap the block range — blocks-to-rows is data-dependent")
+    assert(logsLim.count() === 7L)
+  }
 }
