@@ -2533,6 +2533,70 @@ object SimilarityOps {
                         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
                  FROM ilive)
                WHERE rk <= 3 ORDER BY qid, rk"""),
+      bench = false),
+
+    // INDEX COMPACTION — the deletion lifecycle's last step: sim41 serves
+    // around tombstones, but every serve pays the anti-join forever; at
+    // some tombstone fraction the owner REWRITES the postings (k06's
+    // compaction argument applied to the ANN index). The compacted index
+    // is written cell-partitioned to a NEW location (the live index is
+    // never mutated — snapshot-and-swap, so readers keep a consistent
+    // view), and two laws are require()d in-build: the compacted serve —
+    // same probe/score/top-k pipeline, NO tombstone join — must be
+    // BIT-IDENTICAL to sim41's tombstoned serve (compaction changes where
+    // bytes live, never an answer), and the compacted scan must keep its
+    // static cell partition pruning. Emitted: the per-cell postings
+    // conservation report, replayed per-cell by the oracle over the
+    // trained assignment.
+    Q("sim42_ivf_compaction",
+      (s, d) => {
+        val db = ensureIvfIndex(s, d)
+        val dels = withNorm(s, d).where(docHash(col("vec_id"), 20) === 0)
+          .select("vec_id").localCheckpoint()
+        val idx = s.table(s"$db.corpus_ivf")
+        val compDir = java.nio.file.Files.createTempDirectory("sim42idx").toString
+        idx.join(broadcast(dels), Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("cell").parquet(compDir)
+        val comp = s.read.parquet(compDir)
+        // compacted serve: the sim11 pipeline verbatim, minus any tombstone
+        val cents = s.table(s"$db.ivf_centroids").collect()
+          .sortBy(_.getInt(0)).map(r => (r.getSeq[Double](1).toArray, r.getLong(2)))
+        val queries = withNorm(s, d).join(broadcast(dels), Seq("vec_id"), "left_anti")
+        val probes = probeCells(queries, cents, 10)
+        val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
+        val cand = comp.where(col("cell").isin(cells.map(Int.box): _*))
+          .select("vec_id", "embedding", "norm2", "cell")
+        val candPlan = cand.queryExecution.executedPlan.toString
+        require(raw"PartitionFilters: \[[^\]]*cell".r.findFirstIn(candPlan).isDefined,
+          s"compacted index scan lost its static cell partition pruning:\n${candPlan.take(2000)}")
+        val scored = cand.join(broadcast(probes), Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("cos_sim",
+            cosine(scaledDot(col("qvec"), col("embedding")), col("qnorm2"), col("norm2")))
+        val served = StockOps.perKeyTopK(scored, Seq("qid"),
+            Seq(desc("cos_sim"), col("vec_id")), 3)
+          .select("qid", "vec_id", "cos_sim", "rk")
+        val tomb = serveIvfIndexed(s, d, withNorm(s, d), nProbes = 10,
+          tombstones = Some(dels)).select("qid", "vec_id", "cos_sim", "rk")
+        require(served.exceptAll(tomb).isEmpty && tomb.exceptAll(served).isEmpty,
+          "compacted serve diverged from the tombstoned serve — compaction changed an answer")
+        val after = comp.groupBy("cell").agg(count(lit(1)).as("n_after"))
+        idx.groupBy("cell").agg(count(lit(1)).as("n_before"))
+          .join(after, Seq("cell"), "left")
+          .select(col("cell").cast(IntegerType).as("cell"), col("n_before"),
+            (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_deleted"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH $sqlTrainedAssignCtes,
+                 cbefore AS (SELECT cell, COUNT(*) AS n_before FROM a2 GROUP BY cell),
+                 cafter AS (SELECT cell, COUNT(*) AS n_after FROM a2
+                            WHERE NOT ${sqlDocHash("vec_id", 20)} = 0 GROUP BY cell)
+               SELECT CAST(b.cell AS INT) AS cell, b.n_before,
+                      b.n_before - COALESCE(a.n_after, 0) AS n_deleted,
+                      COALESCE(a.n_after, 0) AS n_after
+               FROM cbefore b LEFT JOIN cafter a USING (cell)
+               ORDER BY cell"""),
       bench = false)
   )
 

@@ -2015,6 +2015,79 @@ object TextOps {
               FROM j
               WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
               ORDER BY doc_id"""),
+      bench = false),
+
+    // LEAKAGE-SAFE SPLIT — t21 splits by per-DOCUMENT hash, which lets the
+    // two halves of a near-duplicate pair land in different splits: the
+    // test set then contains paraphrases of training documents and every
+    // eval number is inflated (train/test contamination, the d09 problem
+    // created by the splitter itself). The fix is GROUP-AWARE splitting:
+    // hash the near-dup CLUSTER label (d06's, singletons label themselves)
+    // so a cluster moves as a unit. Both schemes are scored by the same
+    // leakage metric — verified near-dup pairs straddling the split — and
+    // the two laws are require()d in-build: the naive split must actually
+    // leak on this corpus (non-vacuity) and the cluster-aware split must
+    // leak ZERO pairs (by construction: both pair ends share a label).
+    // Scale shape: labeling is one broadcast-able left join against the
+    // (tiny relative to corpus) cluster table; leakage scoring joins the
+    // pair table to the split map twice — all equi-joins.
+    Q("t37_leakage_safe_split",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id")
+        val clusters = DedupOps.all.find(_.name == "d06_dedup_clusters").get
+          .build(s, d).localCheckpoint()
+        val pairs = DedupOps.all.find(_.name == "d03_minhash_lsh").get
+          .build(s, d).select("da", "db").localCheckpoint()
+        val labeled = docs.join(clusters, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("label"))
+          .localCheckpoint()
+        def splitOf(c: Column) = when(docHash(c, 10L) < 8, "train").otherwise("test")
+        val naive = labeled.select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+        val aware = labeled.select(col("doc_id"), splitOf(col("label")).as("split"))
+        def leak(sp: DataFrame): Long = pairs
+          .join(sp.select(col("doc_id").as("da"), col("split").as("sa")), "da")
+          .join(sp.select(col("doc_id").as("db"), col("split").as("sb")), "db")
+          .where(col("sa") =!= col("sb")).count()
+        def counts(sp: DataFrame): (Long, Long) =
+          (sp.where(col("split") === "train").count(), sp.where(col("split") === "test").count())
+        val (nt, ns) = counts(naive); val leakN = leak(naive)
+        val (at, as_) = counts(aware); val leakA = leak(aware)
+        require(leakN > 0,
+          "naive per-document split leaks no near-dup pair — the comparison is vacuous")
+        require(leakA == 0,
+          "cluster-aware split leaked a near-dup pair — both ends share a label, impossible")
+        import s.implicits._
+        Seq(("cluster_aware", at, as_, leakA), ("naive_doc_hash", nt, ns, leakN))
+          .toDF("scheme", "n_train", "n_test", "n_leak_pairs")
+          .orderBy("scheme")
+      },
+      Some(s"""WITH RECURSIVE ${DedupOps.sqlLshClusterCtes},
+                 lab AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS label
+                         FROM documents d LEFT JOIN lclusters c USING (doc_id)),
+                 nsp AS (SELECT doc_id,
+                                CASE WHEN ${sqlDocHash("doc_id", 10L)} < 8
+                                     THEN 'train' ELSE 'test' END AS split
+                         FROM documents),
+                 csp AS (SELECT doc_id,
+                                CASE WHEN ${sqlDocHash("label", 10L)} < 8
+                                     THEN 'train' ELSE 'test' END AS split
+                         FROM lab),
+                 nleak AS (SELECT COUNT(*) AS n FROM lshpairs p
+                           JOIN nsp a ON a.doc_id = p.da JOIN nsp b ON b.doc_id = p.db
+                           WHERE a.split <> b.split),
+                 cleak AS (SELECT COUNT(*) AS n FROM lshpairs p
+                           JOIN csp a ON a.doc_id = p.da JOIN csp b ON b.doc_id = p.db
+                           WHERE a.split <> b.split)
+               SELECT 'cluster_aware' AS scheme,
+                      (SELECT COUNT(*) FROM csp WHERE split = 'train') AS n_train,
+                      (SELECT COUNT(*) FROM csp WHERE split = 'test') AS n_test,
+                      (SELECT n FROM cleak) AS n_leak_pairs
+               UNION ALL
+               SELECT 'naive_doc_hash',
+                      (SELECT COUNT(*) FROM nsp WHERE split = 'train'),
+                      (SELECT COUNT(*) FROM nsp WHERE split = 'test'),
+                      (SELECT n FROM nleak)
+               ORDER BY scheme"""),
       bench = false)
   )
 }

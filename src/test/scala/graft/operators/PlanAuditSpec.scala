@@ -321,7 +321,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim41_ivf_delete_serve" -> 0, // serve + deletion laws run on build; emitted table is the checkpointed serve
     "g12_bfs_distances" -> 3, // hops checkpoint on build; emitted doc⋈settled join pair + final sort
     "t36_vocab_growth" -> 4, // token aggs collapse into the 2 two-phase prefix sums (subtotal rows, not data) + sort
-    "e18_agg_pushdown" -> 1) // full branch is the pushed 1-row scan; limit branch aggs ≤5 rows; 2-row sort
+    "e18_agg_pushdown" -> 1, // full branch is the pushed 1-row scan; limit branch aggs ≤5 rows; 2-row sort
+    "sim42_ivf_compaction" -> 5, // compaction + serve laws run on build; emitted 16-cell count join + sort
+    "t37_leakage_safe_split" -> 1) // split/leak counts run on build; emitted 2-row report + its sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
