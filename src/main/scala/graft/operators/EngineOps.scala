@@ -660,6 +660,61 @@ object EngineOps {
                SELECT 'limit5', CAST(COUNT(*) AS BIGINT), MIN(number), MAX(number)
                FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet'
                WHERE number BETWEEN 0 AND 4
-               ORDER BY mode"""))
+               ORDER BY mode"""))  ,
+
+    // RUNTIME (join-driven) BLOCK PRUNING — dynamic partition pruning for a
+    // source with no static partitions: enrich the blocks that carry the
+    // chain's RAREST event signature with their headers. The matching block
+    // set is only knowable at runtime (the dim's filter is on the topic
+    // column, not the join key — nothing propagates statically), so
+    // Catalyst hands the broadcast dim's block values to the connector's
+    // SupportsRuntimeV2Filtering hook BEFORE partitions are planned, and
+    // the header fetch narrows from the full range to the chunks containing
+    // a named block. The reference client downloads the whole range and
+    // joins afterwards; at chain scale this is fetching the blocks a
+    // dimension names instead of the chain. The hook's firing is
+    // require()d via the RuntimeFilterHits gauge (magnitude is spec-pinned
+    // in EthSourceSpec); values are oracle-pinned against the chain dump.
+    Q("e19_runtime_prune_join",
+      (s, d) => {
+        val logs = s.read.format("graft-eth").option("dataset", "logs")
+          .option("startBlock", "0").option("endBlock", "999").load()
+        val sigCol = element_at(col("topics"), 1)
+        val rare = logs.where(sigCol.isNotNull)
+          .groupBy(sigCol.as("sig")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c"), col("sig")).select("sig").head().getString(0)
+        // The dim must carry REAL size statistics for the DPP benefit
+        // estimate — a V2 scan reports the default (huge) size and Catalyst
+        // declines to prune. Materialize the (tiny) rare-signature block
+        // list as parquet (the sim11 persisted-artifact convention) and
+        // re-apply its defining predicate: a small file relation with a
+        // selective non-join-column filter is exactly the prunable shape.
+        val dimDir = java.nio.file.Files.createTempDirectory("e19dim").toString
+        logs.where(sigCol === rare)
+          .select(col("blockNumber").as("bn"), sigCol.as("sig"))
+          .write.mode("overwrite").parquet(dimDir)
+        val dim = s.read.parquet(dimDir).where(col("sig") === rare).select("bn")
+        val blocks = s.read.format("graft-eth").option("dataset", "blocks")
+          .option("startBlock", "0").option("endBlock", "999")
+          .option("maxBlockRange", "50").load()
+        val joined = blocks.join(dim, col("number") === col("bn"))
+          .groupBy("number")
+          .agg(count(lit(1)).as("n_rare_logs"), max("gasUsed").as("gas_used"))
+        val before = graft.sources.EthScan.RuntimeFilterHits.get()
+        joined.count()
+        require(graft.sources.EthScan.RuntimeFilterHits.get() > before,
+          "the join-derived block set never reached the connector's runtime filter")
+        joined.orderBy("number")
+      },
+      Some(s"""WITH lg AS (SELECT topics[1] AS sig, blockNumber
+                           FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+                           WHERE len(topics) >= 1 AND blockNumber BETWEEN 0 AND 999),
+                 hist AS (SELECT sig, COUNT(*) AS c FROM lg GROUP BY sig),
+                 rare AS (SELECT sig FROM hist ORDER BY c, sig LIMIT 1),
+                 dim AS (SELECT blockNumber FROM lg WHERE sig = (SELECT sig FROM rare))
+               SELECT b.number, COUNT(*) AS n_rare_logs, MAX(b.gasUsed) AS gas_used
+               FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet' b
+               JOIN dim d ON b.number = d.blockNumber
+               GROUP BY b.number ORDER BY b.number"""))
   )
 }

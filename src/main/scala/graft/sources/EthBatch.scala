@@ -33,10 +33,28 @@ final class EthBatch(
     addresses: Seq[String],
     topics: Seq[String],
     maxBlockRange: Long,
-    rpc: EthRpcSpec) extends Batch {
+    rpc: EthRpcSpec,
+    runtimeBlockSet: () => Option[Array[Long]] = () => None) extends Batch {
 
-  override def planInputPartitions(): Array[InputPartition] =
-    BlockRanges.chunks(start, end, maxBlockRange).toArray
+  /** Chunks of the (possibly runtime-narrowed) range. The thunk reads the
+    * scan's runtime-filter state at PLANNING time — Spark guarantees
+    * `Scan.filter` runs before `planInputPartitions`, not before `toBatch`.
+    * Narrowing is two-level: the range shrinks to the runtime values'
+    * [min, max] envelope intersected with the static range, then chunks
+    * containing NONE of the values are dropped (the join re-applies the
+    * predicate, so both levels are residual-safe).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val chunks = runtimeBlockSet() match {
+      case Some(vals) if vals.nonEmpty =>
+        val lo = math.max(start, vals.head)
+        val hi = math.min(end, vals.last)
+        BlockRanges.chunks(lo, hi, maxBlockRange)
+          .filter(c => vals.exists(v => v >= c.start && v <= c.end))
+      case _ => BlockRanges.chunks(start, end, maxBlockRange)
+    }
+    chunks.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EthReaderFactory(dataset, schema, addresses, topics, rpc)
@@ -51,6 +69,9 @@ final class EthReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[BlockRangePartition]
+    // blocks a reader is ABOUT to fetch — runtime-pruning evidence for
+    // specs (a JVM-wide gauge: exact at local[*], per-executor on a cluster)
+    EthScan.FetchedBlocks.addAndGet(p.end - p.start + 1)
     dataset match {
       case "logs" => new EthLogsReader(schema, p, addresses, topics, rpc.build())
       case "blocks" => new EthBlocksReader(schema, p, rpc.build())

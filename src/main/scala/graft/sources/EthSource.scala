@@ -209,6 +209,21 @@ object EthScanBuilder {
   val NoMatchAddress = "0x<no-match>"
 }
 
+object EthScan {
+  /** Total blocks handed to partition READERS, across every batch scan in
+    * the JVM — observability for runtime-filter pruning (specs reset it,
+    * run a join, and assert the fetched-block count shrank). Reader-side
+    * because the planner side re-plans under AQE and would over-count.
+    */
+  val FetchedBlocks = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Times a runtime (join-driven) filter reached [[EthScan.filter]] with a
+    * usable block set — distinguishes "DPP never fired" from "fired but
+    * didn't narrow" in specs.
+    */
+  val RuntimeFilterHits = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 final class EthScan(
     dataset: String,
     requiredSchema: StructType,
@@ -218,7 +233,51 @@ final class EthScan(
     topics: Seq[String],
     maxBlockRange: Long,
     maxBlocksPerTrigger: Long,
-    rpc: EthRpcSpec) extends Scan {
+    rpc: EthRpcSpec) extends Scan with SupportsRuntimeV2Filtering {
+
+  private val blockCol = if (dataset == "logs") "blockNumber" else "number"
+
+  /** RUNTIME (join-driven) block pruning — dynamic partition pruning for a
+    * source with no static partitions: when this scan joins a small
+    * relation on the block-number column, Catalyst's DPP rule hands the
+    * build side's value set here BEFORE partitions are planned, and the
+    * fetch range narrows to the values' [min, max] envelope (gaps inside
+    * the envelope are dropped at chunk granularity — a chunk fetches only
+    * if it contains a requested block). The reference client downloads the
+    * full range and joins afterwards; at 100 TB this is the difference
+    * between fetching the chain and fetching the blocks a dimension names.
+    * The runtime predicate stays a residual (the join re-applies it), so
+    * envelope-level narrowing is always sound.
+    */
+  @volatile private var runtimeBlocks: Option[Array[Long]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(blockCol))
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    val vals: Array[Long] = predicates.flatMap { p =>
+      val out: Seq[Long] = (p.name(), p.children()) match {
+        case ("IN", cs) if cs.length >= 2 && cs.head.isInstanceOf[NamedReference]
+            && cs.head.asInstanceOf[NamedReference].fieldNames.mkString(".") == blockCol =>
+          cs.tail.toSeq.flatMap {
+            case l: Literal[_] => l.value() match {
+              case v: java.lang.Long => Some(v.longValue()); case _ => None
+            }
+            case _ => None
+          }
+        case ("=", Array(nr: NamedReference, l: Literal[_]))
+            if nr.fieldNames.mkString(".") == blockCol =>
+          l.value() match { case v: java.lang.Long => Seq(v.longValue()); case _ => Seq.empty }
+        case _ => Seq.empty
+      }
+      out
+    }
+    if (vals.nonEmpty) {
+      EthScan.RuntimeFilterHits.incrementAndGet()
+      runtimeBlocks = Some(vals.distinct.sorted)
+    }
+  }
 
   override def readSchema(): StructType = requiredSchema
 
@@ -230,7 +289,11 @@ final class EthScan(
     // endBlock unset ⇒ snapshot the chain head at planning time, exactly the
     // reference's latest-block resolution (S7 — LogsService.java:489-500).
     val resolvedEnd = if (endBlock >= 0) endBlock else rpc.build().blockNumber()
-    new EthBatch(dataset, requiredSchema, startBlock, resolvedEnd, addresses, topics, maxBlockRange, rpc)
+    // () => read at planInputPartitions() time: Spark calls scan.filter()
+    // after toBatch may already be memoized, but always before partition
+    // planning — a snapshot taken here could miss the runtime narrowing
+    new EthBatch(dataset, requiredSchema, startBlock, resolvedEnd, addresses, topics, maxBlockRange, rpc,
+      runtimeBlockSet = () => runtimeBlocks)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

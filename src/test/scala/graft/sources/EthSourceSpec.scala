@@ -284,6 +284,30 @@ class EthSourceSpec extends SparkSpec {
       "logs aggregate wrongly claimed by the connector")
   }
 
+  test("runtime (join-driven) block pruning narrows the fetch range") {
+    import spark.implicits._
+    val blocks = spark.read.format("graft-eth").option("dataset", "blocks")
+      .option("startBlock", "0").option("endBlock", "999")
+      .option("maxBlockRange", "50").load()
+    // The selective predicate must sit on a NON-join column: a literal
+    // filter on the join key itself propagates to the scan STATICALLY
+    // (constraint inference) and DPP never fires — with pmod(id,500)=7 the
+    // matching block set {7, 507} is only knowable at runtime
+    val dim = spark.range(0, 1000)
+      .select(col("id").as("bn"), pmod(col("id"), lit(500)).as("tag"))
+      .where(col("tag") === 7L)
+    val joined = blocks.join(dim, blocks("number") === dim("bn")).select("number", "gasUsed")
+    EthScan.FetchedBlocks.set(0)
+    EthScan.RuntimeFilterHits.set(0)
+    assert(joined.collect().map(_.getLong(0)).sorted.toSeq === Seq(7L, 507L))
+    assert(EthScan.RuntimeFilterHits.get() > 0, "DPP never reached EthScan.filter")
+    val fetched = EthScan.FetchedBlocks.get()
+    // chunk=50: envelope [7..507] keeps only the two chunks containing a
+    // requested block — ~51 blocks vs the full 1000
+    assert(fetched <= 150,
+      s"runtime filter did not narrow the fetch: readers got $fetched of 1000 blocks")
+  }
+
   test("blocks LIMIT pushdown caps the scan range; logs LIMIT does not") {
     val blocks = spark.read.format("graft-eth").option("dataset", "blocks")
       .option("startBlock", "10").option("endBlock", "999").load()
