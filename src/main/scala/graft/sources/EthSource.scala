@@ -233,9 +233,35 @@ final class EthScan(
     topics: Seq[String],
     maxBlockRange: Long,
     maxBlocksPerTrigger: Long,
-    rpc: EthRpcSpec) extends Scan with SupportsRuntimeV2Filtering {
+    rpc: EthRpcSpec) extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   private val blockCol = if (dataset == "logs") "blockNumber" else "number"
+
+  /** Size statistics from range arithmetic — without them Spark assumes
+    * `spark.sql.defaultSizeInBytes` (effectively infinite) for a DSv2
+    * relation, so a 10-block header scan would never broadcast in a join
+    * and the DPP benefit estimator refuses to prune anything against it.
+    * Rows per block: exactly 1 for blocks; logs carry 0-4 per block on
+    * real chains and this synthetic one — estimated at the midpoint.
+    * Per-row bytes are deliberate OVERestimates (hex strings are wide):
+    * an oversized broadcast fails loud at the 8 GB limit, an undersized
+    * shuffle just wastes a join strategy.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val span: Long =
+      if (endBlock >= 0) math.max(0L, endBlock - startBlock + 1) else Long.MaxValue
+    private val rows: Long =
+      if (span == Long.MaxValue) Long.MaxValue
+      else if (dataset == "blocks") span
+      else span * 2 // logs midpoint estimate
+    private val rowBytes = if (dataset == "blocks") 2048L else 1024L
+    override def sizeInBytes(): java.util.OptionalLong =
+      if (rows == Long.MaxValue) java.util.OptionalLong.empty()
+      else java.util.OptionalLong.of(math.max(1L, rows * rowBytes))
+    override def numRows(): java.util.OptionalLong =
+      if (rows == Long.MaxValue) java.util.OptionalLong.empty()
+      else java.util.OptionalLong.of(rows)
+  }
 
   /** RUNTIME (join-driven) block pruning — dynamic partition pruning for a
     * source with no static partitions: when this scan joins a small

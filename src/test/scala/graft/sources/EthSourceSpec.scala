@@ -308,6 +308,28 @@ class EthSourceSpec extends SparkSpec {
       s"runtime filter did not narrow the fetch: readers got $fetched of 1000 blocks")
   }
 
+  test("reported statistics drive join strategy: narrow ranges broadcast, unbounded do not") {
+    // the other side is ~80 MB by Catalyst's own estimate — far over the
+    // broadcast threshold — so a BroadcastHashJoin can only appear if the
+    // CONNECTOR side's reported statistics made it the build side
+    val big = spark.range(0, 10000000L)
+      .select(pmod(col("id"), lit(1000L)).as("number"), col("id").as("v"))
+    val narrow = spark.read.format("graft-eth").option("dataset", "blocks")
+      .option("startBlock", "0").option("endBlock", "9").load()
+      .select("number", "gasUsed")
+    val nPlan = big.join(narrow, "number").queryExecution.executedPlan.toString
+    assert(nPlan.contains("BroadcastHashJoin"),
+      s"10-block scan (reported ~20 KB) was not broadcast:\n${nPlan.take(1500)}")
+    // endBlock unset ⇒ unknown size ⇒ Spark's default (effectively
+    // infinite) estimate ⇒ the planner must NOT pick a broadcast join
+    val unbounded = spark.read.format("graft-eth").option("dataset", "blocks")
+      .option("startBlock", "0").load()
+      .select("number", "gasUsed")
+    val uPlan = big.join(unbounded, "number").queryExecution.executedPlan.toString
+    assert(!uPlan.contains("BroadcastHashJoin"),
+      s"unbounded scan wrongly planned as broadcast:\n${uPlan.take(1500)}")
+  }
+
   test("blocks LIMIT pushdown caps the scan range; logs LIMIT does not") {
     val blocks = spark.read.format("graft-eth").option("dataset", "blocks")
       .option("startBlock", "10").option("endBlock", "999").load()
