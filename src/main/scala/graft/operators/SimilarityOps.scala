@@ -2597,6 +2597,58 @@ object SimilarityOps {
                       COALESCE(a.n_after, 0) AS n_after
                FROM cbefore b LEFT JOIN cafter a USING (cell)
                ORDER BY cell"""),
+      bench = false),
+
+    // Recall@3 of the TOMBSTONED serve vs POST-DELETE brute force — the
+    // sim09/17/21/27/39 pricing convention applied to sim41: deletion must
+    // not silently cost recall (a tombstone join that dropped the wrong
+    // rows would still pass sim41's count laws if it dropped symmetric
+    // ones). Truth = exact cosine over surviving probes × surviving
+    // corpus; both the serve and the truth are replayed in SQL, so the
+    // recall NUMBER is cross-engine-verified.
+    Q("sim43_delete_recall",
+      (s, d) => {
+        val dels = withNorm(s, d).where(docHash(col("vec_id"), 20) === 0)
+          .select("vec_id").localCheckpoint()
+        val live = probePairs(s, d, 10)
+          .join(broadcast(dels.select(col("vec_id").as("qid"))), Seq("qid"), "left_anti")
+          .join(broadcast(dels), Seq("vec_id"), "left_anti")
+        val truth = StockOps.perKeyTopK(live, Seq("qid"),
+            Seq(desc("cos_sim"), col("vec_id")), 3)
+          .select("qid", "vec_id")
+        val ann = byNameLocal("sim41_ivf_delete_serve").build(s, d)
+        val hits = ann.select("qid", "vec_id")
+          .join(truth, Seq("qid", "vec_id"), "left_semi").count()
+        val total = truth.count()
+        import s.implicits._
+        Seq(("ivf_tombstoned", total, hits, hits.toDouble / total))
+          .toDF("method", "n_truth", "n_hit", "recall")
+      },
+      Some(s"""WITH $sqlTrainedSearchCtes,
+                 rdel AS (SELECT vec_id FROM nv WHERE ${sqlDocHash("vec_id", 20)} = 0),
+                 rlive AS (SELECT qid, vec_id, cos_sim FROM iscored
+                           WHERE qid NOT IN (SELECT vec_id FROM rdel)
+                             AND vec_id NOT IN (SELECT vec_id FROM rdel)),
+                 ann_top AS (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                     FROM rlive) WHERE rk <= 3),
+                 rbpairs AS (
+                   SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                          $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                   FROM nv a JOIN nv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+                   WHERE a.vec_id NOT IN (SELECT vec_id FROM rdel)
+                     AND b.vec_id NOT IN (SELECT vec_id FROM rdel)),
+                 rbrute_top AS (SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                     FROM rbpairs) WHERE rk <= 3),
+                 rhits AS (SELECT COUNT(*) AS n_hit
+                           FROM ann_top a JOIN rbrute_top b USING (qid, vec_id)),
+                 rtot AS (SELECT COUNT(*) AS n_truth FROM rbrute_top)
+               SELECT 'ivf_tombstoned' AS method, n_truth, n_hit,
+                      CAST(n_hit AS DOUBLE) / n_truth AS recall
+               FROM rtot, rhits"""),
       bench = false)
   )
 
