@@ -630,6 +630,49 @@ object TemporalOps {
                            ELSE v0 + (v1 - v0) * CAST(day - day0 AS DOUBLE)
                                 / CAST(day1 - day0 AS DOUBLE) END AS interp,
                       obs_val IS NULL AS is_gap
-               FROM br ORDER BY user_id, day"""))
+               FROM br ORDER BY user_id, day""")),
+
+    // As-of join WITH TOLERANCE — r01's production form: a preceding match
+    // older than the staleness bound is WORSE than no match (a quote from
+    // last week must not price today's trade), so matches beyond the bound
+    // emit NULL. One pass: the plain as-of match (shared asofJoin — the
+    // latest preceding click is by definition also the latest within any
+    // bound) then a gap mask in exact microseconds. The bound is chosen to
+    // SPLIT the fixture and both outcomes are require()d non-empty —
+    // masked-out matches and surviving matches must each occur, or the
+    // tolerance under test is a no-op.
+    Q("r11_asof_tolerance",
+      (s, d) => {
+        val tolUs = 15L * 60L * 1000000L // 15 min
+        val ev = t(s, d, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"),
+            col("event_id").as("click_id"))
+        val matched = asofJoin(purchases, clicks, "user_id", "ts", "click_ts",
+          Seq("click_value", "click_id", "click_ts"), "click_id")
+        val fresh = unix_micros(col("ts")) - unix_micros(col("asof_click_ts")) <= tolUs
+        val out = matched.select(col("event_id"), col("user_id"),
+            when(fresh, col("asof_click_id")).as("click_id"),
+            when(fresh, col("asof_click_value")).as("click_value"))
+          .orderBy("event_id").localCheckpoint()
+        val masked = matched.where(col("asof_click_id").isNotNull && !fresh).count()
+        require(masked > 0,
+          "no match exceeds the staleness bound — the tolerance mask is a no-op on this fixture")
+        require(out.where(col("click_id").isNotNull).count() > 0,
+          "every match exceeds the staleness bound — the surviving path is vacuous")
+        out
+      },
+      Some("""SELECT p.event_id, p.user_id,
+                     CASE WHEN c.ts >= p.ts - INTERVAL 15 MINUTE THEN c.event_id END AS click_id,
+                     CASE WHEN c.ts >= p.ts - INTERVAL 15 MINUTE THEN c.value END AS click_value
+              FROM (SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts
+                    FROM events WHERE event_type = 'purchase') p
+              ASOF LEFT JOIN (SELECT event_id, user_id, value,
+                                     make_timestamp(epoch_ns(ts) // 1000) AS ts
+                              FROM events WHERE event_type = 'click') c
+                ON p.user_id = c.user_id AND c.ts <= p.ts
+              ORDER BY p.event_id"""))
   )
 }

@@ -325,7 +325,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim42_ivf_compaction" -> 5, // compaction + serve laws run on build; emitted 16-cell count join + sort
     "t37_leakage_safe_split" -> 1, // split/leak counts run on build; emitted 2-row report + its sort
     "e19_runtime_prune_join" -> 3, // broadcast dim + DPP-pruned block scan; per-block agg split + sort
-    "sim43_delete_recall" -> 0) // hit/truth counts run on build; emitted report is one local row
+    "sim43_delete_recall" -> 0, // hit/truth counts run on build; emitted report is one local row
+    "r11_asof_tolerance" -> 0) // asof + mask checkpoint on build (laws need the counts); emitted scan only
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
