@@ -2649,8 +2649,177 @@ object SimilarityOps {
                SELECT 'ivf_tombstoned' AS method, n_truth, n_hit,
                       CAST(n_hit AS DOUBLE) / n_truth AS recall
                FROM rtot, rhits"""),
+      bench = false),
+
+    // NEIGHBOR DIVERSIFICATION (the HNSW select-neighbors heuristic /
+    // relative-neighborhood rule) over sim36's directed k-NN edges: an
+    // edge (u,v) at rank r is KEPT iff no earlier-rank KEPT neighbor w of
+    // u is closer to v than u is (cos(w,v) > cos(u,v)) — pruned edges are
+    // shortcuts through an already-kept neighbor, and dropping them is
+    // what keeps graph-ANN degree bounded without losing reachability.
+    // The sequential "kept-so-far" semantics is exact: the fold runs over
+    // RANK (KnnK-1 bounded joins), never over corpus size; the
+    // neighbor-pair similarity table is ≤ C(k,2) rows per node, built by
+    // equi-joins on the embedding table. Emits the full per-edge decision
+    // (kept flag) so downstream graph builds can filter. Oracle: DuckDB
+    // replays training, the k-NN ranking, and each rank's NOT EXISTS
+    // blocker test with the identical kept-so-far chain.
+    Q("sim44_rng_prune",
+      (s, d) => {
+        val (edges, kept) = rngKeptEdges(s, d)
+        edges.join(kept.withColumn("kept", lit(true)), Seq("u", "v"), "left")
+          .select(col("u").as("vec_id"), col("rank"), col("v").as("nbr_id"),
+            col("cos_sim"), coalesce(col("kept"), lit(false)).as("kept"))
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH $sqlTrainedAssignCtes, $sqlKnnCtes,
+                 kedg AS MATERIALIZED (SELECT u, CAST(rk AS INT) AS rk, v, cos_sim
+                          FROM ktop WHERE rk <= $KnnK),
+                 npair AS MATERIALIZED (
+                   SELECT w.u, w.v AS w_id, e.rk AS rv, e.v AS v_id,
+                          $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_wv
+                   FROM kedg w JOIN kedg e ON w.u = e.u AND w.rk < e.rk
+                        JOIN nv a ON a.vec_id = w.v
+                        JOIN nv b ON b.vec_id = e.v),
+                 ${sqlKeptChain(KnnK)}
+               SELECT e.u AS vec_id, e.rk AS rank, e.v AS nbr_id, e.cos_sim,
+                      (k.u IS NOT NULL) AS kept
+               FROM kedg e LEFT JOIN kept$KnnK k ON k.u = e.u AND k.v = e.v
+               ORDER BY vec_id, rank"""),
+      bench = false),
+
+    // WALK OVER THE PRUNED GRAPH — sim39's pricing convention applied to
+    // sim44: the diversified (RNG-pruned) edge set re-enters the full
+    // serving path (symmetrize → components → one entry per component →
+    // beam search) and its recall@3 is priced against the same exact
+    // truth. This is the number that justifies pruning at all: fewer
+    // edges = fewer candidate lookups per hop, and the relative-
+    // neighborhood rule is supposed to keep reachability — a recall drop
+    // here would mean it didn't. Pruning can only split components, and
+    // the walk recomputes entries from the pruned edges, so a split
+    // automatically gets its extra entry (the sim37 remedy). The oracle
+    // replays training, ranking, the kept-chain, the pruned closure, and
+    // every hop — the recall number is cross-engine-verified.
+    Q("sim45_pruned_walk_recall",
+      (s, d) => {
+        val (edges, kept) = rngKeptEdges(s, d)
+        val nEdges = edges.count()
+        val nKept = kept.count()
+        val truth = StockOps.perKeyTopK(probePairs(s, d, 10),
+            Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
+          .select("qid", "vec_id").localCheckpoint()
+        val frontier = walkFrontiersOver(s, d, kept).last._2
+        val top3 = StockOps.perKeyTopK(frontier, Seq("qid"),
+          Seq(desc("cos_sim"), col("vec_id")), 3)
+        val hits = top3.select("qid", "vec_id")
+          .join(truth, Seq("qid", "vec_id"), "left_semi").count()
+        val total = truth.count()
+        import s.implicits._
+        Seq(("pruned_walk", nEdges, nKept, total, hits, hits.toDouble / total))
+          .toDF("method", "n_edges", "n_kept", "n_truth", "n_hit", "recall")
+      },
+      Some(s"""WITH RECURSIVE $sqlTrainedAssignCtes, $sqlKnnCtes,
+                 kedg AS MATERIALIZED (SELECT u, CAST(rk AS INT) AS rk, v, cos_sim
+                          FROM ktop WHERE rk <= $KnnK),
+                 npair AS MATERIALIZED (
+                   SELECT w.u, w.v AS w_id, e.rk AS rv, e.v AS v_id,
+                          $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_wv
+                   FROM kedg w JOIN kedg e ON w.u = e.u AND w.rk < e.rk
+                        JOIN nv a ON a.vec_id = w.v
+                        JOIN nv b ON b.vec_id = e.v),
+                 ${sqlKeptChain(KnnK)},
+                 pkedges AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+                     SELECT u, v FROM kept$KnnK
+                     UNION ALL SELECT v, u FROM kept$KnnK)),
+                 ${sqlWalkChainOver("pkedges")},
+                 walk_top AS (
+                   SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                     FROM wf$WalkHops) WHERE rk <= 3),
+                 bpairs AS (
+                   SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                          $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                   FROM nv a JOIN nv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+                 brute_top AS (
+                   SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                     FROM bpairs) WHERE rk <= 3),
+                 hits AS (SELECT COUNT(*) AS n_hit
+                          FROM walk_top w JOIN brute_top b USING (qid, vec_id)),
+                 tot_cnt AS (SELECT COUNT(*) AS n_truth FROM brute_top)
+               SELECT 'pruned_walk' AS method,
+                      (SELECT COUNT(*) FROM kedg) AS n_edges,
+                      (SELECT COUNT(*) FROM kept$KnnK) AS n_kept,
+                      tc.n_truth, h.n_hit,
+                      CAST(h.n_hit AS DOUBLE) / tc.n_truth AS recall
+               FROM tot_cnt tc, hits h"""),
       bench = false)
   )
+
+  /** sim44's checkpointed artifacts: the ranked k-NN edge table and the
+    * RNG-kept (diversified) survivor set, shared by sim44 (the per-edge
+    * decision) and sim45 (the pruned serving walk). The sequential
+    * kept-so-far fold runs over the RANK domain (KnnK−1 bounded joins);
+    * the neighbor-pair similarity table is ≤ C(k,2) rows per node.
+    */
+  private def rngKeptEdges(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val nv = withNorm(s, d)
+    val edges = knnTop(s, d)
+      .select("u", "rank", "v", "cos_sim").localCheckpoint()
+    // similarities between neighbor PAIRS of one node: w at an earlier
+    // rank than v — the only comparisons the heuristic ever makes
+    val e1 = edges.select(col("u"), col("rank").as("rw"), col("v").as("w_id"))
+    val e2 = edges.select(col("u"), col("rank").as("rv"),
+      col("v").as("v_id"), col("cos_sim").as("cos_uv"))
+    val wEmb = nv.select(col("vec_id").as("w_id"),
+      col("embedding").as("we"), col("norm2").as("wn"))
+    val vEmb = nv.select(col("vec_id").as("v_id"),
+      col("embedding").as("ve"), col("norm2").as("vn"))
+    val npair = e1.join(e2, Seq("u")).where(col("rw") < col("rv"))
+      .join(wEmb, "w_id").join(vEmb, "v_id")
+      .select(col("u"), col("w_id"), col("rv"), col("v_id"), col("cos_uv"),
+        cosine(scaledDot(col("we"), col("ve")), col("wn"), col("vn")).as("cos_wv"))
+      .localCheckpoint()
+    // sequential fold over ranks: rank 1 always kept; rank r kept iff no
+    // kept earlier neighbor blocks it (cos(w,v) > cos(u,v))
+    var kept = edges.where(col("rank") === 1).select("u", "v")
+    for (r <- 2 to KnnK) {
+      val blockers = npair
+        .where(col("rv") === r && col("cos_wv") > col("cos_uv"))
+        .join(kept.select(col("u"), col("v").as("w_id")),
+          Seq("u", "w_id"), "left_semi")
+        .select(col("u"), col("v_id").as("v")).distinct()
+      val keptR = edges.where(col("rank") === r)
+        .join(blockers, Seq("u", "v"), "left_anti").select("u", "v")
+      kept = kept.union(keptR).localCheckpoint()
+    }
+    (edges, kept)
+  }
+
+  /** Oracle-side kept-so-far chain for sim44: `kept1` = every rank-1 edge;
+    * `kept{r}` = `kept{r-1}` plus the rank-r edges with NO kept
+    * earlier-rank blocker (cos(w,v) > cos(u,v)) — the exact sequential
+    * select-neighbors semantics, unrolled over the bounded rank domain.
+    */
+  private def sqlKeptChain(k: Int): String = {
+    // every CTE MATERIALIZED: the chain references kept{r-1} twice per
+    // step and npair once per step — DuckDB 1.0 otherwise INLINES each
+    // reference, re-expanding the whole training+knn chain exponentially
+    // (observed: "Too many open files" from re-opened parquet scans)
+    val first = "kept1 AS MATERIALIZED (SELECT u, v FROM kedg WHERE rk = 1)"
+    val rest = (2 to k).map { r =>
+      s"""keptnew$r AS MATERIALIZED (
+            SELECT e.u, e.v FROM kedg e WHERE e.rk = $r AND NOT EXISTS (
+              SELECT 1 FROM npair p JOIN kept${r - 1} kk
+                ON kk.u = p.u AND kk.v = p.w_id
+              WHERE p.u = e.u AND p.v_id = e.v AND p.cos_wv > e.cos_sim)),
+          kept$r AS MATERIALIZED (SELECT u, v FROM kept${r - 1}
+                     UNION ALL SELECT u, v FROM keptnew$r)"""
+    }
+    (first +: rest).mkString(",\n                 ")
+  }
 
   /** Local alias to avoid a Catalog init cycle. */
   private def byNameLocal(name: String): Q =
@@ -2705,12 +2874,21 @@ object SimilarityOps {
     * checkpointed per hop; entries are one per component (the sim37
     * motivation — a single global entry cannot reach other components).
     */
-  private def walkFrontiers(s: SparkSession, d: String): Seq[(Int, DataFrame)] = {
+  private def walkFrontiers(s: SparkSession, d: String): Seq[(Int, DataFrame)] =
+    walkFrontiersOver(s, d, knnTop(s, d).select("u", "v"))
+
+  /** The walk over an ARBITRARY directed edge set (u, v) — sim38/40 pass
+    * the full k-NN edges, sim45 the diversification-pruned survivors. The
+    * edge set is symmetrized and its component entries recomputed here, so
+    * a pruning that splits a component automatically gets its extra entry.
+    */
+  private def walkFrontiersOver(
+      s: SparkSession, d: String, edgesIn: DataFrame): Seq[(Int, DataFrame)] = {
     val corpus = withNorm(s, d)
     val probes = corpus.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("norm2").as("qnorm2"))
-    val edges = knnTop(s, d).select("u", "v")
+    val edges = edgesIn.select("u", "v")
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
     val pairs = edges.select(least(col("u"), col("v")).as("da"),
@@ -2742,29 +2920,36 @@ object SimilarityOps {
     */
   private lazy val sqlWalkCtes: String =
     s"""$sqlTrainedAssignCtes, $sqlKnnCtes,
-        kreach(id, r) AS (
-          SELECT u, u FROM kedges
+        ${sqlWalkChainOver("kedges")}"""
+
+  /** The walk's closure + entries + hop CTEs over an ARBITRARY symmetrized
+    * edge CTE — `kedges` for the full graph (sim38/39/40), the pruned
+    * survivor edges for sim45. Mirrors [[walkFrontiersOver]].
+    */
+  private def sqlWalkChainOver(edgeCte: String): String =
+    s"""kreach(id, r) AS (
+          SELECT u, u FROM $edgeCte
           UNION
-          SELECT e.u, rr.r FROM kedges e JOIN kreach rr ON e.v = rr.id),
+          SELECT e.u, rr.r FROM $edgeCte e JOIN kreach rr ON e.v = rr.id),
         wkcomp AS (SELECT id, MIN(r) AS label FROM kreach GROUP BY id),
         wentries AS (SELECT DISTINCT label FROM wkcomp),
         wf0 AS (SELECT p.vec_id AS qid, e.label AS vec_id
                 FROM nv p, wentries e WHERE p.vec_id < 10),
-        ${(1 to WalkHops).map(sqlWalkHop(_, WalkBeam)).mkString(",\n        ")}"""
+        ${(1 to WalkHops).map(sqlWalkHop(_, WalkBeam, edgeCte)).mkString(",\n        ")}"""
 
   /** One oracle-side beam-search hop `i`: candidates = previous frontier ∪
     * its out-neighbors (minus the query itself), rescored against the
     * probe, new frontier = top-`beam` per query — the same monotone
     * keep-the-best step the engine loop runs.
     */
-  private def sqlWalkHop(i: Int, beam: Int): String = {
+  private def sqlWalkHop(i: Int, beam: Int, edgeCte: String): String = {
     // SUFFIXED CTE names (wc/ws/wf): c$i/s$i live inside the Lloyd chain
     // this composes with — the p02 collision lesson
     val prev = s"wf${i - 1}"
     s"""wc$i AS (SELECT DISTINCT qid, vec_id FROM (
                    SELECT qid, vec_id FROM $prev
                    UNION ALL
-                   SELECT f.qid, e.v AS vec_id FROM $prev f JOIN kedges e ON e.u = f.vec_id)),
+                   SELECT f.qid, e.v AS vec_id FROM $prev f JOIN $edgeCte e ON e.u = f.vec_id)),
         ws$i AS (SELECT c.qid, c.vec_id,
                         $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
                  FROM wc$i c JOIN nv a ON a.vec_id = c.qid

@@ -2401,6 +2401,79 @@ object StreamShape {
                UNION ALL
                SELECT 1, qid, vec_id, cos_sim, rk FROM tph1 WHERE rk <= 3
                ORDER BY phase, qid, rk"""),
+      bench = false),
+
+    // STREAM-STREAM INTERVAL JOIN (attribution): each view matched to the
+    // same user's purchases inside [view ts, view ts + 2 h]. The
+    // time-bounded join condition is the load-bearing part: it lets
+    // Structured Streaming derive a STATE WATERMARK per side and evict
+    // buffered rows that can no longer match — an unbounded-condition
+    // stream-stream join buffers both streams forever (x06's equi-join
+    // shape holds state to the watermark horizon; here the interval bound
+    // itself caps it). Both sides carry a 1-hour event-time watermark and
+    // the feed is time-SPLIT into 3 mtime-ordered files (x31's staging:
+    // the watermark must ADVANCE mid-run) so eviction actually fires —
+    // require()d via numRowsRemoved. Because an INNER interval join emits
+    // eagerly and eviction only drops provably-unmatchable rows, the
+    // drained sink is exact — the oracle is the plain batch interval join.
+    Q("x42_stream_interval_join",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val name = s"x42_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x42ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x42src").toString
+        val ev = s.read.parquet(s"$d/events.parquet").transform(normalizeEventTs)
+          .select("event_id", "ts", "user_id", "event_type")
+        val us = unix_micros(col("ts"))
+        val bounds = ev.agg(min(us).as("lo"), max(us).as("hi")).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+        ev.where(us < t1).coalesce(1).write.parquet(s"$srcDir/b0")
+        ev.where(us >= t1 && us < t2).coalesce(1).write.parquet(s"$srcDir/b1")
+        ev.where(us >= t2).coalesce(1).write.parquet(s"$srcDir/b2")
+        forceDeliveryOrder(s"$srcDir/b0", s"$srcDir/b1")
+        forceDeliveryOrder(s"$srcDir/b1", s"$srcDir/b2")
+        def side(et: String, idAs: String, tsAs: String, uidAs: String) =
+          s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(srcDir)
+            .where(col("event_type") === et)
+            .select(col("event_id").as(idAs), col("ts").as(tsAs),
+              col("user_id").as(uidAs))
+            .withWatermark(tsAs, "1 hour")
+        val views = side("view", "view_id", "vts", "user_id")
+        val purch = side("purchase", "purchase_id", "pts", "p_user")
+        val joined = views.join(purch,
+            col("user_id") === col("p_user") &&
+              col("pts") >= col("vts") &&
+              col("pts") <= col("vts") + expr("INTERVAL 2 HOURS"))
+          .select(col("user_id"), col("view_id"), col("purchase_id"),
+            unix_micros(col("vts")).as("view_us"),
+            unix_micros(col("pts")).as("purchase_us"))
+        val sq = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fed = sq.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 3,
+          s"x42 drained in $fed micro-batch(es) — the multi-batch eviction path was not exercised")
+        val removed = sq.recentProgress
+          .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+        require(removed > 0,
+          "no join state was evicted — the interval bound never capped the buffers")
+        s.table(name).orderBy("user_id", "view_id", "purchase_id")
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+                     epoch_ns(v.ts) // 1000 AS view_us,
+                     epoch_ns(p.ts) // 1000 AS purchase_us
+              FROM events v JOIN events p
+                ON v.user_id = p.user_id
+               AND v.event_type = 'view' AND p.event_type = 'purchase'
+               AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+              ORDER BY v.user_id, view_id, purchase_id"""),
       bench = false)
   )
 }

@@ -28,7 +28,7 @@ class PlanAuditSpec extends SparkSpec {
     "x33_stream_cadence", "x34_stream_live_tail", "x35_stream_quarantine",
     "x36_stream_scd2", "d24_incremental_clusters", "x37_stream_hll_merge",
     "x38_stream_knn_maintain", "x39_stream_packing", "x40_stream_deletions",
-    "x41_stream_tombstone_serve",
+    "x41_stream_tombstone_serve", "x42_stream_interval_join",
     // Arrow IPC roundtrip: the build writes+reads IPC files eagerly; the
     // returned frame is a bounded local relation (scan itself is audited
     // via e01's plan — same connector path)
@@ -326,7 +326,9 @@ class PlanAuditSpec extends SparkSpec {
     "t37_leakage_safe_split" -> 1, // split/leak counts run on build; emitted 2-row report + its sort
     "e19_runtime_prune_join" -> 3, // broadcast dim + DPP-pruned block scan; per-block agg split + sort
     "sim43_delete_recall" -> 0, // hit/truth counts run on build; emitted report is one local row
-    "r11_asof_tolerance" -> 0) // asof + mask checkpoint on build (laws need the counts); emitted scan only
+    "r11_asof_tolerance" -> 0, // asof + mask checkpoint on build (laws need the counts); emitted scan only
+    "sim44_rng_prune" -> 2, // edges/npair/kept checkpoint on build; emitted edges⋈kept join + sort
+    "sim45_pruned_walk_recall" -> 0) // prune/walk/recall counts run on build; emitted report is one local row
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

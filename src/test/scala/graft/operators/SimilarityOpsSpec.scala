@@ -548,4 +548,43 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(subs.sum == hotN, "split must conserve the hot cell's members")
     assert(subs.max < hotN, "split failed to divide the hot cell at all")
   }
+
+  test("sim44 kept set replays the sequential select-neighbors heuristic; sim45 reconciles") {
+    val rows = Catalog.byName("sim44_rng_prune").build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // driver-side exact recompute of every pairwise cosine the rule consults
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def sdot(a: Array[Float], b: Array[Float]): Long =
+      a.indices.map(i => math.floor(a(i).toDouble * b(i).toDouble * 1e15).toLong).sum
+    val norm = emb.map { case (k, v) => k -> sdot(v, v) }
+    def cosOf(i: Long, j: Long): Double =
+      sdot(emb(i), emb(j)).toDouble / math.sqrt(norm(i).toDouble * norm(j).toDouble)
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (u, es) =>
+      val sorted = es.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.head.getAs[Int]("rank") == 1 && sorted.head.getAs[Boolean]("kept"),
+        s"rank-1 edge of $u must exist and be kept")
+      var kept = List.empty[Long]
+      sorted.foreach { e =>
+        val v = e.getAs[Long]("nbr_id")
+        assert(e.getAs[Double]("cos_sim") == cosOf(u, v),
+          s"emitted cos_sim of ($u,$v) is not the exact kernel value")
+        val expect = !kept.exists(w => cosOf(w, v) > e.getAs[Double]("cos_sim"))
+        assert(e.getAs[Boolean]("kept") == expect,
+          s"u=$u v=$v rank=${e.getAs[Int]("rank")}: sequential heuristic says kept=$expect")
+        if (expect) kept ::= v
+      }
+    }
+    // sim45's edge accounting is sim44's decisions; recall is a probability
+    val r45 = Catalog.byName("sim45_pruned_walk_recall").build(spark, sfDir).collect()
+    assert(r45.length == 1)
+    val r = r45.head
+    assert(r.getAs[Long]("n_edges") == rows.length)
+    assert(r.getAs[Long]("n_kept") == rows.count(_.getAs[Boolean]("kept")))
+    assert(r.getAs[Long]("n_kept") < r.getAs[Long]("n_edges"),
+      "pruning removed nothing — the diversification rule was vacuous on this corpus")
+    assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_truth"))
+    val rec = r.getAs[Double]("recall")
+    assert(rec >= 0.0 && rec <= 1.0)
+  }
 }
