@@ -1873,7 +1873,38 @@ object StockOps {
           .select("event_type", "n_filled", "reg_isum", "est_distinct", "true_distinct")
           .orderBy("event_type")
       },
-      Some(sqlHll))
+      Some(sqlHll)),
+
+    // FILTER (WHERE) AGGREGATES — the ANSI per-aggregate predicate, the
+    // idiom that replaces a pivot-by-CASE battery: one pass over the fact
+    // table computes differently-filtered aggregates side by side,
+    // including the historically tricky DISTINCT-with-FILTER combination
+    // (Spark supports it since 3.1; a CASE rewrite of COUNT(DISTINCT …)
+    // is NOT equivalent — CASE leaks the else-NULL into the distinct
+    // set's nullability). All branches fold into ONE map-side-combined
+    // aggregate — no extra scan per filter, the property that matters
+    // when the fact table is the 100 TB side. Money sums ride the exact
+    // DECIMAL convention.
+    Q("c63_filter_clause",
+      (s, d) => {
+        val view = s"graft_fc_${Catalog.pathTag(d)}"
+        t(s, d, "events").createOrReplaceTempView(view)
+        s.sql(
+          s"""SELECT user_id,
+                     COUNT(*) AS n_events,
+                     COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                          FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_total,
+                     COUNT(DISTINCT event_type) FILTER (WHERE value >= 50) AS n_types_hi
+              FROM $view GROUP BY user_id ORDER BY user_id""")
+      },
+      Some("""SELECT user_id,
+                     COUNT(*) AS n_events,
+                     COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                          FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_total,
+                     COUNT(DISTINCT event_type) FILTER (WHERE value >= 50) AS n_types_hi
+              FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 
 

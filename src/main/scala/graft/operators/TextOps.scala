@@ -2088,6 +2088,57 @@ object TextOps {
                       (SELECT COUNT(*) FROM nsp WHERE split = 'test'),
                       (SELECT n FROM nleak)
                ORDER BY scheme"""),
-      bench = false)
+      bench = false),
+
+    // BIGRAM SURPRISAL — the GEOMETRIC-mean side of the perplexity filter
+    // (t30's fluency_ppm is the arithmetic mean of p(w₂|w₁); perplexity
+    // proper is 2^(mean surprisal), a geometric quantity). Logs are not
+    // hash-exact across engines, so the surprisal of a bigram is priced
+    // in integer BIT LENGTHS: bits(c₁) − bits(c₂) = ⌈log₂⌉-grade
+    // approximation of −log₂ p(w₂|w₁), exact when both counts are powers
+    // of two and within 1 bit otherwise — monotone enough to rank and
+    // threshold documents, and bit-for-bit reproducible (both engines'
+    // bin() render minimal binary, no padding — pinned here). Emitted
+    // per-doc: bigram count, total surprisal bits, centibits/bigram (the
+    // rank key). Same two count aggregates + two equi-joins as t30 — the
+    // model build is O(vocab²) bounded, scoring is linear in corpus size.
+    Q("t38_bigram_surprisal",
+      (s, d) => {
+        val dt = t(s, d, "documents")
+          .select(col("doc_id"),
+            filter(tokens(col("text")), x => length(x) > 0).as("toks"))
+          .where(size(col("toks")) >= 2)
+        val bg = dt.select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("toks")) - 2),
+              i => struct(element_at(col("toks"), i + 1).as("w1"),
+                element_at(col("toks"), i + 2).as("w2")))).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
+            sum((length(bin(col("c1"))) - length(bin(col("c2")))).cast(LongType))
+              .as("total_bits"))
+          .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+            expr("total_bits * 100 div n_bigrams").cast(LongType).as("centibits"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dt AS (SELECT doc_id,
+                                 list_filter(string_split_regex(trim(text), '\s+'),
+                                             x -> length(x) > 0) AS toks
+                          FROM documents),
+                 bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                        FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks))) AS i
+                              FROM dt WHERE len(toks) >= 2)),
+                 c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+                 c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+                 per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                                SUM(length(bin(c1.c1)) - length(bin(c2.c2))) AS total_bits
+                         FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                         GROUP BY 1)
+              SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                     CAST(total_bits AS BIGINT) AS total_bits,
+                     CAST(total_bits * 100 // n_bigrams AS BIGINT) AS centibits
+              FROM per ORDER BY doc_id"""))
   )
 }

@@ -327,8 +327,10 @@ class PlanAuditSpec extends SparkSpec {
     "e19_runtime_prune_join" -> 3, // broadcast dim + DPP-pruned block scan; per-block agg split + sort
     "sim43_delete_recall" -> 0, // hit/truth counts run on build; emitted report is one local row
     "r11_asof_tolerance" -> 0, // asof + mask checkpoint on build (laws need the counts); emitted scan only
-    "sim44_rng_prune" -> 2, // edges/npair/kept checkpoint on build; emitted edges⋈kept join + sort
-    "sim45_pruned_walk_recall" -> 0) // prune/walk/recall counts run on build; emitted report is one local row
+    "sim44_rng_prune" -> 3, // edges/npair/kept checkpoint on build; emitted edges⋈kept join (both sides shuffle at spec SF) + sort
+    "sim45_pruned_walk_recall" -> 0, // prune/walk/recall counts run on build; emitted report is one local row
+    "c63_filter_clause" -> 3, // one expand-based distinct+filter agg (partial/final) + sort
+    "t38_bigram_surprisal" -> 4) // bigram aggs (c1, c2) + per-doc agg + sort (t30's shape)
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
