@@ -2474,6 +2474,92 @@ object StreamShape {
                AND v.event_type = 'view' AND p.event_type = 'purchase'
                AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
               ORDER BY v.user_id, view_id, purchase_id"""),
+      bench = false),
+
+    // STREAMING DATA CARD — p04's per-source governance report maintained
+    // incrementally as documents arrive, pinned to p04's batch oracle
+    // verbatim. Three of the five columns are additive monoids (docs,
+    // tokens, quality passes — per-batch partials merge by SUM, x30's
+    // convention); contamination is a per-batch stream-static broadcast
+    // semi-join (x13's shape; doc_ids are unique so its count is additive
+    // too); the NON-additive column is exact-duplicate incidence — a doc
+    // counts iff its text occurs >1 times CORPUS-WIDE, which no per-batch
+    // flag can know. It is carried as (source, text-digest, n) partial
+    // counts: additive rows whose post-drain GROUP BY text-digest
+    // recovers the global copy counts (the KMV/CMS mergeable-sketch
+    // discipline applied to a governance report). Partial writes are
+    // batchId-keyed overwrites (x33's retry-idempotence lesson).
+    Q("x43_stream_data_card",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        graft.functions.GraftFunctions.register(s)
+        val scalarStore = java.nio.file.Files.createTempDirectory("x43sc").toString
+        val tkeyStore = java.nio.file.Files.createTempDirectory("x43tk").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("x43ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x43src").toString
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        (0 until 3).foreach(i => docs.where(pmod(col("doc_id"), lit(3L)) === i)
+          .coalesce(1).write.parquet(s"$srcDir/b$i"))
+        val cont = DedupOps.contaminatedIds(s, d)
+          .withColumn("is_cont", lit(true)).localCheckpoint()
+        val sq = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            if (!batch.isEmpty) {
+              TextOps.dataCardDocFlags(batch)
+                .join(broadcast(cont), Seq("doc_id"), "left")
+                .groupBy("source")
+                .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+                  count_if(coalesce(col("is_cont"), lit(false))).as("n_contaminated"),
+                  count_if(col("q_ok")).as("n_quality"))
+                .write.mode("overwrite").parquet(s"$scalarStore/b$batchId")
+              batch.groupBy(col("source"), md5(col("text")).as("tkey"))
+                .agg(count(lit(1)).as("n"))
+                .withColumn("batch_id", lit(batchId))
+                .write.mode("overwrite").parquet(s"$tkeyStore/b$batchId")
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fed = sq.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 3,
+          s"x43 drained in $fed micro-batch(es) — partial merging was not exercised")
+        def store(dir: String) =
+          s.read.option("recursiveFileLookup", "true").parquet(dir)
+        val sc = store(scalarStore).groupBy("source")
+          .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+            sum("n_contaminated").as("n_contaminated"),
+            sum("n_quality").as("n_quality"))
+        val tk = store(tkeyStore).localCheckpoint()
+        val bySrc = tk.groupBy("source", "tkey").agg(sum("n").as("n_in_source"))
+        val tot = bySrc.groupBy("tkey").agg(sum("n_in_source").as("n_total"))
+          .where(col("n_total") > 1).localCheckpoint()
+        val dup = bySrc.join(tot.select("tkey"), "tkey")
+          .groupBy("source").agg(sum("n_in_source").cast(LongType).as("n_dup_docs"))
+        // when duplicates exist at this SF, the cross-batch merge must be
+        // the thing that found them: some duplicated digest has to span
+        // two micro-batches (doc_id%3 staging puts copies in different
+        // batches), else the store degenerate-reduces to per-batch flags
+        val nDupTexts = tot.count()
+        if (nDupTexts > 0) {
+          val spanning = tk.join(tot.select("tkey"), "tkey")
+            .groupBy("tkey").agg(countDistinct(col("batch_id")).as("nb"))
+            .where(col("nb") >= 2).count()
+          require(spanning > 0,
+            "every duplicated text landed inside one micro-batch — the cross-batch count merge was vacuous")
+        }
+        sc.join(dup, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+            col("n_contaminated"), col("n_quality"))
+          .orderBy("source")
+      },
+      Some(TextOps.sqlDataCard),
       bench = false)
   )
 }

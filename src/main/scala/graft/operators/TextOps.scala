@@ -178,6 +178,40 @@ object TextOps {
                replace(pair, ' ', '') AS merged, n
         FROM allbest ORDER BY iter"""
 
+  /** p04's per-document quality envelope (`n_toks` + `q_ok`) — ONE
+    * definition shared by the batch data card and its streaming
+    * maintenance (x43), so the two surfaces cannot drift.
+    */
+  def dataCardDocFlags(docs: DataFrame): DataFrame = docs
+    .withColumn("n_toks", size(tokens(col("text"))).cast(LongType))
+    .withColumn("n_stop", countIn(col("text"), stopwords))
+    .withColumn("avg_token_len",
+      length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / col("n_toks"))
+    .withColumn("q_ok", col("n_toks").between(10, 500) &&
+      col("avg_token_len").between(2.0, 12.0) &&
+      (col("n_stop").cast(DoubleType) / col("n_toks")) <= 0.6)
+
+  /** The data-card oracle — p04's gate SQL, also pinning x43's drained
+    * read-out (declared before `val all`: both interpolate it at init).
+    */
+  val sqlDataCard: String =
+    s"""WITH ${DedupOps.sqlDecontCtes},
+          flags AS (
+            SELECT b.source,
+                   CAST(len(b.toks) AS BIGINT) AS n_toks,
+                   (COUNT(*) OVER (PARTITION BY b.text) > 1) AS is_dup,
+                   (c.doc_id IS NOT NULL) AS is_cont,
+                   (len(b.toks) BETWEEN 10 AND 500
+                    AND CAST(length(regexp_replace(b.text, '\\s+', '', 'g')) AS DOUBLE) / len(b.toks) BETWEEN 2.0 AND 12.0
+                    AND CAST(len(list_filter(b.toks, w -> list_contains([${stopwords.map(w => s"'$w'").mkString(",")}], w))) AS DOUBLE) / len(b.toks) <= 0.6) AS q_ok
+            FROM tt8 b LEFT JOIN cont c ON c.doc_id = b.doc_id)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (is_dup) AS BIGINT) AS n_dup_docs,
+               CAST(COUNT(*) FILTER (is_cont) AS BIGINT) AS n_contaminated,
+               CAST(COUNT(*) FILTER (q_ok) AS BIGINT) AS n_quality
+        FROM flags GROUP BY source ORDER BY source"""
+
   val all: Seq[Q] = Seq(
     // Token counting: whitespace tokens + a BPE-ish regex token count.
     Q("t01_token_count",
@@ -901,21 +935,13 @@ object TextOps {
     Q("p04_data_card",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = tokens(col("text"))
         val docs = t(s, d, "documents")
         // d09's contaminated-id set — ONE definition (DedupOps) shared by
         // every decontamination surface
         val contaminated = DedupOps.contaminatedIds(s, d)
           .withColumn("is_cont", lit(true))
-        docs
+        dataCardDocFlags(docs)
           .withColumn("n_copies", count(lit(1)).over(Window.partitionBy("text")))
-          .withColumn("n_toks", size(toks).cast(LongType))
-          .withColumn("n_stop", countIn(col("text"), stopwords))
-          .withColumn("avg_token_len",
-            length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) / col("n_toks"))
-          .withColumn("q_ok", col("n_toks").between(10, 500) &&
-            col("avg_token_len").between(2.0, 12.0) &&
-            (col("n_stop").cast(DoubleType) / col("n_toks")) <= 0.6)
           .join(contaminated, Seq("doc_id"), "left")
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
@@ -925,22 +951,7 @@ object TextOps {
             count_if(col("q_ok")).as("n_quality"))
           .orderBy("source")
       },
-      Some(s"""WITH ${DedupOps.sqlDecontCtes},
-                 flags AS (
-                   SELECT b.source,
-                          CAST(len(b.toks) AS BIGINT) AS n_toks,
-                          (COUNT(*) OVER (PARTITION BY b.text) > 1) AS is_dup,
-                          (c.doc_id IS NOT NULL) AS is_cont,
-                          (len(b.toks) BETWEEN 10 AND 500
-                           AND CAST(length(regexp_replace(b.text, '\\s+', '', 'g')) AS DOUBLE) / len(b.toks) BETWEEN 2.0 AND 12.0
-                           AND CAST(len(list_filter(b.toks, w -> list_contains([${stopwords.map(w => s"'$w'").mkString(",")}], w))) AS DOUBLE) / len(b.toks) <= 0.6) AS q_ok
-                   FROM tt8 b LEFT JOIN cont c ON c.doc_id = b.doc_id)
-               SELECT source, COUNT(*) AS n_docs,
-                      CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
-                      CAST(COUNT(*) FILTER (is_dup) AS BIGINT) AS n_dup_docs,
-                      CAST(COUNT(*) FILTER (is_cont) AS BIGINT) AS n_contaminated,
-                      CAST(COUNT(*) FILTER (q_ok) AS BIGINT) AS n_quality
-               FROM flags GROUP BY source ORDER BY source"""),
+      Some(sqlDataCard),
       bench = false),
 
     // BOILERPLATE EXTRACTION — trafilatura-class main-content stripping:
