@@ -117,6 +117,51 @@ object GraphOps {
   private def nodeCount(s: SparkSession, d: String): Long =
     t(s, d, "documents").count()
 
+  /** g08's propagated labels (doc_id, label-or-NULL after [[LpRounds]]
+    * min-label rounds from the every-[[LpSeedMod]]-th seeds) — shared by
+    * g08 (the labels themselves) and g13 (modularity of the labeled
+    * communities). Each round is one equi-join + one map-side-combined
+    * MIN aggregate; unlabeled nodes stay NULL.
+    */
+  private def lpLabels(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val e = linkEdges(docs, nodeCount(s, d))
+    val sym = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var m = docs.select(col("doc_id"),
+      when(col("doc_id") % LpSeedMod === 0, col("doc_id")).as("label"))
+      .localCheckpoint()
+    (1 to LpRounds).foreach { _ =>
+      val g = sym
+        .join(m.withColumnRenamed("doc_id", "src").where(col("label").isNotNull), "src")
+        .groupBy(col("dst")).agg(min("label").as("nl"))
+        .withColumnRenamed("dst", "doc_id")
+      m = m.join(g, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("label"), col("nl")).as("label"))
+        .localCheckpoint()
+    }
+    m
+  }
+
+  /** Oracle-side replay of [[lpLabels]] (sym + m0…m[[LpRounds]]) — the
+    * g08 chain, also composed into g13's modularity oracle.
+    */
+  private def sqlLpCtes: String = {
+    val rounds = (1 to LpRounds).map { i =>
+      s"""g$i AS (SELECT s.dst AS doc_id, MIN(m.label) AS nl
+                  FROM sym s JOIN m${i - 1} m ON m.doc_id = s.src
+                  WHERE m.label IS NOT NULL GROUP BY s.dst),
+          m$i AS (SELECT p.doc_id, LEAST(p.label, g.nl) AS label
+                  FROM m${i - 1} p LEFT JOIN g$i g USING (doc_id))"""
+    }.mkString(",\n")
+    s"""sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+          m0 AS (SELECT doc_id,
+                        CASE WHEN doc_id % $LpSeedMod = 0 THEN doc_id END AS label
+                 FROM documents),
+          $rounds"""
+  }
+
   /** k-core threshold: nodes must keep ≥ 4 undirected neighbors to
     * survive a peel round (avg degree of the derived graph is ~2·OutDeg,
     * so 4 peels a meaningful fraction each round). Declared BEFORE
@@ -468,42 +513,10 @@ object GraphOps {
     // Pregel-as-relational layout); lineage truncated per round. The
     // oracle replays all three rounds as CTEs.
     Q("g08_label_propagation",
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val e = linkEdges(docs, nodeCount(s, d))
-        val sym = e.select(col("src"), col("dst"))
-          .union(e.select(col("dst").as("src"), col("src").as("dst")))
-          .localCheckpoint()
-        var m = docs.select(col("doc_id"),
-          when(col("doc_id") % LpSeedMod === 0, col("doc_id")).as("label"))
-          .localCheckpoint()
-        (1 to LpRounds).foreach { _ =>
-          val g = sym
-            .join(m.withColumnRenamed("doc_id", "src").where(col("label").isNotNull), "src")
-            .groupBy(col("dst")).agg(min("label").as("nl"))
-            .withColumnRenamed("dst", "doc_id")
-          m = m.join(g, Seq("doc_id"), "left")
-            .select(col("doc_id"), least(col("label"), col("nl")).as("label"))
-            .localCheckpoint()
-        }
-        m.orderBy("doc_id")
-      },
-      Some {
-        val rounds = (1 to LpRounds).map { i =>
-          s"""g$i AS (SELECT s.dst AS doc_id, MIN(m.label) AS nl
-                      FROM sym s JOIN m${i - 1} m ON m.doc_id = s.src
-                      WHERE m.label IS NOT NULL GROUP BY s.dst),
-              m$i AS (SELECT p.doc_id, LEAST(p.label, g.nl) AS label
-                      FROM m${i - 1} p LEFT JOIN g$i g USING (doc_id))"""
-        }.mkString(",\n")
-        s"""WITH $sqlEdges,
-              sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
-              m0 AS (SELECT doc_id,
-                            CASE WHEN doc_id % $LpSeedMod = 0 THEN doc_id END AS label
-                     FROM documents),
-              $rounds
-           SELECT doc_id, label FROM m$LpRounds ORDER BY doc_id"""
-      }),
+      (s, d) => lpLabels(s, d).orderBy("doc_id"),
+      Some(s"""WITH $sqlEdges,
+              $sqlLpCtes
+           SELECT doc_id, label FROM m$LpRounds ORDER BY doc_id""")),
 
     // RECURSIVE CTE — Spark 4's native `WITH RECURSIVE` (UnionLoop),
     // exercised as bounded graph reachability: all walks of length ≤
@@ -685,6 +698,74 @@ object GraphOps {
                SELECT d.doc_id, CAST(COALESCE(b.dist, -1) AS BIGINT) AS dist
                FROM documents d LEFT JOIN bmin b USING (doc_id)
                ORDER BY doc_id"""),
+      bench = false),
+
+    // MODULARITY — the community-quality number (Newman's Q) for g08's
+    // label-propagation communities, in EXACT integer arithmetic: over
+    // the undirected simple graph with m edges, each community c
+    // contributes e_c/m − (d_c/2m)², so Q·4m² = Σ_c (4m·e_c − d_c²) is an
+    // integer — no float ratio to diverge on; the spec reads the global Q
+    // out as ONE IEEE division. Unlike connected components (g06), LP
+    // labels genuinely cut edges, so e_c varies per community and the
+    // intra-edge join is non-trivial. Dataflow: one edge dedup, one
+    // degree aggregate, two label equi-joins (both keys unbounded — no
+    // funnel), one aggregate per community. Conservation Σd_c = 2m and
+    // Q's range are spec-pinned.
+    Q("g13_modularity",
+      (s, d) => {
+        val n = nodeCount(s, d)
+        val docs = t(s, d, "documents")
+        val und = linkEdges(docs, n).where(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .distinct().localCheckpoint()
+        val mEdges = und.count() // one bounded driver value (nodeCount convention)
+        val lbl = lpLabels(s, d)
+          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("community"))
+          .localCheckpoint()
+        val deg = und.select(col("u").as("node"))
+          .union(und.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val dmem = lbl.join(deg, col("node") === col("doc_id"), "left")
+          .groupBy("community")
+          .agg(count(lit(1)).as("n_members"),
+            sum(coalesce(col("deg"), lit(0L))).cast(LongType).as("dc"))
+        val intra = und
+          .join(lbl.select(col("doc_id").as("u"), col("community").as("ca")), "u")
+          .join(lbl.select(col("doc_id").as("v"), col("community").as("cb")), "v")
+          .where(col("ca") === col("cb"))
+          .groupBy(col("ca").as("community")).agg(count(lit(1)).as("ec"))
+        dmem.join(intra, Seq("community"), "left")
+          .select(col("community"), col("n_members"), col("dc"),
+            coalesce(col("ec"), lit(0L)).as("ec"),
+            (lit(4L * mEdges) * coalesce(col("ec"), lit(0L)) - col("dc") * col("dc"))
+              .cast(LongType).as("q_contrib_num"))
+          .orderBy("community")
+      },
+      Some(s"""WITH $sqlEdges,
+                 $sqlLpCtes,
+                 lblf AS (SELECT doc_id, COALESCE(label, doc_id) AS community
+                          FROM m$LpRounds),
+                 und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                         FROM e WHERE src <> dst),
+                 mm AS (SELECT COUNT(*) AS m FROM und),
+                 dg AS (SELECT node, COUNT(*) AS deg FROM (
+                          SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+                        GROUP BY node),
+                 dmem AS (SELECT l.community, COUNT(*) AS n_members,
+                                 CAST(SUM(COALESCE(g.deg, 0)) AS BIGINT) AS dc
+                          FROM lblf l LEFT JOIN dg g ON g.node = l.doc_id
+                          GROUP BY l.community),
+                 intra AS (SELECT la.community, COUNT(*) AS ec
+                           FROM und j JOIN lblf la ON la.doc_id = j.u
+                                      JOIN lblf lb ON lb.doc_id = j.v
+                           WHERE la.community = lb.community
+                           GROUP BY la.community)
+               SELECT d.community, d.n_members, d.dc,
+                      CAST(COALESCE(i.ec, 0) AS BIGINT) AS ec,
+                      CAST(4 * (SELECT m FROM mm) * COALESCE(i.ec, 0) - d.dc * d.dc AS BIGINT) AS q_contrib_num
+               FROM dmem d LEFT JOIN intra i USING (community)
+               ORDER BY community"""),
       bench = false)
   )
 }

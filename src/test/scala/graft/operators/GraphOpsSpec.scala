@@ -239,4 +239,22 @@ class GraphOpsSpec extends SparkSpec {
     // the symmetric formulation makes sx == sy by construction
     assert(sx == sy)
   }
+
+  test("g13 modularity: Σd_c = 2m, members conserved, contributions exact, Q bounded") {
+    val und = GraphOps.linkEdges(docs, n).where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    val m = und.count()
+    val rows = Catalog.byName("g13_modularity").build(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length > 1, "LP must produce more than one community")
+    assert(rows.map(_.getAs[Long]("n_members")).sum == n, "every doc in exactly one community")
+    assert(rows.map(_.getAs[Long]("dc")).sum == 2 * m, "handshake law: Σ d_c = 2m")
+    val sumEc = rows.map(_.getAs[Long]("ec")).sum
+    assert(sumEc <= m, "intra-community edges cannot exceed the edge count")
+    assert(sumEc < m, "LP labels must cut SOME edge or modularity degenerates to the CC case")
+    rows.foreach(r => assert(r.getAs[Long]("q_contrib_num") ==
+      4 * m * r.getAs[Long]("ec") - r.getAs[Long]("dc") * r.getAs[Long]("dc")))
+    val q = rows.map(_.getAs[Long]("q_contrib_num")).sum.toDouble / (4.0 * m * m)
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q out of Newman's range")
+  }
 }

@@ -331,7 +331,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim44_rng_prune" -> 3, // edges/npair/kept checkpoint on build; emitted edges⋈kept join (both sides shuffle at spec SF) + sort
     "sim45_pruned_walk_recall" -> 0, // prune/walk/recall counts run on build; emitted report is one local row
     "c63_filter_clause" -> 3, // one expand-based distinct+filter agg (partial/final) + sort
-    "t38_bigram_surprisal" -> 4) // bigram aggs (c1, c2) + per-doc agg + sort (t30's shape)
+    "t38_bigram_surprisal" -> 4, // bigram aggs (c1, c2) + per-doc agg + sort (t30's shape)
+    "g13_modularity" -> 6) // und/labels checkpoint on build; degree agg + member/intra joins + community aggs + sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
