@@ -2560,6 +2560,92 @@ object StreamShape {
           .orderBy("source")
       },
       Some(TextOps.sqlDataCard),
+      bench = false),
+
+    // LIST STATE — the transformWithState typed-state surface the
+    // ValueState entries (x31/x36/x39) leave untested: per-user RUNNING
+    // top-3 purchases where the state IS the top-k list (bounded at k per
+    // key forever — the x24 semilattice carried as keyed state instead of
+    // per-batch partials), composed with a ValueState event counter that
+    // totally orders emissions so the drained append sink resolves each
+    // user's latest list by max(n_seen) — order-free (the counter is
+    // cumulative, its max is the final state under ANY delivery order).
+    // Laws require()d: the counter reconciles with the true per-user
+    // purchase count, and some user's final top-3 spans ≥ 2 staged
+    // micro-batches (the carried list, not a per-batch flag, found it).
+    // Oracle: the batch per-user top-3 under the same total order.
+    Q("x44_stream_liststate_topk",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = s"x44_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x44ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x44src").toString
+        val base = t(s, d, "events").where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+            col("value")).localCheckpoint()
+        val bounds = base.agg(min("us"), max("us")).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+        base.where(col("us") < t1).coalesce(1).write.parquet(s"$srcDir/b0")
+        base.where(col("us") >= t1 && col("us") < t2).coalesce(1).write.parquet(s"$srcDir/b1")
+        base.where(col("us") >= t2).coalesce(1).write.parquet(s"$srcDir/b2")
+        val providerConf = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerConf)
+        s.conf.set(providerConf,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import s.implicits._
+          val in = s.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(srcDir)
+            .select("user_id", "event_id", "value")
+            .as[graft.streaming.StreamOps.TopEvent]
+          val sq = graft.streaming.StreamOps.topKStream(in, 3).toDF()
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .start()
+          sq.awaitTermination()
+          val fed = sq.recentProgress.count(_.numInputRows > 0)
+          require(fed >= 3,
+            s"x44 drained in $fed micro-batch(es) — the cross-batch list merge was not exercised")
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set(providerConf, p)
+            case None => s.conf.unset(providerConf)
+          }
+        }
+        val sink = s.table(name)
+        val latest = sink
+          .join(sink.groupBy(col("user_id").as("u2")).agg(max("n_seen").as("mx")),
+            col("user_id") === col("u2") && col("n_seen") === col("mx"))
+          .select("user_id", "n_seen", "rank", "event_id", "value")
+          .localCheckpoint()
+        // counter integrity: the latest emission's n_seen IS the user's
+        // true purchase count (a dropped or double-counted batch breaks it)
+        val badCount = latest.select("user_id", "n_seen").distinct()
+          .join(base.groupBy("user_id").agg(count(lit(1)).as("n")), "user_id")
+          .where(col("n_seen") =!= col("n")).count()
+        require(badCount == 0,
+          s"$badCount user(s) whose ListState event counter diverged from the true count")
+        // the carried list genuinely merged across batches
+        val seg = base.select(col("event_id"),
+          when(col("us") < t1, 0).when(col("us") < t2, 1).otherwise(2).as("seg"))
+        val spanning = latest.join(seg, "event_id")
+          .groupBy("user_id").agg(countDistinct(col("seg")).as("nseg"))
+          .where(col("nseg") >= 2).count()
+        require(spanning > 0,
+          "no user's final top-3 spans two micro-batches — the cross-batch list merge was vacuous")
+        latest.select("user_id", "rank", "event_id", "value")
+          .orderBy("user_id", "rank")
+      },
+      Some("""SELECT user_id, CAST(rk AS INT) AS rank, event_id, value FROM (
+                SELECT user_id, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rk
+                FROM events WHERE event_type = 'purchase') WHERE rk <= 3
+              ORDER BY user_id, rank"""),
       bench = false)
   )
 }

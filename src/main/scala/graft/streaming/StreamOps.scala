@@ -306,6 +306,62 @@ object StreamOps {
     l.join(b, l("blockNumber") === b("number") && l("l_time") === b("b_time"))
   }
 
+  // ---- custom state v6: per-key running top-k via LIST state ----
+
+  final case class TopEvent(user_id: Long, event_id: Long, value: Double)
+  final case class TopEntry(event_id: Long, value: Double)
+  final case class TopEmit(user_id: Long, n_seen: Long, rank: Int,
+      event_id: Long, value: Double)
+
+  /** Per-user RUNNING TOP-K on the transformWithState LIST-state
+    * primitive (the typed-state surface x31/x36/x39's ValueState leaves
+    * untested): the state is the current top-k entry list itself —
+    * bounded at k per key no matter how many events stream through (the
+    * x24 semilattice law, carried as keyed state instead of per-batch
+    * partials). A composed ValueState counts the key's events so each
+    * emission is totally ordered: the drained sink resolves each user's
+    * LATEST emission by max n_seen (monotone by construction — batch
+    * iterators are unordered but the counter is cumulative). Top-k order
+    * is (value desc, event_id) — a total order, so merge-sort-take is
+    * deterministic under any arrival order.
+    */
+  class TopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TopEvent, TopEmit] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TTLConfig, TimerValues, ValueState}
+    @transient private var top: ListState[TopEntry] = _
+    @transient private var seen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      top = getHandle.getListState[TopEntry](
+        "topk", org.apache.spark.sql.Encoders.product[TopEntry], TTLConfig.NONE)
+      seen = getHandle.getValueState[Long](
+        "n_seen", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(user: Long, events: Iterator[TopEvent],
+        tv: TimerValues): Iterator[TopEmit] = {
+      val incoming = events.toSeq
+      val cur = if (top.exists()) top.get().toSeq else Seq.empty
+      val merged = (cur ++ incoming.map(e => TopEntry(e.event_id, e.value)))
+        .sortBy(e => (-e.value, e.event_id)).take(k)
+      top.clear()
+      merged.foreach(top.appendValue)
+      val n = (if (seen.exists()) seen.get() else 0L) + incoming.size
+      seen.update(n)
+      merged.zipWithIndex.map { case (e, i) =>
+        TopEmit(user, n, i + 1, e.event_id, e.value)
+      }.iterator
+    }
+  }
+
+  /** Streaming per-user top-k via [[TopKProcessor]] (x44's engine path). */
+  def topKStream(events: Dataset[TopEvent], k: Int): Dataset[TopEmit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TopKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Run any of the above to a named in-memory sink until all currently
     * available blocks are processed (Trigger.AvailableNow), returning the
     * sink table. Test/dev helper.
