@@ -2646,6 +2646,72 @@ object StreamShape {
                                           ORDER BY value DESC, event_id) AS rk
                 FROM events WHERE event_type = 'purchase') WHERE rk <= 3
               ORDER BY user_id, rank"""),
+      bench = false),
+
+    // MAP STATE — the third and last typed-state primitive (value: x31,
+    // list: x44): per-user live event-type counters held as a MapState
+    // sub-keyed by type — the online feature-store shape (one counter map
+    // per entity, updated in place). Entries touched by a batch re-emit
+    // their new cumulative count; counts are MONOTONE per (user, type),
+    // so the drained append sink resolves the final map by MAX(cnt) with
+    // no emission counter at all — order-free under any delivery. The
+    // cross-batch law: some (user, type) must emit ≥ 2 DISTINCT counts
+    // (it was accumulated across micro-batches, not recomputed per
+    // batch). Oracle: the batch per-(user, type) counts.
+    Q("x45_stream_mapstate_counts",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = s"x45_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x45ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x45src").toString
+        val base = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+          .localCheckpoint()
+        val bounds = base.agg(min("us"), max("us")).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+        base.where(col("us") < t1).coalesce(1).write.parquet(s"$srcDir/b0")
+        base.where(col("us") >= t1 && col("us") < t2).coalesce(1).write.parquet(s"$srcDir/b1")
+        base.where(col("us") >= t2).coalesce(1).write.parquet(s"$srcDir/b2")
+        val providerConf = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerConf)
+        s.conf.set(providerConf,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import s.implicits._
+          val in = s.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(srcDir)
+            .select("user_id", "event_type")
+            .as[graft.streaming.StreamOps.TypedEvent]
+          val sq = graft.streaming.StreamOps.typeCountStream(in).toDF()
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .start()
+          sq.awaitTermination()
+          val fed = sq.recentProgress.count(_.numInputRows > 0)
+          require(fed >= 3,
+            s"x45 drained in $fed micro-batch(es) — cross-batch map accumulation was not exercised")
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set(providerConf, p)
+            case None => s.conf.unset(providerConf)
+          }
+        }
+        val sink = s.table(name)
+        val accumulated = sink.groupBy("user_id", "event_type")
+          .agg(countDistinct(col("cnt")).as("n_emissions"))
+          .where(col("n_emissions") >= 2).count()
+        require(accumulated > 0,
+          "no (user, type) counter was updated in two micro-batches — the in-place map update was vacuous")
+        sink.groupBy("user_id", "event_type").agg(max("cnt").as("cnt"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, COUNT(*) AS cnt
+              FROM events GROUP BY user_id, event_type
+              ORDER BY user_id, event_type"""),
       bench = false)
   )
 }

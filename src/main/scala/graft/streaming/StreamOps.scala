@@ -362,6 +362,49 @@ object StreamOps {
         OutputMode.Append())
   }
 
+  // ---- custom state v7: per-key feature map via MAP state ----
+
+  final case class TypedEvent(user_id: Long, event_type: String)
+  final case class TypeCount(user_id: Long, event_type: String, cnt: Long)
+
+  /** Per-user live event-type counters on the transformWithState MAP-state
+    * primitive — the last of the three typed-state surfaces (value: x31,
+    * list: x44, map: here), and the online feature-store shape: one
+    * sub-keyed counter map per entity, updated in place, entries touched
+    * by a batch re-emitted with their new cumulative count. Counts are
+    * MONOTONE per (user, type), so the drained append sink resolves the
+    * final map by MAX(cnt) — order-free, no emission counter needed.
+    */
+  class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, TypeCount] {
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TTLConfig, TimerValues}
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, events: Iterator[TypedEvent],
+        tv: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.SortedSet.empty[String]
+      events.foreach { e =>
+        val c = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, c + 1)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(user, t, counts.getValue(t)))
+    }
+  }
+
+  /** Streaming per-user type counters via [[TypeCountProcessor]] (x45). */
+  def typeCountStream(events: Dataset[TypedEvent]): Dataset[TypeCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Run any of the above to a named in-memory sink until all currently
     * available blocks are processed (Trigger.AvailableNow), returning the
     * sink table. Test/dev helper.
