@@ -64,6 +64,18 @@ object StreamShape {
     */
   private val X21Head = 999L
 
+  /** x46's cohort horizon (ms): each user's snapshot timer fires when the
+    * watermark passes first-event + this. 5 days — early enough that the
+    * fixture's early-joining users fire MID-stream (the watermark during
+    * batch 2 sits ~10 days in), so the timer path is exercised before the
+    * end-of-stream sweep. ONE constant shared by the processor and the
+    * oracle's replayed batch arithmetic (declared before `val all`).
+    */
+  private val SnapHorizonMs = 432000000L
+
+  /** x46's watermark delay (ms) — mirrored in the oracle's wm arithmetic. */
+  private val SnapDelayMs = 1000L
+
   val all: Seq[Q] = Seq(
     // Tumbling 1-hour event-time window (streaming: groupBy(window($"ts","1 hour"))).
     Q("x01_tumbling_window",
@@ -2712,6 +2724,100 @@ object StreamShape {
       Some("""SELECT user_id, event_type, COUNT(*) AS cnt
               FROM events GROUP BY user_id, event_type
               ORDER BY user_id, event_type"""),
+      bench = false),
+
+    // EVENT-TIME TIMERS — the transformWithState facet the typed-state
+    // entries (x31/x44/x45) never touch: each user's first event registers
+    // a timer at first + 5 days, and when the WATERMARK passes it,
+    // handleExpiredTimer emits a snapshot of the user's accumulated count
+    // — the cohort-at-T+H readout. The deterministic content law is the
+    // interesting part: input rows are processed BEFORE expired timers
+    // within a micro-batch and the watermark lags one data batch (the x21
+    // lesson), so a timer firing "during" batch k snapshots everything
+    // through batch k's own file. The oracle replays exactly that: the
+    // staged thirds' cut points, the per-batch watermarks, and the
+    // fire-batch CASE — engine and oracle agree row-for-row or the timer
+    // model is wrong. A mid-stream fire (snapshot < the user's total) is
+    // require()d so the entry can never degenerate to the end-of-stream
+    // sweep.
+    Q("x46_stream_timer_snapshot",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val name = s"x46_mem_${memId.incrementAndGet()}"
+        val ckpt = java.nio.file.Files.createTempDirectory("x46ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x46src").toString
+        val base = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+            col("ts")).localCheckpoint()
+        val bounds = base.agg(min("us"), max("us")).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+        base.where(col("us") < t1).coalesce(1).write.parquet(s"$srcDir/b0")
+        base.where(col("us") >= t1 && col("us") < t2).coalesce(1).write.parquet(s"$srcDir/b1")
+        base.where(col("us") >= t2).coalesce(1).write.parquet(s"$srcDir/b2")
+        // delivery order is load-bearing (watermark advancement feeds the
+        // timers) — force strict mtime order across the thirds
+        forceDeliveryOrder(s"$srcDir/b0", s"$srcDir/b1")
+        forceDeliveryOrder(s"$srcDir/b1", s"$srcDir/b2")
+        val providerConf = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(providerConf)
+        s.conf.set(providerConf,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import s.implicits._
+          val in = s.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(srcDir)
+            .withWatermark("ts", "1 second")
+            .as[graft.streaming.StreamOps.SnapEvent]
+          val sq = graft.streaming.StreamOps.snapshotStream(in, SnapHorizonMs).toDF()
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .start()
+          sq.awaitTermination()
+          val fed = sq.recentProgress.count(_.numInputRows > 0)
+          require(fed >= 3,
+            s"x46 drained in $fed micro-batch(es) — the watermark never advanced mid-stream")
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set(providerConf, p)
+            case None => s.conf.unset(providerConf)
+          }
+        }
+        val sink = s.table(name).localCheckpoint()
+        require(sink.count() > 0, "no timer ever fired — the event-time timer path is vacuous")
+        val totals = base.groupBy("user_id").agg(count(lit(1)).as("n_total"))
+        val midFires = sink.join(totals, "user_id")
+          .where(col("n_events") < col("n_total")).count()
+        require(midFires > 0,
+          "every snapshot equals the user's final total — no timer fired mid-stream, the entry degenerated to the end-of-stream sweep")
+        sink.select("user_id", "first_us", "n_events", "last_us")
+          .orderBy("user_id")
+      },
+      Some(s"""WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+                 bounds AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+                 cuts AS (SELECT lo + (hi - lo) // 3 AS t1,
+                                 lo + 2 * ((hi - lo) // 3) AS t2 FROM bounds),
+                 wms AS (SELECT
+                     (SELECT MAX(us) FROM ev WHERE us < (SELECT t1 FROM cuts)) // 1000 - $SnapDelayMs AS wm2,
+                     (SELECT MAX(us) FROM ev WHERE us < (SELECT t2 FROM cuts)) // 1000 - $SnapDelayMs AS wm3,
+                     (SELECT MAX(us) FROM ev) // 1000 - $SnapDelayMs AS wmf),
+                 usr AS (SELECT user_id, MIN(us) AS first_us,
+                                MIN(us) // 1000 + $SnapHorizonMs AS timer_ms,
+                                COUNT(*) AS n_all, MAX(us) AS last_all
+                         FROM ev GROUP BY user_id),
+                 pre AS (SELECT user_id, COUNT(*) AS n_pre, MAX(us) AS last_pre
+                         FROM ev WHERE us < (SELECT t2 FROM cuts) GROUP BY user_id)
+               SELECT u.user_id, u.first_us,
+                      CASE WHEN u.timer_ms < (SELECT wm2 FROM wms)
+                           THEN p.n_pre ELSE u.n_all END AS n_events,
+                      CASE WHEN u.timer_ms < (SELECT wm2 FROM wms)
+                           THEN p.last_pre ELSE u.last_all END AS last_us
+               FROM usr u LEFT JOIN pre p USING (user_id)
+               WHERE u.timer_ms < (SELECT wmf FROM wms)
+               ORDER BY user_id"""),
       bench = false)
   )
 }

@@ -405,6 +405,66 @@ object StreamOps {
         OutputMode.Append())
   }
 
+  // ---- custom state v8: event-time TIMERS (cohort snapshot) ----
+
+  final case class SnapEvent(user_id: Long, event_id: Long, us: Long,
+      ts: java.sql.Timestamp)
+  final case class SnapAcc(first_us: Long, timer_ms: Long, n: Long,
+      last_us: Long, snapped: Boolean)
+  final case class SnapRow(user_id: Long, first_us: Long, n_events: Long,
+      last_us: Long)
+
+  /** Event-time TIMERS — the transformWithState facet no ValueState/
+    * ListState/MapState entry exercises: each user's FIRST event registers
+    * a timer at first-event-time + `horizonMs`; when the WATERMARK passes
+    * it, [[handleExpiredTimer]] fires and emits a snapshot of the user's
+    * accumulated state (the cohort-at-T+H readout — "what had each user
+    * done in their first H?"). Because input rows are processed before
+    * expired timers within a micro-batch, the snapshot includes the firing
+    * batch's own events — the x46 oracle replays exactly that batch
+    * arithmetic (watermark lags one data batch; the x21 lesson).
+    */
+  class SnapshotProcessor(horizonMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SnapEvent, SnapRow] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ValueState}
+    @transient private var acc: ValueState[SnapAcc] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[SnapAcc](
+        "acc", org.apache.spark.sql.Encoders.product[SnapAcc], TTLConfig.NONE)
+    override def handleInputRows(user: Long, events: Iterator[SnapEvent],
+        tv: TimerValues): Iterator[SnapRow] = {
+      val incoming = events.toSeq
+      var cur = if (acc.exists()) acc.get() else {
+        val first = incoming.map(_.us).min
+        val timerMs = first / 1000L + horizonMs
+        getHandle.registerTimer(timerMs)
+        SnapAcc(first, timerMs, 0L, Long.MinValue, snapped = false)
+      }
+      cur = cur.copy(n = cur.n + incoming.size,
+        last_us = math.max(cur.last_us, incoming.map(_.us).max))
+      acc.update(cur)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SnapRow] = {
+      val cur = acc.get()
+      acc.update(cur.copy(snapped = true))
+      Iterator.single(SnapRow(user, cur.first_us, cur.n, cur.last_us))
+    }
+  }
+
+  /** Streaming cohort snapshot via [[SnapshotProcessor]] (x46). The input
+    * must already carry an event-time watermark on `ts`.
+    */
+  def snapshotStream(events: Dataset[SnapEvent], horizonMs: Long): Dataset[SnapRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SnapshotProcessor(horizonMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Run any of the above to a named in-memory sink until all currently
     * available blocks are processed (Trigger.AvailableNow), returning the
     * sink table. Test/dev helper.

@@ -30,7 +30,7 @@ class PlanAuditSpec extends SparkSpec {
     "x38_stream_knn_maintain", "x39_stream_packing", "x40_stream_deletions",
     "x41_stream_tombstone_serve", "x42_stream_interval_join",
     "x43_stream_data_card", "x44_stream_liststate_topk",
-    "x45_stream_mapstate_counts",
+    "x45_stream_mapstate_counts", "x46_stream_timer_snapshot",
     // Arrow IPC roundtrip: the build writes+reads IPC files eagerly; the
     // returned frame is a bounded local relation (scan itself is audited
     // via e01's plan — same connector path)
