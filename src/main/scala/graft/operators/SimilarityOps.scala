@@ -529,15 +529,86 @@ object SimilarityOps {
     * corpus-cardinality keys, no low-cardinality funnel. Shared by the
     * seed encode (sim15/16/17) and the trained encode (sim18).
     */
-  def pqEncodedWith(s: SparkSession, d: String, cb: DataFrame): DataFrame = {
+  def pqEncodedWith(s: SparkSession, d: String, cb: DataFrame): DataFrame =
+    pqEncodedOf(t(s, d, "embeddings"), cb)
+
+  /** [[pqEncodedWith]] over an arbitrary (vec_id, embedding) frame — the
+    * residual encode (sim46) passes residual vectors here.
+    */
+  def pqEncodedOf(vectors: DataFrame, cb: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("vec_id", "subspace").orderBy(col("dist"), col("code"))
-    pqSubvectors(t(s, d, "embeddings"))
+    pqSubvectors(vectors)
       .join(broadcast(cb), Seq("subspace"))
       .withColumn("dist", scaledL2(col("svec"), col("cvec")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select("vec_id", "subspace", "code", "dist")
+  }
+
+  // ——— Residual IVF-PQ (sim46/sim47): the production IVFADC form ———
+
+  /** The trained centroids as a broadcastable (cell, cvec) frame. */
+  private def centroidArrays(s: SparkSession,
+      cents: Array[(Array[Double], Long)]): DataFrame = {
+    import s.implicits._
+    cents.zipWithIndex.map { case ((c, _), k) => (k, c.toSeq) }.toSeq.toDF("cell", "cvec")
+  }
+
+  /** Residual view of the corpus under the TRAINED coarse quantizer:
+    * (vec_id, cell, rvec = x − c_cell) in doubles — what IVFADC actually
+    * encodes (residuals concentrate near 0, so a shared codebook fits
+    * them far better than raw vectors; sim47 measures the payoff against
+    * sim21's raw-vector composition). One narrow map per vector (the
+    * centroid join is a broadcast of 16 rows).
+    */
+  def residualCorpus(s: SparkSession, d: String): DataFrame = {
+    val cents = trainedCentroids(s, d, iters = 2)
+    assignCells(withNorm(s, d), cents)
+      .join(broadcast(centroidArrays(s, cents)), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding").cast("array<double>"), col("cvec"),
+          (a, b) => a - b).as("rvec"))
+  }
+
+  /** Residual codebook: the residuals of the [[PqCodes]] lowest vec_ids,
+    * sliced per subspace — the sim15 deterministic seed convention applied
+    * to residual space. Bounded 16-row collect.
+    */
+  def residualCodebook(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = residualCorpus(s, d).where(col("vec_id") < PqCodes)
+      .select("vec_id", "rvec").collect().sortBy(_.getLong(0))
+    require(rows.length == PqCodes && rows.forall(_.getSeq[Double](1).length == PqSub * PqDim),
+      s"residual PQ expects $PqCodes seed residuals of dim ${PqSub * PqDim}")
+    rows.flatMap { r =>
+      val v = r.getSeq[Double](1)
+      (0 until PqSub).map(j => (r.getLong(0), j, v.slice(j * PqDim, j * PqDim + PqDim)))
+    }.toSeq.toDF("code", "subspace", "cvec")
+  }
+
+  /** Per-(probe, PROBED CELL) residual ADC lookup tables — the part that
+    * distinguishes IVFADC from sim20's global LUT: the query's residual is
+    * DIFFERENT in every probed cell (q − c_cell), so each (probe, cell)
+    * pair carries its own 8×16 table. Still bounded: probes × IvfProbe ×
+    * 8 × 16 rows, broadcast at the use site.
+    */
+  def residualLut(s: SparkSession, d: String): DataFrame = {
+    val cents = trainedCentroids(s, d, iters = 2)
+    val qr = probeCells(withNorm(s, d), cents, nProbes = 10)
+      .join(broadcast(centroidArrays(s, cents)), "cell")
+      .select(col("qid"), col("cell"),
+        zip_with(col("qvec").cast("array<double>"), col("cvec"),
+          (a, b) => a - b).as("rqvec"))
+    qr.select(col("qid"), col("cell"),
+        explode(array((0 until PqSub).map(j =>
+          struct(lit(j).as("subspace"),
+            slice(col("rqvec"), j * PqDim + 1, PqDim).as("qsub"))): _*)).as("s"))
+      .select(col("qid"), col("cell"), col("s.subspace").as("subspace"),
+        col("s.qsub").as("qsub"))
+      .join(broadcast(residualCodebook(s, d)), Seq("subspace"))
+      .withColumn("pdist", scaledL2(col("qsub"), col("cvec")))
+      .select("qid", "cell", "subspace", "code", "pdist")
   }
 
   /** sim15's output: codes under the SEED codebook. */
@@ -665,6 +736,64 @@ object SimilarityOps {
           FROM codes k JOIN lut l ON l.subspace = k.subspace AND l.code = k.code
           WHERE k.vec_id <> l.qid
           GROUP BY 1, 2)"""
+
+  /** Residual-IVFPQ oracle chain — composes AFTER [[sqlTrainedSearchCtes]]
+    * (consumes its `nv`, `c2`, `a2`, `pcells`): trained-centroid arrays,
+    * per-vector residuals, the residual codebook/codes, the per-(probe,
+    * probed-cell) LUTs, and the ADC sums. Every CTE MATERIALIZED — the
+    * chain references each level twice and DuckDB 1.0 otherwise re-inlines
+    * the whole training trajectory exponentially (the sim45 lesson).
+    */
+  lazy val sqlResidualAdcCtes: String = {
+    val dims = PqSub * PqDim
+    s"""carr AS MATERIALIZED (SELECT cell, list(cval ORDER BY dim) AS cvec
+                              FROM c2 GROUP BY cell),
+        rv AS MATERIALIZED (
+          SELECT a.vec_id, a.cell,
+                 list_transform(range(1, ${dims + 1}), i ->
+                   CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - ca.cvec[CAST(i AS INT)]) AS rvec
+          FROM a2 a JOIN nv e USING (vec_id) JOIN carr ca ON ca.cell = a.cell),
+        rcb AS MATERIALIZED (
+          SELECT vec_id AS code, j AS subspace,
+                 rvec[CAST(j*$PqDim+1 AS INT):CAST(j*$PqDim+$PqDim AS INT)] AS cvec
+          FROM rv, LATERAL (SELECT UNNEST(range(0, $PqSub)) AS j)
+          WHERE vec_id < $PqCodes),
+        rsub AS MATERIALIZED (
+          SELECT vec_id, j AS subspace,
+                 rvec[CAST(j*$PqDim+1 AS INT):CAST(j*$PqDim+$PqDim AS INT)] AS svec
+          FROM rv, LATERAL (SELECT UNNEST(range(0, $PqSub)) AS j)),
+        rscored AS MATERIALIZED (
+          SELECT s.vec_id, s.subspace, c.code,
+                 ${sqlScaledL2("s.svec", "c.cvec", PqDim)} AS dist
+          FROM rsub s JOIN rcb c USING (subspace)),
+        rcodes AS MATERIALIZED (
+          SELECT vec_id, subspace, code FROM (
+            SELECT vec_id, subspace, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY dist, code) AS rn
+            FROM rscored) WHERE rn = 1),
+        qrv AS MATERIALIZED (
+          SELECT p.qid, p.cell,
+                 list_transform(range(1, ${dims + 1}), i ->
+                   CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - ca.cvec[CAST(i AS INT)]) AS rqvec
+          FROM pcells p JOIN nv e ON e.vec_id = p.qid JOIN carr ca ON ca.cell = p.cell),
+        rlut AS MATERIALIZED (
+          SELECT q.qid, q.cell, c.subspace, c.code,
+                 ${sqlScaledL2("q.qsub", "c.cvec", PqDim)} AS pdist
+          FROM (SELECT qid, cell, j AS subspace,
+                       rqvec[CAST(j*$PqDim+1 AS INT):CAST(j*$PqDim+$PqDim AS INT)] AS qsub
+                FROM qrv, LATERAL (SELECT UNNEST(range(0, $PqSub)) AS j)) q
+               JOIN rcb c USING (subspace)),
+        rcand AS MATERIALIZED (
+          SELECT p.qid, p.cell, s.vec_id FROM pcells p JOIN a2 s ON s.cell = p.cell
+          WHERE s.vec_id <> p.qid),
+        radc AS MATERIALIZED (
+          SELECT c.qid, c.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+          FROM rcand c JOIN rcodes k ON k.vec_id = c.vec_id
+                       JOIN rlut l ON l.qid = c.qid AND l.cell = c.cell
+                                  AND l.subspace = k.subspace AND l.code = k.code
+          GROUP BY 1, 2)"""
+  }
 
   /** Exact full-vector L2 truth top-3 per probe — shared by sim17/sim19. */
   lazy val sqlPqTruthCtes: String =
@@ -2686,6 +2815,82 @@ object SimilarityOps {
                       (k.u IS NOT NULL) AS kept
                FROM kedg e LEFT JOIN kept$KnnK k ON k.u = e.u AND k.v = e.v
                ORDER BY vec_id, rank"""),
+      bench = false),
+
+    // RESIDUAL IVF-PQ — the production IVFADC form (Jégou et al.'s
+    // composition, the FAISS IndexIVFPQ default): codes quantize the
+    // RESIDUAL x − c_cell under the TRAINED coarse quantizer, not the raw
+    // vector (sim20's composition). Residuals concentrate near zero, so
+    // one shared codebook fits them far better — sim47 prices the payoff
+    // against sim21's raw composition. The serving difference: the
+    // query's residual differs PER PROBED CELL, so each (probe, cell)
+    // carries its own 8×16 LUT (still bounded: probes × IvfProbe tables,
+    // broadcast). Scan shape unchanged — candidates are the probed cells'
+    // members, the ADC sum is an integer lookup-add. The oracle replays
+    // coarse training, residual extraction, codebook seeding, encoding,
+    // per-cell LUTs, and the ADC ranking.
+    Q("sim46_residual_pq_search",
+      (s, d) => {
+        val rc = residualCorpus(s, d).localCheckpoint()
+        val codes = pqEncodedOf(
+            rc.select(col("vec_id"), col("rvec").as("embedding")),
+            residualCodebook(s, d))
+          .select("vec_id", "subspace", "code")
+        val cents = trainedCentroids(s, d, iters = 2)
+        val cand = rc.select("vec_id", "cell")
+          .join(broadcast(probeCells(withNorm(s, d), cents, 10).select("qid", "cell")),
+            Seq("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .select("qid", "cell", "vec_id")
+        val adc = codes.join(cand, "vec_id")
+          .join(broadcast(residualLut(s, d)), Seq("qid", "cell", "subspace", "code"))
+          .groupBy("qid", "vec_id").agg(sum(col("pdist")).as("adc_dist"))
+        StockOps.perKeyTopK(adc, Seq("qid"), Seq(col("adc_dist"), col("vec_id")), 3)
+          .select("qid", "rk", "vec_id", "adc_dist")
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH $sqlTrainedSearchCtes,
+                 $sqlResidualAdcCtes
+               SELECT qid, CAST(rk AS INT) AS rk, vec_id, adc_dist FROM (
+                 SELECT qid, vec_id, adc_dist,
+                        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
+                 FROM radc) WHERE rk <= 3
+               ORDER BY qid, rk"""),
+      bench = false),
+
+    // Residual-IVFPQ recall@3 vs the exact full-vector L2 truth — prices
+    // residual encoding against sim21's raw-vector composition at
+    // identical storage (4-byte codes, same probe budget). Measured here:
+    // ~0.1 at sf0.1 — the SAME as sim21, honestly reported: on this
+    // corpus's near-orthogonal synthetic embeddings, residuals are as
+    // unstructured as the raw vectors, so seed codebooks gain nothing;
+    // real embedding distributions (where residuals concentrate) and
+    // per-subspace TRAINED codebooks (sim18's machinery) are where the
+    // production gap opens. Per probe (the sim17 convention), both sides
+    // replayed in SQL.
+    Q("sim47_residual_pq_recall",
+      (s, d) => {
+        val adcTop = byNameLocal("sim46_residual_pq_search").build(s, d)
+          .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+        pqL2Truth(s, d).join(adcTop, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast(DoubleType) / 3)
+          .orderBy("qid")
+      },
+      Some(s"""WITH $sqlTrainedSearchCtes,
+                 $sqlResidualAdcCtes,
+                 radc_top AS (
+                   SELECT qid, vec_id FROM (
+                     SELECT qid, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
+                     FROM radc) WHERE rk <= 3),
+                 $sqlPqTruthCtes
+               SELECT t.qid, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+                      CAST(COUNT(a.vec_id) AS DOUBLE) / 3 AS recall
+               FROM truth t LEFT JOIN radc_top a
+                 ON a.qid = t.qid AND a.vec_id = t.vec_id
+               GROUP BY t.qid ORDER BY t.qid"""),
       bench = false),
 
     // WALK OVER THE PRUNED GRAPH — sim39's pricing convention applied to

@@ -136,7 +136,10 @@ class PlanAuditSpec extends SparkSpec {
     "p12_deletion_propagation" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
     // the limit branch's agg runs over ≤5 connector rows (the full branch
     // has NO aggregate at all — completely pushed, require()d in-build)
-    "e18_agg_pushdown" -> Set("SinglePartition"))
+    "e18_agg_pushdown" -> Set("SinglePartition"),
+    // recall truth: corpus streams against the bounded broadcast probe
+    // block (the sim01 exact-baseline shape; ≠ predicate forces BNLJ)
+    "sim47_residual_pq_recall" -> Set("BroadcastNestedLoopJoin"))
 
   test("no catalog query plans cartesian / nested-loop / single-partition shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -333,7 +336,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim45_pruned_walk_recall" -> 0, // prune/walk/recall counts run on build; emitted report is one local row
     "c63_filter_clause" -> 3, // one expand-based distinct+filter agg (partial/final) + sort
     "t38_bigram_surprisal" -> 4, // bigram aggs (c1, c2) + per-doc agg + sort (t30's shape)
-    "g13_modularity" -> 6) // und/labels checkpoint on build; degree agg + member/intra joins + community aggs + sort
+    "g13_modularity" -> 6, // und/labels checkpoint on build; degree agg + member/intra joins + community aggs + sort
+    "sim46_residual_pq_search" -> 6, // residual checkpoint on build; encode argmin + cand join + ADC agg + perKeyTopK + sort
+    "sim47_residual_pq_recall" -> 6) // sim46 runs on build; truth perKeyTopK + per-qid hit agg + sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
@@ -393,6 +398,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim28_quantization_pareto" -> "perKeyTopK phase 2 (all five search branches + truth): <= k*parts rows per qid",
     "sim29_binary_search" -> "perKeyTopK phase 2: <= k*parts rows per qid",
     "sim38_graph_ann_walk" -> "perKeyTopK phase 2 over the checkpointed frontier: <= probes*beam rows total",
+    "sim46_residual_pq_search" -> "perKeyTopK phase 2 + pqEncodedOf argmin on (vec_id, subspace) — corpus-cardinality keys",
+    "sim47_residual_pq_recall" -> "sim46's windows + brute-force truth perKeyTopK phase 2: <= k*parts rows per qid",
     "r03_interval_overlap" -> "groupedRunningTotal offsets window: <= parts rows per event_type by phase-1 aggregation",
     "c50_robust_stats" -> "groupedRunningTotal offsets windows (median + MAD passes): <= parts rows per event_type by phase-1 aggregation",
     "r08_period_delta" -> "lag window runs POST-aggregation: <= #days rows per event_type regardless of event volume",
