@@ -1904,7 +1904,34 @@ object StockOps {
                      CAST(SUM(CAST(value AS DECIMAL(18,4)))
                           FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_total,
                      COUNT(DISTINCT event_type) FILTER (WHERE value >= 50) AS n_types_hi
-              FROM events GROUP BY user_id ORDER BY user_id"""))
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // WINDOW FRAME EXCLUSION — the leave-one-out aggregate (each row
+    // priced against its PEERS: anomaly baselines, fairness holdouts).
+    // DuckDB runs the ANSI `EXCLUDE CURRENT ROW` frame natively; Spark
+    // has no EXCLUDE, so the engine pins the algebraic identity instead:
+    // loo_avg = (Σ_partition − v) / (n − 1), with the sum exact DECIMAL
+    // so subtracting the current row is exact and the single final
+    // division is the only IEEE step on both engines — a cross-engine
+    // parity pin for a frame feature one engine lacks.
+    Q("c64_window_exclude",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type")
+        t(s, d, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+          .withColumn("loo_avg",
+            (sum(dec(col("value"))).over(w) - dec(col("value"))).cast(DoubleType) /
+              (count(lit(1)).over(w) - 1))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type, value,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                       / (COUNT(*) OVER (PARTITION BY event_type) - 1) AS loo_avg
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW)
+              ORDER BY event_id"""))
   )
 
 

@@ -338,7 +338,8 @@ class PlanAuditSpec extends SparkSpec {
     "t38_bigram_surprisal" -> 4, // bigram aggs (c1, c2) + per-doc agg + sort (t30's shape)
     "g13_modularity" -> 6, // und/labels checkpoint on build; degree agg + member/intra joins + community aggs + sort
     "sim46_residual_pq_search" -> 6, // residual checkpoint on build; encode argmin + cand join + ADC agg + perKeyTopK + sort
-    "sim47_residual_pq_recall" -> 6) // sim46 runs on build; truth perKeyTopK + per-qid hit agg + sort
+    "sim47_residual_pq_recall" -> 6, // sim46 runs on build; truth perKeyTopK + per-qid hit agg + sort
+    "c64_window_exclude" -> 2) // one partition-sum window + final sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
@@ -373,6 +374,7 @@ class PlanAuditSpec extends SparkSpec {
   private val allowedLowCardWindows: Map[String, String] = Map(
     "c01_window_rank" -> "stock rank-window SEMANTICS are the subject; the scale path is StockOps.perKeyTopK",
     "c32_range_frame" -> "stock RANGE-frame semantics are the subject; value frames have no two-phase form",
+    "c64_window_exclude" -> "stock EXCLUDE-frame semantics are the subject (the loo identity needs the partition sum); the two-phase scale path is globalDistributionRanks' offsets convention",
     "c33_rank_family" -> "stock percent_rank/cume_dist/ntile semantics; scale path is globalDistributionRanks (c19)",
     "t20_pack_sequences" -> "groupedRunningTotal offsets window: <= parts rows per source by phase-1 aggregation",
     "k04_compaction_plan" -> "groupedRunningTotal offsets window: <= parts rows per source by phase-1 aggregation",
