@@ -125,7 +125,14 @@ object GraphOps {
     */
   private def lpLabels(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val e = linkEdges(docs, nodeCount(s, d))
+    lpLabelsOver(docs, linkEdges(docs, nodeCount(s, d)))
+  }
+
+  /** [[lpLabels]] over an already-derived edge frame — g13 passes the
+    * edges it computed for the modularity side, so one build runs ONE
+    * nodeCount action and one edge derivation, not two.
+    */
+  private def lpLabelsOver(docs: DataFrame, e: DataFrame): DataFrame = {
     val sym = e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
@@ -715,12 +722,13 @@ object GraphOps {
       (s, d) => {
         val n = nodeCount(s, d)
         val docs = t(s, d, "documents")
-        val und = linkEdges(docs, n).where(col("src") =!= col("dst"))
+        val e = linkEdges(docs, n).localCheckpoint()
+        val und = e.where(col("src") =!= col("dst"))
           .select(least(col("src"), col("dst")).as("u"),
             greatest(col("src"), col("dst")).as("v"))
           .distinct().localCheckpoint()
         val mEdges = und.count() // one bounded driver value (nodeCount convention)
-        val lbl = lpLabels(s, d)
+        val lbl = lpLabelsOver(docs, e)
           .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("community"))
           .localCheckpoint()
         val deg = und.select(col("u").as("node"))

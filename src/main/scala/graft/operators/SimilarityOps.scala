@@ -571,13 +571,15 @@ object SimilarityOps {
           (a, b) => a - b).as("rvec"))
   }
 
-  /** Residual codebook: the residuals of the [[PqCodes]] lowest vec_ids,
-    * sliced per subspace — the sim15 deterministic seed convention applied
-    * to residual space. Bounded 16-row collect.
+  /** Residual codebook from a [[residualCorpus]] frame: the residuals of
+    * the [[PqCodes]] lowest vec_ids, sliced per subspace — the sim15
+    * deterministic seed convention applied to residual space. Bounded
+    * 16-row collect; the caller passes its (checkpointed) residual frame
+    * so the trained-assignment chain runs once per build, not per helper.
     */
-  def residualCodebook(s: SparkSession, d: String): DataFrame = {
+  def residualCodebookOf(s: SparkSession, rc: DataFrame): DataFrame = {
     import s.implicits._
-    val rows = residualCorpus(s, d).where(col("vec_id") < PqCodes)
+    val rows = rc.where(col("vec_id") < PqCodes)
       .select("vec_id", "rvec").collect().sortBy(_.getLong(0))
     require(rows.length == PqCodes && rows.forall(_.getSeq[Double](1).length == PqSub * PqDim),
       s"residual PQ expects $PqCodes seed residuals of dim ${PqSub * PqDim}")
@@ -591,11 +593,12 @@ object SimilarityOps {
     * distinguishes IVFADC from sim20's global LUT: the query's residual is
     * DIFFERENT in every probed cell (q − c_cell), so each (probe, cell)
     * pair carries its own 8×16 table. Still bounded: probes × IvfProbe ×
-    * 8 × 16 rows, broadcast at the use site.
+    * 8 × 16 rows, broadcast at the use site. Probe frame and codebook are
+    * PASSED IN (computed once per build — the pqEncodedOf convention).
     */
-  def residualLut(s: SparkSession, d: String): DataFrame = {
-    val cents = trainedCentroids(s, d, iters = 2)
-    val qr = probeCells(withNorm(s, d), cents, nProbes = 10)
+  def residualLut(s: SparkSession, cents: Array[(Array[Double], Long)],
+      pc: DataFrame, rcb: DataFrame): DataFrame = {
+    val qr = pc
       .join(broadcast(centroidArrays(s, cents)), "cell")
       .select(col("qid"), col("cell"),
         zip_with(col("qvec").cast("array<double>"), col("cvec"),
@@ -606,7 +609,7 @@ object SimilarityOps {
             slice(col("rqvec"), j * PqDim + 1, PqDim).as("qsub"))): _*)).as("s"))
       .select(col("qid"), col("cell"), col("s.subspace").as("subspace"),
         col("s.qsub").as("qsub"))
-      .join(broadcast(residualCodebook(s, d)), Seq("subspace"))
+      .join(broadcast(rcb), Seq("subspace"))
       .withColumn("pdist", scaledL2(col("qsub"), col("cvec")))
       .select("qid", "cell", "subspace", "code", "pdist")
   }
@@ -2831,19 +2834,20 @@ object SimilarityOps {
     // per-cell LUTs, and the ADC ranking.
     Q("sim46_residual_pq_search",
       (s, d) => {
-        val rc = residualCorpus(s, d).localCheckpoint()
-        val codes = pqEncodedOf(
-            rc.select(col("vec_id"), col("rvec").as("embedding")),
-            residualCodebook(s, d))
-          .select("vec_id", "subspace", "code")
         val cents = trainedCentroids(s, d, iters = 2)
+        val rc = residualCorpus(s, d).localCheckpoint()
+        val rcb = residualCodebookOf(s, rc)
+        val pc = probeCells(withNorm(s, d), cents, nProbes = 10).localCheckpoint()
+        val codes = pqEncodedOf(
+            rc.select(col("vec_id"), col("rvec").as("embedding")), rcb)
+          .select("vec_id", "subspace", "code")
         val cand = rc.select("vec_id", "cell")
-          .join(broadcast(probeCells(withNorm(s, d), cents, 10).select("qid", "cell")),
-            Seq("cell"))
+          .join(broadcast(pc.select("qid", "cell")), Seq("cell"))
           .where(col("vec_id") =!= col("qid"))
           .select("qid", "cell", "vec_id")
         val adc = codes.join(cand, "vec_id")
-          .join(broadcast(residualLut(s, d)), Seq("qid", "cell", "subspace", "code"))
+          .join(broadcast(residualLut(s, cents, pc, rcb)),
+            Seq("qid", "cell", "subspace", "code"))
           .groupBy("qid", "vec_id").agg(sum(col("pdist")).as("adc_dist"))
         StockOps.perKeyTopK(adc, Seq("qid"), Seq(col("adc_dist"), col("vec_id")), 3)
           .select("qid", "rk", "vec_id", "adc_dist")

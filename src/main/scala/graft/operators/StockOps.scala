@@ -1921,8 +1921,11 @@ object StockOps {
         t(s, d, "events")
           .select(col("event_id"), col("event_type"), col("value"))
           .withColumn("loo_avg",
-            (sum(dec(col("value"))).over(w) - dec(col("value"))).cast(DoubleType) /
-              (count(lit(1)).over(w) - 1))
+            // coalesce, not a bare subtraction: EXCLUDE drops the current
+            // ROW, so a NULL current value must subtract 0 (DuckDB's
+            // frame-excluded SUM skips it), not poison the whole average
+            (sum(dec(col("value"))).over(w) - coalesce(dec(col("value")), lit(0)))
+              .cast(DoubleType) / (count(lit(1)).over(w) - 1))
           .orderBy("event_id")
       },
       Some("""SELECT event_id, event_type, value,

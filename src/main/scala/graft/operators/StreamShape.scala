@@ -2739,7 +2739,11 @@ object StreamShape {
     // fire-batch CASE — engine and oracle agree row-for-row or the timer
     // model is wrong. A mid-stream fire (snapshot < the user's total) is
     // require()d so the entry can never degenerate to the end-of-stream
-    // sweep.
+    // sweep. Only TWO watermarks gate oracle branches (wm2 for batch 2,
+    // wmf for eligibility): a timer firing during batch 3 snapshots the
+    // same n_all as one firing in the final no-data batch, because batch
+    // 3's own file is processed before its timers — the two arms coincide
+    // and need no wm3.
     Q("x46_stream_timer_snapshot",
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
@@ -2802,7 +2806,6 @@ object StreamShape {
                                  lo + 2 * ((hi - lo) // 3) AS t2 FROM bounds),
                  wms AS (SELECT
                      (SELECT MAX(us) FROM ev WHERE us < (SELECT t1 FROM cuts)) // 1000 - $SnapDelayMs AS wm2,
-                     (SELECT MAX(us) FROM ev WHERE us < (SELECT t2 FROM cuts)) // 1000 - $SnapDelayMs AS wm3,
                      (SELECT MAX(us) FROM ev) // 1000 - $SnapDelayMs AS wmf),
                  usr AS (SELECT user_id, MIN(us) AS first_us,
                                 MIN(us) // 1000 + $SnapHorizonMs AS timer_ms,
@@ -2811,12 +2814,12 @@ object StreamShape {
                  pre AS (SELECT user_id, COUNT(*) AS n_pre, MAX(us) AS last_pre
                          FROM ev WHERE us < (SELECT t2 FROM cuts) GROUP BY user_id)
                SELECT u.user_id, u.first_us,
-                      CASE WHEN u.timer_ms < (SELECT wm2 FROM wms)
+                      CASE WHEN u.timer_ms <= (SELECT wm2 FROM wms)
                            THEN p.n_pre ELSE u.n_all END AS n_events,
-                      CASE WHEN u.timer_ms < (SELECT wm2 FROM wms)
+                      CASE WHEN u.timer_ms <= (SELECT wm2 FROM wms)
                            THEN p.last_pre ELSE u.last_all END AS last_us
                FROM usr u LEFT JOIN pre p USING (user_id)
-               WHERE u.timer_ms < (SELECT wmf FROM wms)
+               WHERE u.timer_ms <= (SELECT wmf FROM wms)
                ORDER BY user_id"""),
       bench = false)
   )
