@@ -338,7 +338,7 @@ class PlanAuditSpec extends SparkSpec {
     "t38_bigram_surprisal" -> 4, // bigram aggs (c1, c2) + per-doc agg + sort (t30's shape)
     "g13_modularity" -> 6, // und/labels checkpoint on build; degree agg + member/intra joins + community aggs + sort
     "sim46_residual_pq_search" -> 6, // residual checkpoint on build; encode argmin + cand join + ADC agg + perKeyTopK + sort
-    "sim47_residual_pq_recall" -> 6, // sim46 runs on build; truth perKeyTopK + per-qid hit agg + sort
+    "sim47_residual_pq_recall" -> 11, // composes sim46's full chain (encode argmin + ADC + topk, the sim21=12 pattern) + truth perKeyTopK + hit agg + sort
     "c64_window_exclude" -> 2) // one partition-sum window + final sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
