@@ -83,6 +83,14 @@ object SimilarityOps {
   val WalkBeam = 4
   val WalkHops = 3
 
+  /** sim48's hierarchical layer: every LayerMod-th vector joins the sparse
+    * UPPER navigation graph (HNSW's geometric level assignment made
+    * deterministic), with LayerK neighbors per upper node. Declared before
+    * `val all` — the oracle interpolates both.
+    */
+  val LayerMod = 8L
+  val LayerK = 2
+
   /** Matryoshka truncation width for sim25 (first 16 of 64 dims — 4×
     * cheaper dot products). Declared before `val all`: the oracle string
     * interpolates it at init (the sqlCms lesson).
@@ -2964,6 +2972,73 @@ object SimilarityOps {
                       tc.n_truth, h.n_hit,
                       CAST(h.n_hit AS DOUBLE) / tc.n_truth AS recall
                FROM tot_cnt tc, hits h"""),
+      bench = false),
+
+    // HIERARCHICAL (two-layer) GRAPH WALK — the last piece of the HNSW
+    // anatomy after build (sim36), diversify (sim44), serve (sim38), and
+    // price (sim39/45): every LayerMod-th vector joins a SPARSE upper
+    // navigation graph (LayerK neighbors; HNSW's geometric level
+    // assignment made deterministic), greedy search walks the upper layer
+    // from its component entries first, and its final frontier SEEDS the
+    // base-layer walk (the descend step). The point at scale: upper-layer
+    // hops touch |corpus|/LayerMod nodes, so most navigation happens on a
+    // structure 8× smaller, and the base layer starts from
+    // already-near-the-answer entries instead of fixed per-component
+    // ones. Both walks share one hop loop (walkHopsFrom); the oracle
+    // chains the upper graph, its closure, three upper hops, and three
+    // base hops with explicitly-named CTEs.
+    Q("sim48_layered_walk",
+      (s, d) => {
+        val (uSym, uEntries) = symAndEntries(
+          knnTopOf(s, d, col("vec_id") % LayerMod === 0, LayerK).select("u", "v"))
+        val uf0 = withNorm(s, d).where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid")).crossJoin(broadcast(uEntries))
+        val uWalk = walkHopsFrom(s, d, uSym, uf0).last._2
+        val bEdges = knnTop(s, d).select("u", "v")
+        val bSym = bEdges.union(bEdges.select(col("v").as("u"), col("u").as("v")))
+          .distinct().localCheckpoint()
+        val lWalk = walkHopsFrom(s, d, bSym, uWalk).last._2
+        StockOps.perKeyTopK(lWalk, Seq("qid"),
+            Seq(desc("cos_sim"), col("vec_id")), 3, outCol = "rank")
+          .select("qid", "rank", "vec_id", "cos_sim")
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val upperHops = (1 to WalkHops).map(i =>
+          sqlNamedHop(if (i == 1) "hfu0" else s"hfu${i - 1}", s"u$i", "ukedges"))
+        val baseHops = (1 to WalkHops).map(i =>
+          sqlNamedHop(if (i == 1) s"hfu$WalkHops" else s"hfl${i - 1}", s"l$i", "kedges"))
+        s"""WITH RECURSIVE $sqlTrainedAssignCtes, $sqlKnnCtes,
+               ukcand AS MATERIALIZED (
+                 SELECT a.vec_id AS u, b.vec_id AS v,
+                        $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                 FROM a2 pa JOIN a2 pb ON pa.cell = pb.cell AND pa.vec_id <> pb.vec_id
+                      JOIN nv a ON a.vec_id = pa.vec_id
+                      JOIN nv b ON b.vec_id = pb.vec_id
+                 WHERE pa.vec_id % $LayerMod = 0 AND pb.vec_id % $LayerMod = 0),
+               uktop AS MATERIALIZED (
+                 SELECT u, v,
+                        ROW_NUMBER() OVER (PARTITION BY u ORDER BY cos_sim DESC, v) AS rk
+                 FROM ukcand),
+               ukedges AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+                   SELECT u, v FROM uktop WHERE rk <= $LayerK
+                   UNION ALL SELECT v, u FROM uktop WHERE rk <= $LayerK)),
+               ukreach(id, r) AS (
+                 SELECT u, u FROM ukedges
+                 UNION
+                 SELECT e.u, rr.r FROM ukedges e JOIN ukreach rr ON e.v = rr.id),
+               ukcomp AS (SELECT id, MIN(r) AS label FROM ukreach GROUP BY id),
+               ukentries AS (SELECT DISTINCT label FROM ukcomp),
+               hfu0 AS (SELECT p.vec_id AS qid, e.label AS vec_id
+                        FROM nv p, ukentries e WHERE p.vec_id < 10),
+               ${upperHops.mkString(",\n               ")},
+               ${baseHops.mkString(",\n               ")}
+             SELECT qid, CAST(rk AS INT) AS rank, vec_id, cos_sim FROM (
+               SELECT qid, vec_id, cos_sim,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+               FROM hfl$WalkHops) WHERE rk <= 3
+             ORDER BY qid, rank"""
+      },
       bench = false)
   )
 
@@ -3007,6 +3082,25 @@ object SimilarityOps {
     (edges, kept)
   }
 
+  /** One oracle-side beam hop with EXPLICIT CTE names (hc/hs/hf + tag) —
+    * sim48 chains two walks (upper layer, then base layer) in one query,
+    * so the shared-name sqlWalkHop chain cannot be used twice.
+    */
+  private def sqlNamedHop(prev: String, tag: String, edgeCte: String): String =
+    s"""hc$tag AS (SELECT DISTINCT qid, vec_id FROM (
+                     SELECT qid, vec_id FROM $prev
+                     UNION ALL
+                     SELECT f.qid, e.v AS vec_id FROM $prev f JOIN $edgeCte e ON e.u = f.vec_id)),
+        hs$tag AS (SELECT c.qid, c.vec_id,
+                          $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                   FROM hc$tag c JOIN nv a ON a.vec_id = c.qid
+                                 JOIN nv b ON b.vec_id = c.vec_id
+                   WHERE c.vec_id <> c.qid),
+        hf$tag AS (SELECT qid, vec_id, cos_sim FROM (
+                     SELECT qid, vec_id, cos_sim,
+                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                     FROM hs$tag) WHERE rk <= $WalkBeam)"""
+
   /** Oracle-side kept-so-far chain for sim44: `kept1` = every rank-1 edge;
     * `kept{r}` = `kept{r-1}` plus the rank-r edges with NO kept
     * earlier-rank blocker (cos(w,v) > cos(u,v)) — the exact sequential
@@ -3040,8 +3134,16 @@ object SimilarityOps {
     * trained cell id (Σ n_cell² pairs, never corpus-wide); per-node top-k
     * rides the two-phase perKeyTopK.
     */
-  private def knnTop(s: SparkSession, d: String): DataFrame = {
+  private def knnTop(s: SparkSession, d: String): DataFrame =
+    knnTopOf(s, d, lit(true), KnnK)
+
+  /** [[knnTop]] restricted to nodes passing `nodeFilter`, with `k`
+    * neighbors — sim48's sparse upper layer passes the LayerMod modulus.
+    */
+  private def knnTopOf(s: SparkSession, d: String,
+      nodeFilter: Column, k: Int): DataFrame = {
     val assigned = assignCells(withNorm(s, d), trainedCentroids(s, d, iters = 2))
+      .where(nodeFilter)
     val l = assigned.select(col("cell"), col("vec_id").as("u"),
       col("embedding").as("ea"), col("norm2").as("na"))
     val r = assigned.select(col("cell"), col("vec_id").as("v"),
@@ -3049,7 +3151,7 @@ object SimilarityOps {
     val cand = l.join(r, Seq("cell")).where(col("u") =!= col("v"))
       .select(col("u"), col("v"),
         cosine(scaledDot(col("ea"), col("eb")), col("na"), col("nb")).as("cos_sim"))
-    StockOps.perKeyTopK(cand, Seq("u"), Seq(desc("cos_sim"), col("v")), KnnK, outCol = "rank")
+    StockOps.perKeyTopK(cand, Seq("u"), Seq(desc("cos_sim"), col("v")), k, outCol = "rank")
   }
 
   /** Oracle CTEs for the k-NN edge set: within-trained-cell candidate
@@ -3093,10 +3195,17 @@ object SimilarityOps {
     */
   private def walkFrontiersOver(
       s: SparkSession, d: String, edgesIn: DataFrame): Seq[(Int, DataFrame)] = {
-    val corpus = withNorm(s, d)
-    val probes = corpus.where(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-        col("norm2").as("qnorm2"))
+    val (sym, entries) = symAndEntries(edgesIn)
+    val frontier0 = withNorm(s, d).where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid")).crossJoin(broadcast(entries))
+    walkHopsFrom(s, d, sym, frontier0)
+  }
+
+  /** An edge set's symmetrized form plus its one-entry-per-component
+    * node set — the walk's navigation inputs, shared by the flat walk and
+    * sim48's upper layer.
+    */
+  private def symAndEntries(edgesIn: DataFrame): (DataFrame, DataFrame) = {
     val edges = edgesIn.select("u", "v")
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
@@ -3104,7 +3213,21 @@ object SimilarityOps {
       greatest(col("u"), col("v")).as("db")).distinct()
     val entries = DedupOps.connectedComponents(pairs, maxIter = 20)
       .select(col("label").as("vec_id")).distinct()
-    var frontier = probes.select("qid").crossJoin(broadcast(entries))
+    (sym, entries)
+  }
+
+  /** The beam-search hop loop from an ARBITRARY per-probe starting
+    * frontier (qid, vec_id) over symmetrized edges — the flat walk seeds
+    * it with component entries; sim48's base layer seeds it with the
+    * UPPER layer's final frontier (the HNSW descend step).
+    */
+  private def walkHopsFrom(s: SparkSession, d: String, sym: DataFrame,
+      frontier0: DataFrame): Seq[(Int, DataFrame)] = {
+    val corpus = withNorm(s, d)
+    val probes = corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("norm2").as("qnorm2"))
+    var frontier = frontier0
     (1 to WalkHops).map { h =>
       val nbrs = frontier.select("qid", "vec_id")
         .join(sym, col("vec_id") === col("u"))

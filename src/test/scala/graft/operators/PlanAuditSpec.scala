@@ -339,7 +339,8 @@ class PlanAuditSpec extends SparkSpec {
     "g13_modularity" -> 6, // und/labels checkpoint on build; degree agg + member/intra joins + community aggs + sort
     "sim46_residual_pq_search" -> 6, // residual checkpoint on build; encode argmin + cand join + ADC agg + perKeyTopK + sort
     "sim47_residual_pq_recall" -> 11, // composes sim46's full chain (encode argmin + ADC + topk, the sim21=12 pattern) + truth perKeyTopK + hit agg + sort
-    "c64_window_exclude" -> 2) // one partition-sum window + final sort
+    "c64_window_exclude" -> 2, // one partition-sum window + final sort
+    "sim48_layered_walk" -> 3) // both walks checkpoint per hop on build; final perKeyTopK (local+final) + sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
@@ -401,6 +402,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim29_binary_search" -> "perKeyTopK phase 2: <= k*parts rows per qid",
     "sim38_graph_ann_walk" -> "perKeyTopK phase 2 over the checkpointed frontier: <= probes*beam rows total",
     "sim46_residual_pq_search" -> "perKeyTopK phase 2 + pqEncodedOf argmin on (vec_id, subspace) — corpus-cardinality keys",
+    "sim48_layered_walk" -> "perKeyTopK phase 2 over the checkpointed base-layer frontier: <= probes*beam rows total",
     "sim47_residual_pq_recall" -> "sim46's windows + brute-force truth perKeyTopK phase 2: <= k*parts rows per qid",
     "r03_interval_overlap" -> "groupedRunningTotal offsets window: <= parts rows per event_type by phase-1 aggregation",
     "c50_robust_stats" -> "groupedRunningTotal offsets windows (median + MAD passes): <= parts rows per event_type by phase-1 aggregation",
