@@ -3039,6 +3039,83 @@ object SimilarityOps {
                FROM hfl$WalkHops) WHERE rk <= 3
              ORDER BY qid, rank"""
       },
+      bench = false),
+
+    // Recall@3 of the LAYERED walk vs exact brute force — the sim39
+    // convention applied to sim48, closing the pricing pair: flat
+    // multi-entry walk (sim39, recall 1.0) vs hierarchical descend at
+    // the same hop/beam budget. Measured: 0.60/0.63/0.37 at
+    // sf0.001/0.01/0.1 — honestly LOWER here, because sim39's
+    // one-entry-per-component seeding already starts near every answer
+    // on this fixture's many small components, while the 8×-sparser
+    // upper layer reaches fewer of them in 3 hops. The trade inverts at
+    // scale: flat entry count grows with the component count, the
+    // layered descend's navigation cost stays fixed. Both the walk and
+    // the truth are replayed in SQL, so the number is cross-engine.
+    Q("sim49_layered_walk_recall",
+      (s, d) => {
+        val truth = StockOps.perKeyTopK(probePairs(s, d, 10),
+            Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
+          .select("qid", "vec_id")
+        val walk = byNameLocal("sim48_layered_walk").build(s, d)
+        val hits = walk.select("qid", "vec_id")
+          .join(truth, Seq("qid", "vec_id"), "left_semi").count()
+        val total = truth.count()
+        import s.implicits._
+        Seq(("layered_walk", total, hits, hits.toDouble / total))
+          .toDF("method", "n_truth", "n_hit", "recall")
+      },
+      Some {
+        val upperHops = (1 to WalkHops).map(i =>
+          sqlNamedHop(if (i == 1) "hfu0" else s"hfu${i - 1}", s"u$i", "ukedges"))
+        val baseHops = (1 to WalkHops).map(i =>
+          sqlNamedHop(if (i == 1) s"hfu$WalkHops" else s"hfl${i - 1}", s"l$i", "kedges"))
+        s"""WITH RECURSIVE $sqlTrainedAssignCtes, $sqlKnnCtes,
+               ukcand AS MATERIALIZED (
+                 SELECT a.vec_id AS u, b.vec_id AS v,
+                        $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                 FROM a2 pa JOIN a2 pb ON pa.cell = pb.cell AND pa.vec_id <> pb.vec_id
+                      JOIN nv a ON a.vec_id = pa.vec_id
+                      JOIN nv b ON b.vec_id = pb.vec_id
+                 WHERE pa.vec_id % $LayerMod = 0 AND pb.vec_id % $LayerMod = 0),
+               uktop AS MATERIALIZED (
+                 SELECT u, v,
+                        ROW_NUMBER() OVER (PARTITION BY u ORDER BY cos_sim DESC, v) AS rk
+                 FROM ukcand),
+               ukedges AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+                   SELECT u, v FROM uktop WHERE rk <= $LayerK
+                   UNION ALL SELECT v, u FROM uktop WHERE rk <= $LayerK)),
+               ukreach(id, r) AS (
+                 SELECT u, u FROM ukedges
+                 UNION
+                 SELECT e.u, rr.r FROM ukedges e JOIN ukreach rr ON e.v = rr.id),
+               ukcomp AS (SELECT id, MIN(r) AS label FROM ukreach GROUP BY id),
+               ukentries AS (SELECT DISTINCT label FROM ukcomp),
+               hfu0 AS (SELECT p.vec_id AS qid, e.label AS vec_id
+                        FROM nv p, ukentries e WHERE p.vec_id < 10),
+               ${upperHops.mkString(",\n               ")},
+               ${baseHops.mkString(",\n               ")},
+               lwalk_top AS (
+                 SELECT qid, vec_id FROM (
+                   SELECT qid, vec_id,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                   FROM hfl$WalkHops) WHERE rk <= 3),
+               lbpairs AS (
+                 SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                        $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
+                 FROM nv a JOIN nv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+               lbrute_top AS (
+                 SELECT qid, vec_id FROM (
+                   SELECT qid, vec_id,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+                   FROM lbpairs) WHERE rk <= 3),
+               lhits AS (SELECT COUNT(*) AS n_hit
+                         FROM lwalk_top w JOIN lbrute_top b USING (qid, vec_id)),
+               ltot AS (SELECT COUNT(*) AS n_truth FROM lbrute_top)
+             SELECT 'layered_walk' AS method, n_truth, n_hit,
+                    CAST(n_hit AS DOUBLE) / n_truth AS recall
+             FROM ltot, lhits"""
+      },
       bench = false)
   )
 

@@ -340,7 +340,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim46_residual_pq_search" -> 6, // residual checkpoint on build; encode argmin + cand join + ADC agg + perKeyTopK + sort
     "sim47_residual_pq_recall" -> 11, // composes sim46's full chain (encode argmin + ADC + topk, the sim21=12 pattern) + truth perKeyTopK + hit agg + sort
     "c64_window_exclude" -> 2, // one partition-sum window + final sort
-    "sim48_layered_walk" -> 3) // both walks checkpoint per hop on build; final perKeyTopK (local+final) + sort
+    "sim48_layered_walk" -> 3, // both walks checkpoint per hop on build; final perKeyTopK (local+final) + sort
+    "sim49_layered_walk_recall" -> 0) // hit/truth counts run on build; emitted report is one local row
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

@@ -587,4 +587,28 @@ class SimilarityOpsSpec extends SparkSpec {
     val rec = r.getAs[Double]("recall")
     assert(rec >= 0.0 && rec <= 1.0)
   }
+
+  test("sim48 layered walk emits exact cosines, 3 valid ranked results per probe") {
+    val rows = Catalog.byName("sim48_layered_walk").build(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10, "one result set per probe")
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3), s"probe $qid ranks")
+      rs.foreach { r =>
+        val v = r.getAs[Long]("vec_id")
+        assert(v != qid, "a walk result must not be the probe itself")
+        // the emitted cosine is the exact brute-force kernel value
+        assert(brute((qid, v)) == r.getAs[Double]("cos_sim"), s"cos of ($qid,$v)")
+      }
+      // ranks follow the (cos desc, vec_id) total order
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+        .map(r => (-r.getAs[Double]("cos_sim"), r.getAs[Long]("vec_id")))
+      assert(sorted.toSeq == sorted.toSeq.sorted, s"probe $qid rank order")
+    }
+    // the recall twin reconciles with the walk it prices
+    val rec = Catalog.byName("sim49_layered_walk_recall").build(spark, sfDir).head()
+    assert(rec.getAs[Long]("n_truth") == 30)
+    assert(rec.getAs[Long]("n_hit") <= 30)
+    assert(rec.getAs[Double]("recall") == rec.getAs[Long]("n_hit").toDouble / 30)
+  }
 }
