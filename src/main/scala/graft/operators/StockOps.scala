@@ -1934,6 +1934,47 @@ object StockOps {
               FROM events
               WINDOW w AS (PARTITION BY event_type ROWS BETWEEN UNBOUNDED PRECEDING
                            AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW)
+              ORDER BY event_id""")),
+
+    // ERROR-TOLERANT EVALUATION — the try_* family (ANSI mode's dirty-data
+    // escape hatch): malformed casts, division by zero, and int64
+    // overflow all yield NULL instead of failing the job — the semantics
+    // a curation pipeline needs when one bad row must not kill a 100 TB
+    // pass. Adversarial inputs are synthesized DETERMINISTICALLY from the
+    // fixture (the t24/d17 convention): every 3rd id parseable, every 3rd
+    // letter-prefixed (unparseable), every 3rd whitespace-padded (BOTH
+    // engines trim inside the cast — pinned here); every 5th divisor is
+    // zero; the overflow arm is real for every user but user 0. DuckDB
+    // mirrors try_cast with TRY_CAST and the arithmetic arms with CASE
+    // guards (it has no try_divide/try_add — div-by-zero on DOUBLE is Inf
+    // and BIGINT overflow raises there).
+    Q("c65_try_funcs",
+      (s, d) => {
+        val view = s"graft_try_${Catalog.pathTag(d)}"
+        t(s, d, "events").createOrReplaceTempView(view)
+        s.sql(
+          s"""SELECT event_id,
+                     try_cast(num_str AS BIGINT) AS parsed,
+                     try_divide(value, event_id % 5) AS ratio,
+                     try_add(9223372036854775807, user_id) AS sum_edge
+              FROM (SELECT event_id, user_id, value,
+                           CASE WHEN event_id % 3 = 0 THEN CAST(user_id AS STRING)
+                                WHEN event_id % 3 = 1 THEN concat(event_type, CAST(user_id AS STRING))
+                                ELSE concat('  ', CAST(user_id AS STRING), ' ') END AS num_str
+                    FROM $view)
+              ORDER BY event_id""")
+      },
+      Some("""SELECT event_id,
+                     TRY_CAST(num_str AS BIGINT) AS parsed,
+                     CASE WHEN event_id % 5 = 0 THEN NULL
+                          ELSE CAST(value AS DOUBLE) / (event_id % 5) END AS ratio,
+                     CASE WHEN user_id > 0 THEN NULL
+                          ELSE 9223372036854775807 + user_id END AS sum_edge
+              FROM (SELECT event_id, user_id, value,
+                           CASE WHEN event_id % 3 = 0 THEN CAST(user_id AS VARCHAR)
+                                WHEN event_id % 3 = 1 THEN concat(event_type, CAST(user_id AS VARCHAR))
+                                ELSE concat('  ', CAST(user_id AS VARCHAR), ' ') END AS num_str
+                    FROM events)
               ORDER BY event_id"""))
   )
 

@@ -341,7 +341,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim47_residual_pq_recall" -> 11, // composes sim46's full chain (encode argmin + ADC + topk, the sim21=12 pattern) + truth perKeyTopK + hit agg + sort
     "c64_window_exclude" -> 2, // one partition-sum window + final sort
     "sim48_layered_walk" -> 3, // both walks checkpoint per hop on build; final perKeyTopK (local+final) + sort
-    "sim49_layered_walk_recall" -> 0) // hit/truth counts run on build; emitted report is one local row
+    "sim49_layered_walk_recall" -> 0, // hit/truth counts run on build; emitted report is one local row
+    "c65_try_funcs" -> 1) // map-only try battery + final sort
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
