@@ -1947,7 +1947,13 @@ object StockOps {
     // zero; the overflow arm is real for every user but user 0. DuckDB
     // mirrors try_cast with TRY_CAST and the arithmetic arms with CASE
     // guards (it has no try_divide/try_add — div-by-zero on DOUBLE is Inf
-    // and BIGINT overflow raises there).
+    // and BIGINT overflow raises there). MEASURED COST, honestly: ~4.8 s
+    // at sf0.1 where the map-only siblings run ~1 s — TryEval's NULL path
+    // is a thrown-and-caught JVM exception PER BAD ROW, and this battery
+    // makes most rows bad by design. The production guidance the number
+    // encodes: try_* prices per-failure, so on mostly-clean data it is
+    // free, and on known-dirty columns an explicit CASE guard (the
+    // oracle's own form) is the cheaper plan.
     Q("c65_try_funcs",
       (s, d) => {
         val view = s"graft_try_${Catalog.pathTag(d)}"
