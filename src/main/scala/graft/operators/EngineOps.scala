@@ -715,6 +715,57 @@ object EngineOps {
                SELECT b.number, COUNT(*) AS n_rare_logs, MAX(b.gasUsed) AS gas_used
                FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet' b
                JOIN dim d ON b.number = d.blockNumber
-               GROUP BY b.number ORDER BY b.number"""))
+               GROUP BY b.number ORDER BY b.number""")),
+
+    // STORAGE-PARTITIONED JOIN — the connector's shuffle-free join: logs
+    // and blocks are served through a DSv2 CATALOG (EthSpjCatalog) whose
+    // scans report KeyGroupedPartitioning over the shared `chunk` V2
+    // function (one input partition per chunk-aligned block range, keyed
+    // by chunk id), so the equi-join on the block number is co-partitioned
+    // AT THE SOURCE and Spark plans SortMergeJoin directly over the two
+    // BatchScans — ZERO shuffle exchanges, require()d on the executed
+    // plan (broadcast disabled so the assert is about SPJ, not join
+    // strategy). c31 pins the same property for warehouse bucketing; this
+    // pins it for the connector: at 100 TB the logs⋈blocks enrichment
+    // moves no data at all. Values land on x06's chain-dump oracle.
+    Q("e20_spj_join",
+      (s, d) => {
+        val cat = "graft_spj"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.EthSpjCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.head", "999")
+        s.conf.set(s"spark.sql.catalog.$cat.chunk", "100")
+        val prevBuc = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val prevBro = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val logs = s.table(s"$cat.logs")
+          val blocks = s.table(s"$cat.blocks")
+          val joined = logs.join(blocks, logs("blockNumber") === blocks("number"))
+            .select(logs("blockNumber"), logs("logIndex"), logs("address"),
+              blocks("gasUsed"))
+          val out = joined.localCheckpoint() // execute under the SPJ confs
+          val plan = joined.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange hashpartitioning"),
+            s"storage-partitioned join shuffled — KeyGroupedPartitioning was not honored:\n${plan.take(2000)}")
+          require(plan.contains("SortMergeJoin") && plan.contains("graft-eth-spj"),
+            s"expected a sort-merge join over the SPJ scans:\n${plan.take(2000)}")
+          out.orderBy("blockNumber", "logIndex")
+        } finally {
+          prevBuc match {
+            case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+            case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+          }
+          prevBro match {
+            case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+            case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+          }
+        }
+      },
+      Some(s"""SELECT l.blockNumber, l.logIndex, l.address, b.gasUsed
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet' l
+               JOIN '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet' b
+                 ON l.blockNumber = b.number
+               ORDER BY blockNumber, logIndex"""))
   )
 }

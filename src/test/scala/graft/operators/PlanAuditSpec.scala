@@ -342,7 +342,8 @@ class PlanAuditSpec extends SparkSpec {
     "c64_window_exclude" -> 2, // one partition-sum window + final sort
     "sim48_layered_walk" -> 3, // both walks checkpoint per hop on build; final perKeyTopK (local+final) + sort
     "sim49_layered_walk_recall" -> 0, // hit/truth counts run on build; emitted report is one local row
-    "c65_try_funcs" -> 1) // map-only try battery + final sort
+    "c65_try_funcs" -> 1, // map-only try battery + final sort
+    "e20_spj_join" -> 1) // the join itself is shuffle-FREE (require()d in-build); final sort only over the checkpointed result
 
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r

@@ -345,4 +345,41 @@ class EthSourceSpec extends SparkSpec {
       "logs LIMIT must not cap the block range — blocks-to-rows is data-dependent")
     assert(logsLim.count() === 7L)
   }
+
+  test("storage-partitioned join: shuffle-free when enabled, shuffles as the negative control") {
+    val cat = "graft_spj_spec"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.EthSpjCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.head", "499")
+    spark.conf.set(s"spark.sql.catalog.$cat.chunk", "100")
+    val prevBro = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def joined = {
+      val logs = spark.table(s"$cat.logs")
+      val blocks = spark.table(s"$cat.blocks")
+      logs.join(blocks, logs("blockNumber") === blocks("number"))
+        .select(logs("blockNumber"), blocks("gasUsed"))
+    }
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val on = joined
+      val nOn = on.count()
+      assert(nOn > 0)
+      val planOn = on.queryExecution.executedPlan.toString
+      assert(!planOn.contains("Exchange hashpartitioning"),
+        s"SPJ enabled but the join still shuffled:\n${planOn.take(1500)}")
+      // negative control: same join with v2 bucketing OFF must shuffle —
+      // otherwise the e20 require asserts nothing
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val off = joined
+      assert(off.count() === nOn, "row count must not depend on the join strategy")
+      assert(off.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+        "with v2 bucketing disabled the join should have shuffled — the SPJ assert is vacuous")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      prevBro match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
