@@ -92,6 +92,28 @@ object Verify {
       .coalesce(1).write.mode("overwrite").parquet(s"$SigDumpDir/emb_buckets.parquet")
   }
 
+  /** Static wall-time hints (seconds, measured sf0.01 sweep) for LPT
+    * scheduling: start the long-running entries first so the parallel
+    * sweep's makespan is not a straggler scheduled last. Unlisted batch
+    * queries default to 1; unlisted streaming (x*) entries default to 8
+    * (each drains multiple micro-batches of real trigger wall time).
+    * Only the RANKING matters — a stale hint costs seconds, not
+    * correctness.
+    */
+  private val CostHint: Map[String, Double] = Map(
+    "x09_restart_resume" -> 30, "x29_backfill_offsets" -> 25,
+    "x34_ticket_modes" -> 25, "x40_deletion_waves" -> 20,
+    "x41_reorg_rewind" -> 20, "x16_reorg_retract" -> 15,
+    "r10_linear_interp" -> 18, "r04_gap_fill" -> 13,
+    "r05_session_funnel" -> 12, "r03_interval_overlap" -> 9,
+    "c65_try_funcs" -> 6, "g06_community_sizes" -> 5,
+    "r06_resample_ohlc" -> 4, "e19_runtime_prune_join" -> 4,
+    "sim11_ann_ivf_indexed" -> 6, "sim36_knn_graph" -> 5,
+    "e20_spj_join" -> 4, "g01_pagerank" -> 4)
+
+  private def costHint(name: String): Double =
+    CostHint.getOrElse(name, if (name.startsWith("x")) 8.0 else 1.0)
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -103,35 +125,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    dumpSyntheticChain(spark)
-    dumpSignatures(spark, sfDir)
-    // Per-query watchdog: one hung/pathological query must not zero the
-    // whole correctness round — cancel its job group and move on.
-    val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong * 1000
-    // dev aid (mirrors Bench): GRAFT_VERIFY_ONLY=q1,q2 restricts the dump
-    // an empty/blank value means "no filter", not "match nothing"
-    val only = sys.env.get("GRAFT_VERIFY_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      val timer = new java.util.Timer(true)
-      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-      timer.schedule(new java.util.TimerTask {
-        def run(): Unit = {
-          System.err.println(s"[verify] $name timed out after ${timeoutMs / 1000}s — cancelling")
-          spark.sparkContext.cancelJobGroup(name)
-        }
-      }, timeoutMs)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally {
-        timer.cancel()
-        spark.sparkContext.clearJobGroup()
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -144,9 +137,97 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json is written FIRST: it depends on nothing the query
+    // loop produces, and the driver's comparator loads it before anything
+    // else — a sweep interrupted by the driver's time budget must score
+    // its completed prefix, not zero the round (the round-7 failure mode).
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    dumpSyntheticChain(spark)
+    dumpSignatures(spark, sfDir)
+    // Per-query watchdog: one hung/pathological query must not zero the
+    // whole correctness round — cancel its job group and move on.
+    val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong * 1000
+    // dev aid (mirrors Bench): GRAFT_VERIFY_ONLY=q1,q2 restricts the dump
+    // an empty/blank value means "no filter", not "match nothing"
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
+    // Wall-clock budget for the WHOLE sweep (driver's slot is finite): once
+    // exceeded, workers stop pulling new queries and finish in-flight ones;
+    // everything already dumped still scores against the pre-written oracle.
+    val sweepStart = System.nanoTime()
+    val budgetNanos = sys.env.get("GRAFT_VERIFY_BUDGET_SEC")
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong * 1000000000L)
+    // The 313 catalog queries are independent; run them through a small
+    // worker pool, each worker on its OWN spark.newSession() — isolated
+    // SQLConf/temp views (queries that set session confs or register views
+    // can't interfere) while the scheduler, executor threads and the
+    // SharedState catalog (memoized bucketed/IVF warehouses) stay shared.
+    val par = math.max(1, sys.env.getOrElse("GRAFT_VERIFY_PAR", "6").toInt)
+    val work = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy { case (name, _) => (-costHint(name), name) }
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    work.foreach(queue.add)
+    val times = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val skipped = new java.util.concurrent.atomic.AtomicInteger(0)
+    def runOne(sess: SparkSession, name: String,
+               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val timer = new java.util.Timer(true)
+      sess.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+      timer.schedule(new java.util.TimerTask {
+        def run(): Unit = {
+          System.err.println(s"[verify] $name timed out after ${timeoutMs / 1000}s — cancelling")
+          sess.sparkContext.cancelJobGroup(name)
+        }
+      }, timeoutMs)
+      val t0 = System.nanoTime()
+      try {
+        fn(sess, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val secs = (System.nanoTime() - t0) / 1e9
+        times.put(name, secs)
+        System.err.println(f"[verify] $name ok ${secs}%.1fs")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        timer.cancel()
+        sess.sparkContext.clearJobGroup()
+      }
+    }
+    val threads = (1 to par).map { i =>
+      val th = new Thread(() => {
+        val sess = spark.newSession()
+        // explicit per-worker confs: newSession starts from the context
+        // conf, not the parent session's mutations
+        sess.conf.set("spark.sql.shuffle.partitions", cpus)
+        sess.conf.set("spark.sql.session.timeZone", "UTC")
+        SparkSession.setActiveSession(sess)
+        var next = queue.poll()
+        while (next != null) {
+          if (budgetNanos.exists(System.nanoTime() - sweepStart > _)) {
+            skipped.incrementAndGet(); // count, then drain without running
+          } else runOne(sess, next._1, next._2)
+          next = queue.poll()
+        }
+      }, s"graft-verify-$i")
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    val wall = (System.nanoTime() - sweepStart) / 1e9
+    import scala.jdk.CollectionConverters._
+    val done = times.asScala.toSeq.sortBy(-_._2)
+    System.err.println(f"[verify] sweep done: ${done.size}/${work.size} queries " +
+      f"in ${wall}%.1fs wall (par=$par, skipped=${skipped.get()} over budget); slowest: " +
+      done.take(10).map { case (n, s) => f"$n=${s}%.1fs" }.mkString(", "))
+    // machine-readable per-query timings (a FILE — the driver's comparator
+    // globs only outDir subdirectories, so this never reads as a query)
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    Files.writeString(Paths.get(s"$outDir/_verify_timings.json"),
+      done.sortBy(_._1).map { case (n, s) => s"${q(n)}: ${num(s)}" }
+        .mkString("{", ",", "}") + "\n")
     spark.stop()
   }
 }

@@ -760,12 +760,59 @@ object EngineOps {
             case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
             case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
           }
+          // Spark caches a catalog instance with its FIRST-resolution
+          // options: leaving these set would silently pin any later
+          // `graft_spj` use in this session to head=999/chunk=100.
+          s.conf.unset(s"spark.sql.catalog.$cat")
+          s.conf.unset(s"spark.sql.catalog.$cat.head")
+          s.conf.unset(s"spark.sql.catalog.$cat.chunk")
         }
       },
       Some(s"""SELECT l.blockNumber, l.logIndex, l.address, b.gasUsed
                FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet' l
                JOIN '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet' b
                  ON l.blockNumber = b.number
-               ORDER BY blockNumber, logIndex"""))
+               ORDER BY blockNumber, logIndex""")),
+
+    // TOPIC PUSHDOWN THROUGH THE SPJ CATALOG — closes the round-7 gap:
+    // e04's TopicPushdownRule rewrote only the TableProvider relation, so
+    // a CATALOG user filtering on topic0 fetched whole chunks. The rule
+    // now matches `graft-eth-spj:logs` relations too and plants the same
+    // `topics` scan option, which EthSpjTable.newScanBuilder threads into
+    // the node-side eth_getLogs filter (reference
+    // LogsService.java:548-556) — require()d on the executed plan via the
+    // scan description, with the Catalyst Filter left in place as the
+    // exact residual (quirk §8.4 discipline, same as e04). Per-invocation
+    // catalog name, and the confs are unset in finally (the e20 lesson:
+    // Spark caches a catalog instance with its first-resolution options).
+    Q("e21_spj_topic_pushdown",
+      (s, d) => withGraftExtensions(s) { s2 =>
+        val cat = "graft_spj_e21"
+        s2.conf.set(s"spark.sql.catalog.$cat", "graft.sources.EthSpjCatalog")
+        s2.conf.set(s"spark.sql.catalog.$cat.head", "2999")
+        s2.conf.set(s"spark.sql.catalog.$cat.chunk", "100")
+        try {
+          val logs = s2.table(s"$cat.logs")
+          val q = logs.where(element_at(col("topics"), 1).isin(topicPair: _*))
+            .groupBy(element_at(col("topics"), 1).as("topic0"))
+            .agg(count(lit(1)).as("n"), countDistinct(col("address")).as("n_addr"))
+            .orderBy("topic0")
+          val plan = q.queryExecution.executedPlan.toString
+          require(plan.contains("graft-eth-spj") && plan.contains("topics=2"),
+            s"topic0 predicate was not pushed into the SPJ catalog scan:\n$plan")
+          q
+        } finally {
+          s2.conf.unset(s"spark.sql.catalog.$cat")
+          s2.conf.unset(s"spark.sql.catalog.$cat.head")
+          s2.conf.unset(s"spark.sql.catalog.$cat.chunk")
+        }
+      },
+      Some(s"""SELECT topics[1] AS topic0,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(COUNT(DISTINCT address) AS BIGINT) AS n_addr
+               FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
+               WHERE topics[1] IN (${topicPair.map(t => s"'$t'").mkString(",")})
+               GROUP BY 1 ORDER BY topic0"""),
+      bench = false)
   )
 }

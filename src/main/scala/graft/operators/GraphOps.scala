@@ -79,8 +79,8 @@ object GraphOps {
     * All operands are non-negative, so DuckDB's sign-following `%` equals
     * pmod.
     */
-  private val sqlN = "(SELECT COUNT(*) FROM documents)"
-  private val sqlEdges =
+  private[operators] val sqlN = "(SELECT COUNT(*) FROM documents)"
+  private[operators] val sqlEdges =
     s"""e AS (SELECT doc_id AS src,
                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
                        % $sqlN AS dst
@@ -104,7 +104,7 @@ object GraphOps {
         (baseMass + expr(s"$DampNum * coalesce(s, 0L) div 100")).as("mass"))
   }
 
-  private def sqlIter(i: Int): String =
+  private[operators] def sqlIter(i: Int): String =
     s"""g$i AS (SELECT e.dst AS doc_id, SUM(m.mass // $OutDeg) AS s
                 FROM e JOIN m${i - 1} m ON m.doc_id = e.src GROUP BY e.dst),
         m$i AS (SELECT d.doc_id,

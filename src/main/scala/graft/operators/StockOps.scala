@@ -1923,14 +1923,18 @@ object StockOps {
           .withColumn("loo_avg",
             // coalesce, not a bare subtraction: EXCLUDE drops the current
             // ROW, so a NULL current value must subtract 0 (DuckDB's
-            // frame-excluded SUM skips it), not poison the whole average
-            (sum(dec(col("value"))).over(w) - coalesce(dec(col("value")), lit(0)))
-              .cast(DoubleType) / (count(lit(1)).over(w) - 1))
+            // frame-excluded SUM skips it), not poison the whole average.
+            // NULLIF-style n>1 guard: a single-row partition has NO peers
+            // — its loo_avg is NULL on both engines, never a silent ±Inf
+            // (Spark's double x/0) vs engine-specific behavior in DuckDB.
+            when(count(lit(1)).over(w) > 1,
+              (sum(dec(col("value"))).over(w) - coalesce(dec(col("value")), lit(0)))
+                .cast(DoubleType) / (count(lit(1)).over(w) - 1)))
           .orderBy("event_id")
       },
       Some("""SELECT event_id, event_type, value,
                      CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
-                       / (COUNT(*) OVER (PARTITION BY event_type) - 1) AS loo_avg
+                       / NULLIF(COUNT(*) OVER (PARTITION BY event_type) - 1, 0) AS loo_avg
               FROM events
               WINDOW w AS (PARTITION BY event_type ROWS BETWEEN UNBOUNDED PRECEDING
                            AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW)
@@ -1947,13 +1951,16 @@ object StockOps {
     // zero; the overflow arm is real for every user but user 0. DuckDB
     // mirrors try_cast with TRY_CAST and the arithmetic arms with CASE
     // guards (it has no try_divide/try_add — div-by-zero on DOUBLE is Inf
-    // and BIGINT overflow raises there). MEASURED COST, honestly: ~4.8 s
-    // at sf0.1 where the map-only siblings run ~1 s — TryEval's NULL path
-    // is a thrown-and-caught JVM exception PER BAD ROW, and this battery
-    // makes most rows bad by design. The production guidance the number
-    // encodes: try_* prices per-failure, so on mostly-clean data it is
-    // free, and on known-dirty columns an explicit CASE guard (the
-    // oracle's own form) is the cheaper plan.
+    // and BIGINT overflow raises there). PRICED DELIBERATELY: TryEval's
+    // NULL path is a thrown-and-caught JVM exception PER BAD ROW (measured
+    // round 7: an earlier mostly-bad battery cost 5.4 s vs ~1 s map-only
+    // siblings), so each failing arm here is BOUNDED to ~1/16 of rows —
+    // every failure mode stays real (unparseable cast, zero divisor,
+    // int64 overflow, each hit thousands of times at sf0.1) while the
+    // entry prices like its siblings. The production guidance the round-7
+    // number encoded still stands: try_* prices per-failure — on
+    // known-dirty columns an explicit CASE guard (the oracle's own form)
+    // is the cheaper plan.
     Q("c65_try_funcs",
       (s, d) => {
         val view = s"graft_try_${Catalog.pathTag(d)}"
@@ -1961,24 +1968,27 @@ object StockOps {
         s.sql(
           s"""SELECT event_id,
                      try_cast(num_str AS BIGINT) AS parsed,
-                     try_divide(value, event_id % 5) AS ratio,
-                     try_add(9223372036854775807, user_id) AS sum_edge
+                     try_divide(value, event_id % 16) AS ratio,
+                     try_add(9223372036854775807,
+                             CASE WHEN event_id % 16 = 5 THEN user_id
+                                  ELSE -user_id END) AS sum_edge
               FROM (SELECT event_id, user_id, value,
-                           CASE WHEN event_id % 3 = 0 THEN CAST(user_id AS STRING)
-                                WHEN event_id % 3 = 1 THEN concat(event_type, CAST(user_id AS STRING))
+                           CASE WHEN event_id % 16 = 1 THEN concat(event_type, CAST(user_id AS STRING))
+                                WHEN event_id % 3 = 0 THEN CAST(user_id AS STRING)
                                 ELSE concat('  ', CAST(user_id AS STRING), ' ') END AS num_str
                     FROM $view)
               ORDER BY event_id""")
       },
       Some("""SELECT event_id,
                      TRY_CAST(num_str AS BIGINT) AS parsed,
-                     CASE WHEN event_id % 5 = 0 THEN NULL
-                          ELSE CAST(value AS DOUBLE) / (event_id % 5) END AS ratio,
-                     CASE WHEN user_id > 0 THEN NULL
-                          ELSE 9223372036854775807 + user_id END AS sum_edge
+                     CASE WHEN event_id % 16 = 0 THEN NULL
+                          ELSE CAST(value AS DOUBLE) / (event_id % 16) END AS ratio,
+                     CASE WHEN event_id % 16 = 5 AND user_id > 0 THEN NULL
+                          WHEN event_id % 16 = 5 THEN 9223372036854775807 + user_id
+                          ELSE 9223372036854775807 - user_id END AS sum_edge
               FROM (SELECT event_id, user_id, value,
-                           CASE WHEN event_id % 3 = 0 THEN CAST(user_id AS VARCHAR)
-                                WHEN event_id % 3 = 1 THEN concat(event_type, CAST(user_id AS VARCHAR))
+                           CASE WHEN event_id % 16 = 1 THEN concat(event_type, CAST(user_id AS VARCHAR))
+                                WHEN event_id % 3 = 0 THEN CAST(user_id AS VARCHAR)
                                 ELSE concat('  ', CAST(user_id AS VARCHAR), ' ') END AS num_str
                     FROM events)
               ORDER BY event_id"""))

@@ -2821,6 +2821,154 @@ object StreamShape {
                FROM usr u LEFT JOIN pre p USING (user_id)
                WHERE u.timer_ms <= (SELECT wmf FROM wms)
                ORDER BY user_id"""),
+      bench = false),
+
+    // STREAMING GRAPH MAINTENANCE — g01's PageRank kept current as the
+    // LINK GRAPH GROWS, completing the last batch family with no live
+    // twin (the reference's only stateful live operator is the backfill
+    // buffer — Subscription.java:39-149; this is the d24 incremental-state
+    // convention applied to the link graph). Edges arrive in micro-batches;
+    // the maintained state is the per-iteration CONTRIBUTION tables
+    // C_k(v) = Σ_{(s→v)∈E_seen} w·(m_{k-1}(s) div 3), k = 1..3, from which
+    // every mass is a closed form (m_k = Base + 85·C_k div 100). A batch
+    // updates each level by DELTA PROPAGATION, never a full re-iteration:
+    //   • new edges contribute at the current upstream mass;
+    //   • OLD edges are corrected only where the upstream mass CHANGED
+    //     (w·(m_new div 3 − m_old div 3)), i.e. work ∝ |ΔE| + out-edges of
+    //     changed nodes — at 100 TB the edge store would be bucketed by
+    //     src so the changed-src probe prunes instead of scans.
+    // Levels materialize per batch into per-batch-id dirs (the x33 retry
+    // contract); correctness is ORDER-INDEPENDENT (each level's invariant
+    // is restored exactly per batch), and the drained C_3 read-out must
+    // land bit-for-bit on g01's replayed-3-iteration oracle. Two laws are
+    // require()d in-flight: the correction path fired (a later batch
+    // re-priced an earlier batch's edges), and at some batch the touched
+    // old-edge set was a PROPER subset of the store (the delta did less
+    // work than recompute).
+    Q("x47_stream_pagerank",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        import GraphOps.{BaseMass, DampNum, OutDeg, Scale}
+        val ckpt = java.nio.file.Files.createTempDirectory("x47ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x47src").toString
+        val edgeRoot = java.nio.file.Files.createTempDirectory("x47edges").toString
+        val cRoot = java.nio.file.Files.createTempDirectory("x47c").toString
+        val edgeDirs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+        val cDirs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+        val corrections = new java.util.concurrent.atomic.AtomicLong(0)
+        val properSubset = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id")
+        val n = docs.count() // bounded 1-value artifact (nodeCount convention)
+        val edges = GraphOps.linkEdges(docs, n)
+        (0 to 2).foreach { r =>
+          edges.where(pmod(col("src"), lit(3)) === r)
+            .coalesce(1).write.parquet(s"$srcDir/f$r")
+        }
+        def priorDirs(m: java.util.concurrent.ConcurrentHashMap[Long, String],
+            batchId: Long): Seq[String] = {
+          val b = Seq.newBuilder[String]
+          m.forEach((k, v) => if (k < batchId) b += v)
+          b.result()
+        }
+        val sq = s.readStream.schema(edges.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            if (!batch.isEmpty) {
+              val dE = batch.toDF().groupBy("src", "dst").agg(count(lit(1)).as("w"))
+                .localCheckpoint()
+              dE.write.mode("overwrite").parquet(s"$edgeRoot/b$batchId")
+              val oldEdgeDirs = priorDirs(edgeDirs, batchId)
+              val oldEdges =
+                if (oldEdgeDirs.isEmpty) None else Some(s.read.parquet(oldEdgeDirs: _*))
+              val prevCDir = latestBefore(cDirs, batchId)
+              def prevC(k: Int): Option[org.apache.spark.sql.DataFrame] =
+                prevCDir.map(p => s.read.parquet(s"$p/c$k"))
+              def emptyC = {
+                import s.implicits._
+                Seq.empty[(Long, Long)].toDF("doc_id", "c")
+              }
+              // merge a (doc_id, dc) delta into a C table
+              def merge(prev: org.apache.spark.sql.DataFrame,
+                  delta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+                prev.join(delta, Seq("doc_id"), "full_outer")
+                  .select(col("doc_id"),
+                    (coalesce(col("c"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("c"))
+              val newDir = s"$cRoot/b$batchId"
+              // ——— level 1: upstream mass is the CONSTANT m0 = Scale ———
+              val dC1 = dE.groupBy(col("dst").as("doc_id"))
+                .agg(sum(col("w") * lit(Scale / OutDeg)).as("dc"))
+              merge(prevC(1).getOrElse(emptyC), dC1)
+                .write.mode("overwrite").parquet(s"$newDir/c1")
+              // ——— levels 2..3: delta-propagate through the mass change ———
+              (2 to 3).foreach { k =>
+                val newUp = s.read.parquet(s"$newDir/c${k - 1}")
+                val oldUp = prevC(k - 1).getOrElse(emptyC)
+                // nodes whose upstream mass changed, with both masses
+                val changed = newUp.select(col("doc_id"), col("c").as("cn"))
+                  .join(oldUp.select(col("doc_id"), col("c").as("co")),
+                    Seq("doc_id"), "full_outer")
+                  .select(col("doc_id").as("src"),
+                    (lit(BaseMass) + expr(s"$DampNum * coalesce(cn, 0L) div 100")).as("mn"),
+                    (lit(BaseMass) + expr(s"$DampNum * coalesce(co, 0L) div 100")).as("mo"))
+                  .where(col("mn") =!= col("mo"))
+                  .localCheckpoint()
+                val corr = oldEdges.map { oe =>
+                  val c = oe.join(changed, "src")
+                    .select(col("dst"),
+                      (col("w") * (expr(s"mn div $OutDeg") - expr(s"mo div $OutDeg"))).as("dc"))
+                    .localCheckpoint()
+                  val touched = c.count()
+                  corrections.addAndGet(touched)
+                  if (k == 2 && touched < oe.count()) properSubset.set(true)
+                  c
+                }
+                val add = dE.join(
+                    newUp.select(col("doc_id").as("src"), col("c")), Seq("src"), "left")
+                  .select(col("dst"),
+                    (col("w") * expr(s"(($BaseMass + $DampNum * coalesce(c, 0L) div 100)) div $OutDeg")).as("dc"))
+                val dCk = corr.map(_.unionByName(add)).getOrElse(add)
+                  .groupBy(col("dst").as("doc_id")).agg(sum("dc").as("dc"))
+                merge(prevC(k).getOrElse(emptyC), dCk)
+                  .write.mode("overwrite").parquet(s"$newDir/c$k")
+              }
+              cDirs.put(batchId, newDir)
+              edgeDirs.put(batchId, s"$edgeRoot/b$batchId")
+              ()
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fed = sq.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 2,
+          s"x47 drained in $fed micro-batch(es) — incremental maintenance was not exercised")
+        require(corrections.get() > 0,
+          "no earlier batch's edges were ever re-priced — the correction path was vacuous")
+        require(properSubset.get(),
+          "every batch touched the WHOLE old-edge store — delta propagation never pruned")
+        val finalDir = {
+          var maxId = Long.MinValue
+          cDirs.forEach((k, _) => if (k > maxId) maxId = k)
+          cDirs.get(maxId)
+        }
+        docs.join(s.read.parquet(s"$finalDir/c3"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (lit(BaseMass) + expr(s"$DampNum * coalesce(c, 0L) div 100"))
+              .cast(LongType).as("mass"))
+          .orderBy("doc_id")
+      },
+      // g01's batch oracle verbatim — the maintained store must land on it
+      Some(
+        s"""WITH ${GraphOps.sqlEdges},
+               m0 AS (SELECT doc_id, CAST(${GraphOps.Scale} AS BIGINT) AS mass FROM documents),
+               ${GraphOps.sqlIter(1)},
+               ${GraphOps.sqlIter(2)},
+               ${GraphOps.sqlIter(3)}
+             SELECT doc_id, mass FROM m3 ORDER BY doc_id"""),
       bench = false)
   )
 }

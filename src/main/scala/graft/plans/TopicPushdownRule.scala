@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.EthTable
+import graft.sources.{EthSpjTable, EthTable}
 
 /** Optimizer rule: rewrite `element_at(topics, 1) IN ('0x..','0x..')` /
   * `element_at(topics, 1) = '0x..'` predicates over a graft-eth logs
@@ -29,8 +29,8 @@ object TopicPushdownRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, r: DataSourceV2Relation)
-        if r.table.isInstanceOf[EthTable]
-          && r.table.name() == "graft-eth:logs"
+        if (r.table.isInstanceOf[EthTable] && r.table.name() == "graft-eth:logs"
+          || r.table.isInstanceOf[EthSpjTable] && r.table.name() == "graft-eth-spj:logs")
           && !r.options.containsKey("topics") =>
       val topics = splitConjunctivePredicates(cond).flatMap(extractTopic0(_, r))
       if (topics.isEmpty) f

@@ -25,9 +25,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * connector-side answer to the bucketed-warehouse join (c31): the
   * storage layout itself carries the distribution, and the join moves no
   * data at all. The read path reuses the `format("graft-eth")` readers
-  * (bisection, synthetic RPC); this surface intentionally skips
-  * filter/aggregate pushdown — e04/e18 pin those on the TableProvider
-  * path, THIS entry pins the partitioning contract.
+  * (bisection, synthetic RPC). Topic0/address pushdown arrives the same
+  * way as on the TableProvider path — TopicPushdownRule rewrites the
+  * relation's scan options (e21 pins it here, e04 there); aggregate
+  * pushdown stays TableProvider-only (e18) — e20 pins THIS surface's
+  * partitioning contract.
   */
 class EthSpjCatalog extends TableCatalog with FunctionCatalog {
   private var catName = "graft_spj"
@@ -46,10 +48,12 @@ class EthSpjCatalog extends TableCatalog with FunctionCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array("logs", "blocks").map(Identifier.of(namespace, _))
 
+  // TableCatalog contract: unknown table → NoSuchTableException, so
+  // spark.catalog.tableExists and fall-back resolution paths see a clean
+  // table-not-found instead of an opaque error.
   override def loadTable(ident: Identifier): Table = ident.name() match {
     case d @ ("logs" | "blocks") => new EthSpjTable(d, head, chunkSize, rpc)
-    case other => throw new UnsupportedOperationException(
-      s"graft-eth SPJ catalog has no table '$other' (logs | blocks)")
+    case _ => throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -99,10 +103,22 @@ final class EthSpjTable(dataset: String, head: Long, chunkSize: Long, rpc: EthRp
   override def schema(): StructType = EthSchemas.forDataset(dataset)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  // `topics`/`addresses` scan options (set on the relation by
+  // TopicPushdownRule, exactly as on the TableProvider path) reach the
+  // node-side eth_getLogs filter — a catalog user filtering on topic0
+  // must not fetch whole chunks. Purely data-reducing: the Catalyst
+  // Filter stays in the plan as the exact residual.
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    def csv(key: String): Seq[String] =
+      Option(options.get(key)).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+    val addrs = csv("addresses").map(_.toLowerCase)
+    val tops = csv("topics")
     new ScanBuilder {
-      override def build(): Scan = new EthSpjScan(dataset, blockCol, head, chunkSize, rpc)
+      override def build(): Scan =
+        new EthSpjScan(dataset, blockCol, head, chunkSize, rpc, addrs, tops)
     }
+  }
 }
 
 /** One chunk-aligned closed block range, keyed by its chunk id — the
@@ -114,7 +130,8 @@ final case class KeyedBlockRange(start: Long, end: Long, chunkId: Long)
 }
 
 final class EthSpjScan(dataset: String, blockCol: String, head: Long,
-    chunkSize: Long, rpc: EthRpcSpec)
+    chunkSize: Long, rpc: EthRpcSpec,
+    addresses: Seq[String] = Seq.empty, topics: Seq[String] = Seq.empty)
     extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = EthSchemas.forDataset(dataset)
@@ -133,19 +150,21 @@ final class EthSpjScan(dataset: String, blockCol: String, head: Long,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EthSpjReaderFactory(dataset, readSchema(), rpc)
+    new EthSpjReaderFactory(dataset, readSchema(), rpc, addresses, topics)
 
   override def description(): String =
-    s"graft-eth-spj $dataset [0..$head] chunk=$chunkSize"
+    s"graft-eth-spj $dataset [0..$head] chunk=$chunkSize " +
+      s"addrs=${addresses.size} topics=${topics.size}"
 }
 
-final class EthSpjReaderFactory(dataset: String, schema: StructType, rpc: EthRpcSpec)
+final class EthSpjReaderFactory(dataset: String, schema: StructType, rpc: EthRpcSpec,
+    addresses: Seq[String], topics: Seq[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val kp = p.asInstanceOf[KeyedBlockRange]
     val br = BlockRangePartition(kp.start, kp.end)
     dataset match {
-      case "logs" => new EthLogsReader(schema, br, Seq.empty, Seq.empty, rpc.build())
+      case "logs" => new EthLogsReader(schema, br, addresses, topics, rpc.build())
       case "blocks" => new EthBlocksReader(schema, br, rpc.build())
     }
   }

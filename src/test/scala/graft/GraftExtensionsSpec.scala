@@ -63,6 +63,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val expected = all.collect()
         .count(r => { val t = r.getSeq[String](2); t.nonEmpty && t.head == someTopic })
       assert(q.count() === expected)
+
+      // --- the same rule matches the SPJ catalog path (e21) ---
+      val cat = "graft_spj_pushdown_spec"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.EthSpjCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.head", "199")
+      s.conf.set(s"spark.sql.catalog.$cat.chunk", "100")
+      try {
+        val qSpj = s.table(s"$cat.logs")
+          .where(element_at(col("topics"), 1) === someTopic)
+        assert(qSpj.queryExecution.executedPlan.toString.contains("topics=1"),
+          "topic0 predicate was not pushed into the SPJ catalog scan")
+        assert(qSpj.count() === expected)
+      } finally {
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.head")
+        s.conf.unset(s"spark.sql.catalog.$cat.chunk")
+      }
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
