@@ -8,17 +8,27 @@ object Verify {
   /** Location of the synthetic-chain reference dump; the connector oracle
     * SQL (EngineOps e01-e04) reads these files in DuckDB. The oracle
     * strings and the dump are produced by the same JVM, so the env override
-    * stays consistent between them.
+    * stays consistent between them. The default is PID-NAMESPACED: two
+    * Verify JVMs (e.g. a targeted re-run while a full sweep's comparator is
+    * still reading) must never clobber each other's dumps mid-compare —
+    * the oracle_sql.json each emits embeds its own path, so the comparator
+    * always reads the dump its oracle strings were built against.
     */
   val ChainDumpDir: String =
-    sys.env.getOrElse("GRAFT_CHAIN_DUMP_DIR", "/tmp/graft_synthetic_chain")
+    sys.env.getOrElse("GRAFT_CHAIN_DUMP_DIR",
+      s"/tmp/graft_synthetic_chain_${ProcessHandle.current().pid()}")
 
   /** Location of the driver-computed signature dump (PureSig): ground truth
     * for the engine-hash dedup/ANN family (d03/d04/d06/d07/d08, sim02). The
-    * oracle SQL for those queries reads these files in DuckDB.
+    * oracle SQL for those queries reads these files in DuckDB. PID-namespaced
+    * like [[ChainDumpDir]] — this dump is additionally SF-DEPENDENT, so a
+    * concurrent run at another SF would otherwise false-fail the whole
+    * PureSig-oracled family (observed: 8 false reds in a round-8 local
+    * check overlapped by a targeted re-run).
     */
   val SigDumpDir: String =
-    sys.env.getOrElse("GRAFT_SIG_DUMP_DIR", "/tmp/graft_sig_dump")
+    sys.env.getOrElse("GRAFT_SIG_DUMP_DIR",
+      s"/tmp/graft_sig_dump_${ProcessHandle.current().pid()}")
 
   /** Materialize the deterministic synthetic chain (seed 42, the connector's
     * default) as parquet, WITHOUT going through the DSv2 read path: rows come
@@ -92,27 +102,33 @@ object Verify {
       .coalesce(1).write.mode("overwrite").parquet(s"$SigDumpDir/emb_buckets.parquet")
   }
 
-  /** Static wall-time hints (seconds, measured sf0.01 sweep) for LPT
+  /** Static wall-time hints (seconds, MEASURED: full sf0.01 sweep,
+    * par=6, local[32] — `_verify_timings.json` of that run) for LPT
     * scheduling: start the long-running entries first so the parallel
     * sweep's makespan is not a straggler scheduled last. Unlisted batch
-    * queries default to 1; unlisted streaming (x*) entries default to 8
-    * (each drains multiple micro-batches of real trigger wall time).
-    * Only the RANKING matters — a stale hint costs seconds, not
-    * correctness.
+    * queries default to 1 (measured median 0.7); unlisted streaming (x*)
+    * entries default to 9 (measured median 9.3 — each drains multiple
+    * micro-batches of real trigger wall time). Only the RANKING matters —
+    * a stale hint costs seconds, not correctness.
     */
   private val CostHint: Map[String, Double] = Map(
-    "x09_restart_resume" -> 30, "x29_backfill_offsets" -> 25,
-    "x34_ticket_modes" -> 25, "x40_deletion_waves" -> 20,
-    "x41_reorg_rewind" -> 20, "x16_reorg_retract" -> 15,
-    "r10_linear_interp" -> 18, "r04_gap_fill" -> 13,
-    "r05_session_funnel" -> 12, "r03_interval_overlap" -> 9,
-    "c65_try_funcs" -> 6, "g06_community_sizes" -> 5,
-    "r06_resample_ohlc" -> 4, "e19_runtime_prune_join" -> 4,
-    "sim11_ann_ivf_indexed" -> 6, "sim36_knn_graph" -> 5,
-    "e20_spj_join" -> 4, "g01_pagerank" -> 4)
+    "x40_stream_deletions" -> 30, "x41_stream_tombstone_serve" -> 28,
+    "x21_stream_outer_join" -> 28, "x17_stream_ann_serve" -> 25,
+    "m09_phash_neardup" -> 4, "x43_stream_data_card" -> 22,
+    "x42_stream_interval_join" -> 20, "x44_stream_liststate_topk" -> 20,
+    "x22_stream_kmv_merge" -> 18, "x06_stream_stream_join" -> 16,
+    "x18_stream_late_data" -> 16, "x45_stream_mapstate_counts" -> 15,
+    "x24_stream_topk" -> 14, "x26_stream_ohlc" -> 13,
+    "x12_stream_index_append" -> 13, "x38_stream_knn_maintain" -> 13,
+    "x47_stream_pagerank" -> 12, "d24_incremental_clusters" -> 12,
+    "x23_stream_partitioned_sink" -> 11, "r10_linear_interp" -> 11,
+    "x19_stream_cms_merge" -> 11, "r04_gap_fill" -> 11,
+    "x09_stream_restart" -> 11, "x25_stream_cdc_upsert" -> 10,
+    "x27_stream_hist_merge" -> 10, "sim49_layered_walk_recall" -> 10,
+    "x11_stream_content_dedup" -> 10, "x10_transform_with_state" -> 9)
 
   private def costHint(name: String): Double =
-    CostHint.getOrElse(name, if (name.startsWith("x")) 8.0 else 1.0)
+    CostHint.getOrElse(name, if (name.startsWith("x")) 9.0 else 1.0)
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -156,9 +172,13 @@ object Verify {
     // Wall-clock budget for the WHOLE sweep (driver's slot is finite): once
     // exceeded, workers stop pulling new queries and finish in-flight ones;
     // everything already dumped still scores against the pre-written oracle.
+    // Default 900 s: the measured full sweep is 147-207 s (sf0.001-0.1,
+    // par=6, exclusive), so the backstop only fires on a pathologically
+    // crowded host — where losing the queue tail beats losing the round
+    // (the round-7 failure). GRAFT_VERIFY_BUDGET_SEC= (empty) disables.
     val sweepStart = System.nanoTime()
     val budgetNanos = sys.env.get("GRAFT_VERIFY_BUDGET_SEC")
-      .map(_.trim).filter(_.nonEmpty).map(_.toLong * 1000000000L)
+      .map(_.trim).orElse(Some("900")).filter(_.nonEmpty).map(_.toLong * 1000000000L)
     // The 313 catalog queries are independent; run them through a small
     // worker pool, each worker on its OWN spark.newSession() — isolated
     // SQLConf/temp views (queries that set session confs or register views
@@ -204,6 +224,10 @@ object Verify {
         // conf, not the parent session's mutations
         sess.conf.set("spark.sql.shuffle.partitions", cpus)
         sess.conf.set("spark.sql.session.timeZone", "UTC")
+        // defensive: a fresh session has an empty graft function registry;
+        // queries register what they use, but any future query that forgets
+        // must not flake depending on which sibling ran first on this worker
+        graft.functions.GraftFunctions.register(sess)
         SparkSession.setActiveSession(sess)
         var next = queue.poll()
         while (next != null) {

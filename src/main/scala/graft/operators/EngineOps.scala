@@ -813,6 +813,47 @@ object EngineOps {
                FROM '${graft.Verify.ChainDumpDir}/logs.parquet/*.parquet'
                WHERE topics[1] IN (${topicPair.map(t => s"'$t'").mkString(",")})
                GROUP BY 1 ORDER BY topic0"""),
+      bench = false),
+
+    // COLUMN PRUNING THROUGH THE SPJ CATALOG — e10's narrow-read contract
+    // on the catalog surface: the SPJ scan builder now implements
+    // SupportsPushDownRequiredColumns, so a 2-live-column rollup over the
+    // 22-column blocks table reaches the scan as a 2-column read
+    // (require()d on the BatchScan's output list). Same rollup and oracle
+    // as e10 — the two entries must stay value-identical across the two
+    // read surfaces.
+    Q("e22_spj_column_pruning",
+      (s, d) => {
+        val cat = "graft_spj_e22"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.EthSpjCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.head", "999")
+        s.conf.set(s"spark.sql.catalog.$cat.chunk", "100")
+        try {
+          val blocks = s.table(s"$cat.blocks")
+          val q = blocks.select(col("number"), col("gasUsed"), col("miner"))
+            .where(col("gasUsed") > 0)
+            .groupBy(expr("number div 500").as("chunk"))
+            .agg(count(lit(1)).as("n_blocks"), sum("gasUsed").as("total_gas"))
+            .orderBy("chunk")
+          val plan = q.queryExecution.executedPlan.toString
+          // `miner` feeds nothing downstream — the scan must read exactly
+          // (number, gasUsed)
+          val scanCols = raw"BatchScan graft-eth-spj:blocks\[([^\]]*)\]".r
+            .findFirstMatchIn(plan).map(_.group(1).split(",").length)
+          require(scanCols.contains(2),
+            s"SPJ blocks scan not pruned to the 2 live columns:\n$plan")
+          q
+        } finally {
+          s.conf.unset(s"spark.sql.catalog.$cat")
+          s.conf.unset(s"spark.sql.catalog.$cat.head")
+          s.conf.unset(s"spark.sql.catalog.$cat.chunk")
+        }
+      },
+      Some(s"""SELECT number // 500 AS chunk, COUNT(*) AS n_blocks,
+                      CAST(SUM(gasUsed) AS BIGINT) AS total_gas
+               FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet'
+               WHERE gasUsed > 0
+               GROUP BY 1 ORDER BY chunk"""),
       bench = false)
   )
 }

@@ -18,6 +18,13 @@ import Catalog._
   */
 object MultimodalOps {
 
+  /** m09's frequent-bucket ban list: a pHash band bucket with more members
+    * than this carries no near-dup signal and would expand C(n,2) pairs —
+    * the quadratic blow-up banding exists to avoid. Declared before `all`
+    * (the oracle string interpolates it at object init — the KnnK trap).
+    */
+  val PhashBucketCap = 64L
+
   /** A media row: opaque payload + typed metadata. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
 
@@ -327,8 +334,26 @@ object MultimodalOps {
                 when(element_at(col("px"), (b * 16 + j + 1).cast(IntegerType)) * 64 > col("tot"),
                   lit(1L)).otherwise(lit(0L)))))
           .select(col("doc_id"), col("bands"))
+          // the signature subplan feeds FIVE branches (two sides of the
+          // bucket self-join, the bucket-count filter, and the ba/bb
+          // hamming lookups) — without a checkpoint each branch re-runs
+          // the 64-sample + band-packing expression over the whole corpus
+          // (the p05 lesson; this, not the bucket join, was the measured
+          // sf0.1 cost)
+          .localCheckpoint()
         val bandRows = sig.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "v")))
-        val cand = bandRows.as("a").join(bandRows.as("b"),
+        // LSH ban-list discipline: a band bucket holding more than
+        // [[PhashBucketCap]] members is NON-DISCRIMINATIVE (structured text
+        // concentrates thresholded 16-bit words), and its C(n,2) pair
+        // expansion is the quadratic blow-up banding exists to avoid —
+        // measured 207 s at sf0.1 before the cap, the single worst catalog
+        // entry. Dropping over-full buckets is the standard frequent-bucket
+        // ban list: a true near-dup pair stays reachable through any of its
+        // other, selective bands. Mirrored in the oracle.
+        val bucketN = bandRows.groupBy("band", "v").agg(count(lit(1)).as("bn"))
+        val kept = bandRows.join(bucketN.where(col("bn") <= PhashBucketCap),
+          Seq("band", "v")).select("doc_id", "band", "v")
+        val cand = kept.as("a").join(kept.as("b"),
             col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
@@ -342,15 +367,17 @@ object MultimodalOps {
           .orderBy("hamming", "da", "db")
           .limit(20)
       },
-      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 64),
+      Some(s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 64),
                 s AS (SELECT doc_id, r, ascii(text[CAST((r * n) // 64 + 1 AS INT)]) AS px
                       FROM d, UNNEST(range(0, 64)) AS t(r)),
                 m AS (SELECT doc_id, SUM(px) AS tot FROM s GROUP BY 1),
                 b AS (SELECT s.doc_id, CAST(r // 16 AS INT) AS band,
                              CAST(SUM(CASE WHEN px * 64 > tot THEN 1 ELSE 0 END * (1 << CAST(r % 16 AS INT))) AS BIGINT) AS v
                       FROM s JOIN m USING (doc_id) GROUP BY 1, 2),
+                bc AS (SELECT band, v FROM b GROUP BY band, v HAVING COUNT(*) <= $PhashBucketCap),
+                bf AS (SELECT b.* FROM b JOIN bc USING (band, v)),
                 cand AS (SELECT DISTINCT a.doc_id AS da, b2.doc_id AS db
-                         FROM b a JOIN b b2 ON a.band = b2.band AND a.v = b2.v AND a.doc_id < b2.doc_id),
+                         FROM bf a JOIN bf b2 ON a.band = b2.band AND a.v = b2.v AND a.doc_id < b2.doc_id),
                 sig AS (SELECT doc_id, list(v ORDER BY band) AS bands FROM b GROUP BY 1),
                 ham AS (SELECT da, db,
                                CAST(bit_count(xor(x.bands[1], y.bands[1])) + bit_count(xor(x.bands[2], y.bands[2]))

@@ -1838,9 +1838,15 @@ object SimilarityOps {
     Q("sim24_mmr_rerank",
       (s, d) => {
         val K = 8
+        // cand and p feed EVERY greedy step's branches (s1, s2, s3 and the
+        // final union) — without a checkpoint each branch re-runs the
+        // brute-force probe scan and the candidate pair join (the p05
+        // shared-subplan lesson; measured 3.8 s steady-state before, the
+        // candidate set is K·probes rows so the checkpoint is tiny)
         val cand = StockOps.perKeyTopK(
           probePairs(s, d, 16).select("qid", "vec_id", "cos_sim"),
           Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), K).drop("rk")
+          .localCheckpoint()
         val nv = withNorm(s, d).select(col("vec_id"), col("embedding"), col("norm2"))
         val ce = cand.join(nv, "vec_id")
         val p = ce.select(col("qid"), col("vec_id").as("i"),
@@ -1850,6 +1856,7 @@ object SimilarityOps {
           .where(col("i") =!= col("j"))
           .select(col("qid"), col("i"), col("j"),
             cosine(scaledDot(col("e1"), col("e2")), col("n1"), col("n2")).as("sim"))
+          .localCheckpoint()
         def top1(df: org.apache.spark.sql.DataFrame, step: Int) =
           StockOps.perKeyTopK(df, Seq("qid"), Seq(desc("mmr"), col("vec_id")), 1)
             .drop("rk").withColumn("rk", lit(step))

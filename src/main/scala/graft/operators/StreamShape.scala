@@ -1310,6 +1310,11 @@ object StreamShape {
     Q("x28_stream_lsh_neardup",
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
+        // must pre-date stream start: the stream's session clone snapshots
+        // the function registry, and bandBuckets' minhash kernel resolves
+        // against that clone (caught by an isolated-session Verify worker —
+        // every other kernel-using stream already registered first)
+        graft.functions.GraftFunctions.register(s)
         val ckpt = java.nio.file.Files.createTempDirectory("x28ckpt").toString
         val srcDir = java.nio.file.Files.createTempDirectory("x28src").toString
         val sigStore = java.nio.file.Files.createTempDirectory("x28sigs").toString

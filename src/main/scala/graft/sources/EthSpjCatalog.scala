@@ -107,16 +107,24 @@ final class EthSpjTable(dataset: String, head: Long, chunkSize: Long, rpc: EthRp
   // TopicPushdownRule, exactly as on the TableProvider path) reach the
   // node-side eth_getLogs filter — a catalog user filtering on topic0
   // must not fetch whole chunks. Purely data-reducing: the Catalyst
-  // Filter stays in the plan as the exact residual.
+  // Filter stays in the plan as the exact residual. Column pruning
+  // mirrors the TableProvider path (e10): a 3-column rollup over the
+  // 22-column blocks table must not decode 22 columns per block. If the
+  // pruned schema drops the partitioning column, Spark simply fails to
+  // resolve the reported KeyGroupedPartitioning and falls back — pruning
+  // never breaks the SPJ contract, it just can't co-partition a join
+  // that doesn't carry the key.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     def csv(key: String): Seq[String] =
       Option(options.get(key)).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Seq.empty)
     val addrs = csv("addresses").map(_.toLowerCase)
     val tops = csv("topics")
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = EthSchemas.forDataset(dataset)
+      override def pruneColumns(r: StructType): Unit = { required = r }
       override def build(): Scan =
-        new EthSpjScan(dataset, blockCol, head, chunkSize, rpc, addrs, tops)
+        new EthSpjScan(dataset, blockCol, head, chunkSize, rpc, addrs, tops, required)
     }
   }
 }
@@ -131,10 +139,12 @@ final case class KeyedBlockRange(start: Long, end: Long, chunkId: Long)
 
 final class EthSpjScan(dataset: String, blockCol: String, head: Long,
     chunkSize: Long, rpc: EthRpcSpec,
-    addresses: Seq[String] = Seq.empty, topics: Seq[String] = Seq.empty)
+    addresses: Seq[String] = Seq.empty, topics: Seq[String] = Seq.empty,
+    requiredSchema: StructType = null)
     extends Scan with Batch with SupportsReportPartitioning {
 
-  override def readSchema(): StructType = EthSchemas.forDataset(dataset)
+  override def readSchema(): StructType =
+    Option(requiredSchema).getOrElse(EthSchemas.forDataset(dataset))
   override def toBatch: Batch = this
 
   private def nChunks: Int = (head / chunkSize + 1).toInt
