@@ -2974,6 +2974,131 @@ object StreamShape {
                ${GraphOps.sqlIter(2)},
                ${GraphOps.sqlIter(3)}
              SELECT doc_id, mass FROM m3 ORDER BY doc_id"""),
+      bench = false),
+
+    // STREAMING TRIANGLE MAINTENANCE — g03's per-node triangle
+    // participation kept EXACT as edges arrive (the classic incremental
+    // triangle count: Becchetti-style last-edge attribution). Every
+    // triangle is counted exactly once, in the batch its LAST edge
+    // arrives, by decomposing on how many of its edges are in the
+    // current delta Δ:
+    //   T1 (1 new edge): Δ(u,v) wedge-closed through TWO store edges —
+    //      work ∝ |Δ|·deg, a probe of the adjacency store by Δ's
+    //      vertices (at 100 TB the store is bucketed by vertex, so the
+    //      probe prunes instead of scans);
+    //   T2 (2 new edges): the two new edges share their wedge vertex, so
+    //      the pair is found once at that vertex, closed by ONE store
+    //      edge;
+    //   T3 (3 new edges): the a<b<c canonical pattern inside Δ alone.
+    // Per-node participation is carried as ADDITIVE (doc_id, +3·count)
+    // partials per batch (the x37 mergeable-partial discipline) — the
+    // drained GROUP-BY-sum must land bit-for-bit on g03's batch oracle.
+    // Both the single-new-edge and the multi-new-edge paths are
+    // require()d non-vacuous.
+    Q("x48_stream_triangles",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ckpt = java.nio.file.Files.createTempDirectory("x48ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x48src").toString
+        val edgeRoot = java.nio.file.Files.createTempDirectory("x48edges").toString
+        val partRoot = java.nio.file.Files.createTempDirectory("x48parts").toString
+        val edgeDirs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+        val oneNew = new java.util.concurrent.atomic.AtomicLong(0)
+        val multiNew = new java.util.concurrent.atomic.AtomicLong(0)
+        val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id")
+        val n = docs.count()
+        val und = GraphOps.linkEdges(docs, n).where(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .distinct()
+        (0 to 2).foreach { r =>
+          und.where(pmod(col("u") + col("v"), lit(3)) === r)
+            .coalesce(1).write.parquet(s"$srcDir/f$r")
+        }
+        def sym(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          e.select(col("u").as("a"), col("v").as("b"))
+            .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+        val sq = s.readStream.schema(und.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            if (!batch.isEmpty) {
+              val dE = batch.toDF().localCheckpoint() // canonical u < v
+              dE.write.mode("overwrite").parquet(s"$edgeRoot/b$batchId")
+              val oldDirs = {
+                val b = Seq.newBuilder[String]
+                edgeDirs.forEach((k, p) => if (k < batchId) b += p)
+                b.result()
+              }
+              val old = if (oldDirs.isEmpty) None else Some(s.read.parquet(oldDirs: _*))
+              val dSym = sym(dE)
+              // T1: the new edge is the triangle's LAST — both closing
+              // edges already in the store
+              val t1 = old.map { oe =>
+                val os = sym(oe)
+                dE.join(os.select(col("a").as("u"), col("b").as("w")), Seq("u"))
+                  .join(os.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"), "left_semi")
+                  .select(col("u"), col("v"), col("w"))
+              }
+              // T2: two new edges wedge at w, closed by one store edge
+              val t2 = old.map { oe =>
+                dSym.select(col("a").as("w"), col("b").as("u"))
+                  .join(dSym.select(col("a").as("w"), col("b").as("v")), Seq("w"))
+                  .where(col("u") < col("v"))
+                  .join(oe, Seq("u", "v"), "left_semi")
+                  .select(col("u"), col("v"), col("w"))
+              }
+              // T3: all three edges in this delta (a<b<c canonical)
+              val t3 = dE.as("ab")
+                .join(dE.as("bc"), col("ab.v") === col("bc.u"))
+                .join(dE.select(col("u").as("xa"), col("v").as("xc")),
+                  col("ab.u") === col("xa") && col("bc.v") === col("xc"), "left_semi")
+                .select(col("ab.u").as("u"), col("ab.v").as("v"), col("bc.v").as("w"))
+              val newTris = (t1.toSeq ++ t2.toSeq :+ t3)
+                .reduce(_ unionByName _).localCheckpoint()
+              oneNew.addAndGet(t1.map(_.count()).getOrElse(0L))
+              multiNew.addAndGet(t2.map(_.count()).getOrElse(0L) + t3.count())
+              newTris
+                .select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+                .groupBy("doc_id").agg(count(lit(1)).as("c"))
+                .write.mode("overwrite").parquet(s"$partRoot/b$batchId")
+              edgeDirs.put(batchId, s"$edgeRoot/b$batchId")
+              ()
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fed = sq.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 2,
+          s"x48 drained in $fed micro-batch(es) — incremental maintenance was not exercised")
+        require(oneNew.get() > 0,
+          "no triangle was ever closed through the edge store — the T1 probe path was vacuous")
+        require(multiNew.get() > 0,
+          "no triangle ever had 2+ edges in one delta — the T2/T3 paths were vacuous")
+        s.read.option("recursiveFileLookup", "true").parquet(partRoot)
+          .groupBy("doc_id").agg(sum("c").as("n_tri"))
+          .orderBy("doc_id")
+      },
+      // g03's batch oracle verbatim — the maintained partials must land on it
+      Some(
+        s"""WITH ${GraphOps.sqlEdges},
+               und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                       FROM e WHERE src <> dst),
+               deg AS (SELECT node, COUNT(*) AS dg
+                       FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+                       GROUP BY node),
+               o AS (SELECT CASE WHEN (du.dg, u) < (dv.dg, v) THEN u ELSE v END AS a,
+                            CASE WHEN (du.dg, u) < (dv.dg, v) THEN v ELSE u END AS b
+                     FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+               tri AS (SELECT o1.a, o1.b, o2.b AS c FROM o o1 JOIN o o2 ON o2.a = o1.b
+                       WHERE EXISTS (SELECT 1 FROM o o3 WHERE o3.a = o1.a AND o3.b = o2.b))
+             SELECT doc_id, COUNT(*) AS n_tri
+             FROM (SELECT UNNEST([a, b, c]) AS doc_id FROM tri)
+             GROUP BY doc_id ORDER BY doc_id"""),
       bench = false)
   )
 }
