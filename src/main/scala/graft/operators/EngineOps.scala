@@ -854,6 +854,41 @@ object EngineOps {
                FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet'
                WHERE gasUsed > 0
                GROUP BY 1 ORDER BY chunk"""),
+      bench = false),
+
+    // COMPLETE AGGREGATE PUSHDOWN THROUGH THE SPJ CATALOG — e18's
+    // range-arithmetic contract on the catalog surface (the shared
+    // EthAggPushdown object serves both scan builders, so the two
+    // surfaces cannot drift): COUNT(*)/MIN/MAX over blocks plans as the
+    // one-row AGG-PUSHDOWN scan with NO re-aggregation and zero rows
+    // fetched. With e20 (source partitioning) + e21 (filter options) +
+    // e22 (column pruning) + this, the catalog path now carries the full
+    // production pushdown surface.
+    Q("e23_spj_agg_pushdown",
+      (s, d) => {
+        val cat = "graft_spj_e23"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.EthSpjCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.head", "999")
+        s.conf.set(s"spark.sql.catalog.$cat.chunk", "100")
+        try {
+          val q = s.table(s"$cat.blocks")
+            .agg(count(lit(1)).as("n_blocks"),
+              min("number").as("min_block"), max("number").as("max_block"))
+          val plan = q.queryExecution.executedPlan.toString
+          require(plan.contains("AGG-PUSHDOWN"),
+            s"SPJ blocks aggregate did not reach the connector:\n$plan")
+          require(!plan.contains("HashAggregate"),
+            s"aggregate pushed but Spark still re-aggregates (not complete):\n$plan")
+          q
+        } finally {
+          s.conf.unset(s"spark.sql.catalog.$cat")
+          s.conf.unset(s"spark.sql.catalog.$cat.head")
+          s.conf.unset(s"spark.sql.catalog.$cat.chunk")
+        }
+      },
+      Some(s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                      MIN(number) AS min_block, MAX(number) AS max_block
+               FROM '${graft.Verify.ChainDumpDir}/blocks.parquet/*.parquet'"""),
       bench = false)
   )
 }

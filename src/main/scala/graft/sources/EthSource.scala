@@ -152,29 +152,13 @@ final class EthScanBuilder(dataset: String, fullSchema: StructType, options: Cas
     */
   private var pushedAgg: Option[Seq[String]] = None
 
-  private def supportedAggFuncs(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[Seq[String]] = {
-    import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
-      e match { case nr: NamedReference => Some(nr.fieldNames.mkString(".")); case _ => None }
-    if (dataset != "blocks" || agg.groupByExpressions.nonEmpty) return None
-    val funcs = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => Some("count")
-      case m: Min if colOf(m.column).contains(blockCol) => Some("min")
-      case m: Max if colOf(m.column).contains(blockCol) => Some("max")
-      case _ => None
-    }
-    if (funcs.nonEmpty && funcs.forall(_.isDefined)) Some(funcs.flatten) else None
-  }
-
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    supportedAggFuncs(agg).isDefined
+    EthAggPushdown.supported(dataset, blockCol, agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    supportedAggFuncs(agg) match {
+    EthAggPushdown.supported(dataset, blockCol, agg) match {
       case some @ Some(_) => pushedAgg = some; true
       case None => false
     }
@@ -199,6 +183,31 @@ final class EthScanBuilder(dataset: String, fullSchema: StructType, options: Cas
       options.getLong("maxBlockRange", 500L),
       options.getLong("maxBlocksPerTrigger", 5000L),
       EthRpcSpec.fromOptions(options))
+  }
+}
+
+/** The connector's pushable-aggregate contract, shared by the
+  * TableProvider (e18) and SPJ-catalog (e23) scan builders: COUNT(*) /
+  * MIN(blockCol) / MAX(blockCol) over BLOCKS with no GROUP BY is pure
+  * range arithmetic (block numbers are dense — a gap is an RPC error,
+  * never a hole), so the scan fetches nothing. Logs aggregates are never
+  * claimed: log counts are data-dependent.
+  */
+object EthAggPushdown {
+  def supported(dataset: String, blockCol: String,
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[Seq[String]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match { case nr: NamedReference => Some(nr.fieldNames.mkString(".")); case _ => None }
+    if (dataset != "blocks" || agg.groupByExpressions.nonEmpty) return None
+    val funcs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if colOf(m.column).contains(blockCol) => Some("min")
+      case m: Max if colOf(m.column).contains(blockCol) => Some("max")
+      case _ => None
+    }
+    if (funcs.nonEmpty && funcs.forall(_.isDefined)) Some(funcs.flatten) else None
   }
 }
 

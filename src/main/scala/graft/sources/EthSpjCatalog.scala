@@ -120,11 +120,28 @@ final class EthSpjTable(dataset: String, head: Long, chunkSize: Long, rpc: EthRp
         .getOrElse(Seq.empty)
     val addrs = csv("addresses").map(_.toLowerCase)
     val tops = csv("topics")
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownAggregates {
       private var required: StructType = EthSchemas.forDataset(dataset)
+      private var pushedAgg: Option[Seq[String]] = None
       override def pruneColumns(r: StructType): Unit = { required = r }
-      override def build(): Scan =
-        new EthSpjScan(dataset, blockCol, head, chunkSize, rpc, addrs, tops, required)
+      // blocks COUNT/MIN/MAX are range arithmetic on this surface too —
+      // the shared EthAggPushdown contract (complete pushdown, no
+      // re-aggregation, zero rows fetched)
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        EthAggPushdown.supported(dataset, blockCol, agg).isDefined
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        EthAggPushdown.supported(dataset, blockCol, agg) match {
+          case some @ Some(_) => pushedAgg = some; true
+          case None => false
+        }
+      override def build(): Scan = pushedAgg match {
+        case Some(funcs) => new EthAggScan(funcs, 0L, head, rpc)
+        case None =>
+          new EthSpjScan(dataset, blockCol, head, chunkSize, rpc, addrs, tops, required)
+      }
     }
   }
 }
