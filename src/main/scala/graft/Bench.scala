@@ -61,18 +61,28 @@ object Bench {
       }
     }
     // Per-query watchdog mirrors Verify: a wedged query reports its
-    // timeout instead of stalling the whole benchmark run.
+    // timeout instead of stalling the whole benchmark run. Returns None
+    // on failure so callers can distinguish "ran in t" from "died in t".
     val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong * 1000
-    val results = qs.map { q =>
+    def timedRun(q: graft.operators.Q, tag: String): Option[Double] = {
       val timer = new java.util.Timer(true)
       spark.sparkContext.setJobGroup(q.name, q.name, interruptOnCancel = true)
       timer.schedule(new java.util.TimerTask {
         def run(): Unit = spark.sparkContext.cancelJobGroup(q.name)
       }, timeoutMs)
       val t0 = System.nanoTime()
-      try shape(q.build(spark, sfDir)).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
-      finally { timer.cancel(); spark.sparkContext.clearJobGroup() }
+      val ok =
+        try { shape(q.build(spark, sfDir)).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $tag ${q.name}: $e"); false }
+        finally { timer.cancel(); spark.sparkContext.clearJobGroup() }
+      if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+    }
+    val results = qs.map { q =>
+      // a FAILED first run still records its wall time (the slot was
+      // spent and the driver's total should show it) — only the RERUN
+      // below drops failures, because there the time would corrupt a ratio
+      val t0 = System.nanoTime()
+      timedRun(q, "run")
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     // Noise floor / exclusivity marker: the driver's bench slot shares its
@@ -83,15 +93,15 @@ object Bench {
     // BOTH timings lets the driver/judge calibrate: rerun ≈ first-run means
     // the numbers are trustworthy; rerun ≪ first-run flags a crowded host
     // in the JSON itself instead of reading as a regression.
+    // Same watchdog as the main loop (a wedged rerun must not lose the
+    // whole bench artifact), and a FAILED rerun is DROPPED, not recorded:
+    // a near-zero failure time in the denominator would fake a
+    // crowded-host signal.
     val rerun: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty
       else results.sortBy(-_._2).take(5).flatMap { case (name, _) =>
-        Catalog.byName.get(name).map { qq =>
-          val t0 = System.nanoTime()
-          try shape(qq.build(spark, sfDir)).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable => System.err.println(s"[bench] rerun $name: $e") }
-          name -> (System.nanoTime() - t0) / 1e9
-        }
+        Catalog.byName.get(name).flatMap(qq =>
+          timedRun(qq, "rerun").map(name -> _))
       }
     // Trigger-to-sink latency of the live path (the reference's WSS push
     // is latency-motivated — LogsService.java:391-426): drain a
@@ -131,15 +141,20 @@ object Bench {
     val latJson = latency.map { case (p50, p95, n) =>
       s""","stream_latency":{"p50_ms":${num(p50)},"p95_ms":${num(p95)},"batches":$n}"""
     }.getOrElse("")
-    // noise_floor = sum(first-run of top-5) / sum(exclusive-ish rerun):
-    // ~1.0 means the first-run numbers are clean; >1.5 means the host was
-    // crowded when those queries first ran and absolute totals are inflated.
+    // noise_floor = MEDIAN of per-query first/rerun ratios: ~1.0 means the
+    // first-run numbers are clean; >1.5 means the host was crowded when
+    // those queries first ran and absolute totals are inflated. Median,
+    // not sum-ratio: a memoizing query (r04/r10's shared day-grid, the
+    // IVF/bucketed warehouses) legitimately reruns far faster than its
+    // artifact-building first run, and one such outlier must not fake a
+    // crowded-host signal on a clean host.
     val rerunJson =
       if (rerun.isEmpty) ""
       else {
-        val firstSum = rerun.flatMap { case (n, _) => results.find(_._1 == n) }.map(_._2).sum
-        val rerunSum = rerun.map(_._2).sum
-        val floor = if (rerunSum > 0) firstSum / rerunSum else -1.0
+        val ratios = rerun.flatMap { case (n, r) =>
+          results.find(_._1 == n).collect { case (_, f) if r > 0 => f / r }
+        }.sorted
+        val floor = if (ratios.isEmpty) -1.0 else ratios(ratios.size / 2)
         s""","rerun_top5":${rerun.map { case (k, v) => "\"" + k + "\":" + num(v) }
           .mkString("{", ",", "}")},"noise_floor":${num(floor)}"""
       }

@@ -131,8 +131,37 @@ object Verify {
   private def costHint(name: String): Double =
     CostHint.getOrElse(name, if (name.startsWith("x")) 9.0 else 1.0)
 
+  /** Best-effort reaper for PID-namespaced dumps left by EARLIER Verify
+    * JVMs: a dump must outlive its own JVM (the comparator reads it after
+    * Verify exits), so cleanup can't be a shutdown hook — instead each new
+    * run deletes sibling dumps older than 2 h (any comparator reads its
+    * dump within minutes). Never touches this run's own dirs and never
+    * fails the run.
+    */
+  private def reapStaleDumps(): Unit = try {
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    val tmp = java.nio.file.Paths.get("/tmp")
+    val st = Files.list(tmp)
+    val stale =
+      try st.toArray.map(_.asInstanceOf[java.nio.file.Path]).filter { p =>
+        val n = p.getFileName.toString
+        (n.startsWith("graft_synthetic_chain_") || n.startsWith("graft_sig_dump_")) &&
+          !Seq(ChainDumpDir, SigDumpDir).contains(p.toString) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff
+      } finally st.close()
+    stale.foreach { root =>
+      try {
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case _: Throwable => () }
+    }
+  } catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    reapStaleDumps()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

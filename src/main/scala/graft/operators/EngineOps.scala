@@ -730,7 +730,11 @@ object EngineOps {
     // moves no data at all. Values land on x06's chain-dump oracle.
     Q("e20_spj_join",
       (s, d) => {
-        val cat = "graft_spj"
+        // unique per-entry catalog name — the REAL stale-options guard:
+        // Spark's CatalogManager caches the loaded instance per session
+        // and never re-resolves on conf change, so a reused name would
+        // silently serve this entry's head/chunk to any later user
+        val cat = "graft_spj_e20"
         s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.EthSpjCatalog")
         s.conf.set(s"spark.sql.catalog.$cat.head", "999")
         s.conf.set(s"spark.sql.catalog.$cat.chunk", "100")
@@ -760,9 +764,9 @@ object EngineOps {
             case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
             case None => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
           }
-          // Spark caches a catalog instance with its FIRST-resolution
-          // options: leaving these set would silently pin any later
-          // `graft_spj` use in this session to head=999/chunk=100.
+          // conf hygiene only — unsetting does NOT evict the cached
+          // catalog instance (CatalogManager caches per session); the
+          // unique name above is what actually prevents stale reuse
           s.conf.unset(s"spark.sql.catalog.$cat")
           s.conf.unset(s"spark.sql.catalog.$cat.head")
           s.conf.unset(s"spark.sql.catalog.$cat.chunk")
@@ -782,9 +786,10 @@ object EngineOps {
     // the node-side eth_getLogs filter (reference
     // LogsService.java:548-556) — require()d on the executed plan via the
     // scan description, with the Catalyst Filter left in place as the
-    // exact residual (quirk §8.4 discipline, same as e04). Per-invocation
-    // catalog name, and the confs are unset in finally (the e20 lesson:
-    // Spark caches a catalog instance with its first-resolution options).
+    // exact residual (quirk §8.4 discipline, same as e04). The per-entry
+    // UNIQUE catalog name is the stale-options guard (CatalogManager
+    // caches the loaded instance per session; conf unset can't evict it —
+    // the finally-unsets are hygiene only).
     Q("e21_spj_topic_pushdown",
       (s, d) => withGraftExtensions(s) { s2 =>
         val cat = "graft_spj_e21"
