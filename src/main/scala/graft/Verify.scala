@@ -121,7 +121,7 @@ object Verify {
     "x24_stream_topk" -> 14, "x26_stream_ohlc" -> 13,
     "x12_stream_index_append" -> 13, "x38_stream_knn_maintain" -> 13,
     "x47_stream_pagerank" -> 12, "x48_stream_triangles" -> 11,
-    "d24_incremental_clusters" -> 12,
+    "x49_stream_assortativity" -> 14, "d24_incremental_clusters" -> 12,
     "x23_stream_partitioned_sink" -> 11, "r10_linear_interp" -> 11,
     "x19_stream_cms_merge" -> 11, "r04_gap_fill" -> 11,
     "x09_stream_restart" -> 11, "x25_stream_cdc_upsert" -> 10,

@@ -3099,6 +3099,149 @@ object StreamShape {
              SELECT doc_id, COUNT(*) AS n_tri
              FROM (SELECT UNNEST([a, b, c]) AS doc_id FROM tri)
              GROUP BY doc_id ORDER BY doc_id"""),
+      bench = false),
+
+    // STREAMING ASSORTATIVITY — g11's degree-degree Pearson r maintained
+    // as edges arrive. The moment algebra makes this cleanly incremental:
+    // over the ORIENTED adjacency, m = Σd, sx = sy = Σd², sxx = syy = Σd³
+    // are pure DEGREE-TABLE aggregates (each node appears as left endpoint
+    // exactly deg times), recomputed exactly from the additively-maintained
+    // degree table each batch — only sxy = Σ dx·dy needs edge-level
+    // maintenance. A batch changes degrees by Δd on the delta's vertices
+    // C, and the product expands exactly:
+    //   new·new − old·old = Δd(a)·old(b) + old(a)·Δd(b) + Δd(a)·Δd(b),
+    // so the old-edge correction is THREE inner joins against the small
+    // Δd table (work ∝ edges incident to C, never the store), plus the
+    // new edges priced at the new degrees. All integer until g11's own
+    // final cast/sqrt, so the drained scalar lands bit-for-bit on the
+    // batch oracle. Correction path require()d non-vacuous.
+    Q("x49_stream_assortativity",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ckpt = java.nio.file.Files.createTempDirectory("x49ckpt").toString
+        val srcDir = java.nio.file.Files.createTempDirectory("x49src").toString
+        val edgeRoot = java.nio.file.Files.createTempDirectory("x49edges").toString
+        val degRoot = java.nio.file.Files.createTempDirectory("x49deg").toString
+        val sxyRoot = java.nio.file.Files.createTempDirectory("x49sxy").toString
+        val edgeDirs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+        val degDirs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+        val sxyDirs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+        val corrections = new java.util.concurrent.atomic.AtomicLong(0)
+        val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id")
+        val n = docs.count()
+        val und = GraphOps.linkEdges(docs, n).where(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"))
+          .distinct()
+        (0 to 2).foreach { r =>
+          und.where(pmod(col("u") + col("v"), lit(3)) === r)
+            .coalesce(1).write.parquet(s"$srcDir/f$r")
+        }
+        def sym(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          e.select(col("u").as("a"), col("v").as("b"))
+            .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+        val sq = s.readStream.schema(und.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            if (!batch.isEmpty) {
+              import s.implicits._
+              val dE = batch.toDF().localCheckpoint()
+              dE.write.mode("overwrite").parquet(s"$edgeRoot/b$batchId")
+              val oldDirs = {
+                val b = Seq.newBuilder[String]
+                edgeDirs.forEach((k, p) => if (k < batchId) b += p)
+                b.result()
+              }
+              val oldDeg = latestBefore(degDirs, batchId)
+                .map(p => s.read.parquet(p))
+                .getOrElse(Seq.empty[(Long, Long)].toDF("node", "dg"))
+              val prevSxy = latestBefore(sxyDirs, batchId)
+                .map(p => s.read.parquet(p).head().getLong(0)).getOrElse(0L)
+              // degree delta of this batch's vertices, merged degree table
+              val dd = sym(dE).groupBy(col("a").as("node"))
+                .agg(count(lit(1)).as("delta")).localCheckpoint()
+              val newDeg = oldDeg.join(dd, Seq("node"), "full_outer")
+                .select(col("node"),
+                  (coalesce(col("dg"), lit(0L)) + coalesce(col("delta"), lit(0L))).as("dg"))
+              newDeg.write.mode("overwrite").parquet(s"$degRoot/b$batchId")
+              val ndg = s.read.parquet(s"$degRoot/b$batchId")
+              // sxy correction on OLD edges: three inner joins vs Δd
+              val corr: Long = if (oldDirs.isEmpty) 0L else {
+                val oa = sym(s.read.parquet(oldDirs: _*))
+                def j(left: org.apache.spark.sql.DataFrame, la: String,
+                      right: org.apache.spark.sql.DataFrame, rb: String): Long = {
+                  val r = oa
+                    .join(left.select(col("node").as("a"), col(la).as("xa")), Seq("a"))
+                    .join(right.select(col("node").as("b"), col(rb).as("xb")), Seq("b"))
+                  corrections.addAndGet(r.count())
+                  // coalesce: the Δd×Δd term is legitimately empty when no
+                  // old edge has BOTH endpoints in this delta's vertex set
+                  r.agg(coalesce(sum(col("xa") * col("xb")), lit(0L))).head().getLong(0)
+                }
+                j(dd.withColumnRenamed("delta", "x"), "x", oldDeg.withColumnRenamed("dg", "x"), "x") +
+                  j(oldDeg.withColumnRenamed("dg", "x"), "x", dd.withColumnRenamed("delta", "x"), "x") +
+                  j(dd.withColumnRenamed("delta", "x"), "x", dd.withColumnRenamed("delta", "x"), "x")
+              }
+              // new edges priced at the NEW degrees (both orientations)
+              val add = sym(dE)
+                .join(ndg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
+                .join(ndg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
+                .agg(sum(col("da") * col("db"))).head().getLong(0)
+              Seq(prevSxy + corr + add).toDF("sxy")
+                .coalesce(1).write.mode("overwrite").parquet(s"$sxyRoot/b$batchId")
+              edgeDirs.put(batchId, s"$edgeRoot/b$batchId")
+              degDirs.put(batchId, s"$degRoot/b$batchId")
+              sxyDirs.put(batchId, s"$sxyRoot/b$batchId")
+              ()
+            }
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        sq.awaitTermination()
+        val fed = sq.recentProgress.count(_.numInputRows > 0)
+        require(fed >= 2,
+          s"x49 drained in $fed micro-batch(es) — incremental maintenance was not exercised")
+        require(corrections.get() > 0,
+          "no old edge was ever re-priced for a degree change — the correction path was vacuous")
+        val finalDeg = {
+          var maxId = Long.MinValue
+          degDirs.forEach((k, _) => if (k > maxId) maxId = k)
+          s.read.parquet(degDirs.get(maxId))
+        }
+        val sxy = {
+          var maxId = Long.MinValue
+          sxyDirs.forEach((k, _) => if (k > maxId) maxId = k)
+          s.read.parquet(sxyDirs.get(maxId)).head().getLong(0)
+        }
+        finalDeg.agg(sum("dg").as("m"), sum(col("dg") * col("dg")).as("sx"),
+            sum(col("dg") * col("dg") * col("dg")).as("sxx"))
+          .select(col("m"), col("sx"), lit(sxy).as("sxy"),
+            ((col("m") * lit(sxy) - col("sx") * col("sx")).cast(DoubleType) /
+              sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) *
+                (col("m") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)))
+              .as("assortativity"))
+      },
+      // g11's batch oracle verbatim — the maintained moments must land on it
+      Some(s"""WITH ${GraphOps.sqlEdges},
+                 und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+                         FROM e WHERE src <> dst),
+                 adj AS (SELECT u AS node, v AS nbr FROM und
+                         UNION ALL SELECT v, u FROM und),
+                 deg AS (SELECT node, COUNT(*) AS dg FROM adj GROUP BY node),
+                 p AS (SELECT a.node, a.nbr, dx.dg AS dx, dy.dg AS dy
+                       FROM adj a JOIN deg dx ON dx.node = a.node
+                                  JOIN deg dy ON dy.node = a.nbr)
+               SELECT COUNT(*) AS m,
+                      CAST(SUM(dx) AS BIGINT) AS sx,
+                      CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+                      CAST(COUNT(*) * SUM(dx * dy) - SUM(dx) * SUM(dy) AS DOUBLE) /
+                        SQRT(CAST(COUNT(*) * SUM(dx * dx) - SUM(dx) * SUM(dx) AS DOUBLE) *
+                             CAST(COUNT(*) * SUM(dy * dy) - SUM(dy) * SUM(dy) AS DOUBLE)) AS assortativity
+               FROM p"""),
       bench = false)
   )
 }
