@@ -1991,7 +1991,63 @@ object StockOps {
                                 WHEN event_id % 3 = 0 THEN CAST(user_id AS VARCHAR)
                                 ELSE concat('  ', CAST(user_id AS VARCHAR), ' ') END AS num_str
                     FROM events)
-              ORDER BY event_id"""))
+              ORDER BY event_id""")),
+
+    // ORDERED STRING AGGREGATION — listagg WITHIN GROUP (new in Spark 4)
+    // vs DuckDB's string_agg(expr, sep ORDER BY ...): the classic report
+    // column SQL engines disagreed on for years because an UNordered
+    // string_agg is nondeterministic under parallel aggregation. The
+    // WITHIN GROUP ordering on a UNIQUE key makes the concatenation a
+    // total order — hash-stable across engines AND across partition
+    // counts (determinism-under-parallelism is the property pinned).
+    // The % 97 pre-filter bounds the per-group string without losing
+    // any ordering generality.
+    Q("c66_listagg",
+      (s, d) => {
+        val view = s"graft_la_${Catalog.pathTag(d)}"
+        t(s, d, "events").createOrReplaceTempView(view)
+        s.sql(
+          s"""SELECT event_type,
+                     listagg(CAST(event_id AS STRING), ',')
+                       WITHIN GROUP (ORDER BY event_id) AS ids,
+                     COUNT(*) AS n
+              FROM $view WHERE event_id % 97 = 0
+              GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type,
+                     string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids,
+                     COUNT(*) AS n
+              FROM events WHERE event_id % 97 = 0
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // BOOLEAN AGGREGATES — every/any/count_if (Spark) vs bool_and/bool_or/
+    // count_if (DuckDB): the data-quality assertion surface ("does EVERY
+    // row of this partition satisfy the invariant, does ANY violate it,
+    // how many") — the aggregate form of a validation rule, pushed to a
+    // map-side-combinable aggregate instead of a collect-and-inspect.
+    // NULL discipline pinned: a NULL predicate input is SKIPPED by both
+    // engines' bool aggregates (not false), exercised via the nullable
+    // division arm.
+    Q("c67_bool_aggs",
+      (s, d) => {
+        val view = s"graft_ba_${Catalog.pathTag(d)}"
+        t(s, d, "events").createOrReplaceTempView(view)
+        s.sql(
+          s"""SELECT event_type,
+                     every(value >= 0) AS all_nonneg,
+                     any(value > 95) AS any_high,
+                     count_if(value > 50) AS n_over_half,
+                     every(CASE WHEN event_id % 7 = 0 THEN NULL
+                                ELSE value < 1000 END) AS all_bounded_skipnull
+              FROM $view GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type,
+                     bool_and(value >= 0) AS all_nonneg,
+                     bool_or(value > 95) AS any_high,
+                     count_if(value > 50) AS n_over_half,
+                     bool_and(CASE WHEN event_id % 7 = 0 THEN NULL
+                                   ELSE value < 1000 END) AS all_bounded_skipnull
+              FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 
 

@@ -124,6 +124,10 @@ class PlanAuditSpec extends SparkSpec {
     "p11_quarantine" -> Set("SinglePartition"),
     // assortativity: the answer IS one row of exact moments
     "g11_assortativity" -> Set("SinglePartition"),
+    // its live twin reads the same one-row report out of the maintained
+    // degree/sxy stores (the per-batch maintenance work is partitioned;
+    // only the final scalar assembly is single-row)
+    "x49_stream_assortativity" -> Set("SinglePartition"),
     // hybrid fusion: t22's 1-row doc-count normalizer (crossJoin back) +
     // sim01's bounded broadcast probe (≠ predicate forces BNLJ)
     "sim34_hybrid_rrf" -> Set("SinglePartition", "BroadcastNestedLoopJoin"),
