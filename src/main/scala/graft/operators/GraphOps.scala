@@ -113,9 +113,30 @@ object GraphOps {
 
   /** Node count: one bounded driver-side COUNT (a 1-value artifact, the
     * trainedCentroids convention) — it parameterizes the edge modulus.
+    * Memoized per (JVM, sfDir): every graph query needs it, and each was
+    * paying its own count() action per build.
     */
+  private val nodeCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def nodeCount(s: SparkSession, d: String): Long =
-    t(s, d, "documents").count()
+    nodeCounts.computeIfAbsent(d, _ => t(s, d, "documents").count())
+
+  /** The derived edge table materialized once per (JVM, sfDir) — the
+    * ensureDayGrid convention. Every graph query (g01–g13, x47–x49's
+    * static sides) starts from the SAME [[linkEdges]] derivation, and each
+    * previously re-derived it in every plan branch (g03's wedge join
+    * planned the md5 edge subplan three times over). One narrow (src, dst)
+    * parquet write; readers pay a bounded scan instead of a re-derivation.
+    */
+  private val linkEdgeDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def linkEdgesShared(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(linkEdgeDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_linkedges").toString
+      linkEdges(t(s, d, "documents"), nodeCount(s, d))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }))
 
   /** g08's propagated labels (doc_id, label-or-NULL after [[LpRounds]]
     * min-label rounds from the every-[[LpSeedMod]]-th seeds) — shared by
@@ -125,7 +146,7 @@ object GraphOps {
     */
   private def lpLabels(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    lpLabelsOver(docs, linkEdges(docs, nodeCount(s, d)))
+    lpLabelsOver(docs, linkEdgesShared(s, d))
   }
 
   /** [[lpLabels]] over an already-derived edge frame — g13 passes the
@@ -225,7 +246,7 @@ object GraphOps {
       (s, d) => {
         val n = nodeCount(s, d)
         val docs = t(s, d, "documents")
-        val edges = linkEdges(docs, n)
+        val edges = linkEdgesShared(s, d)
         val m0 = docs.select(col("doc_id"), lit(Scale).as("mass"))
         val m3 = (1 to 3).foldLeft(m0)((m, _) => pagerankStep(docs, edges, m))
         m3.select(col("doc_id"), col("mass").cast(LongType).as("mass"))
@@ -247,7 +268,7 @@ object GraphOps {
       (s, d) => {
         val n = nodeCount(s, d)
         val docs = t(s, d, "documents")
-        val deg = linkEdges(docs, n).groupBy(col("dst").as("doc_id"))
+        val deg = linkEdgesShared(s, d).groupBy(col("dst").as("doc_id"))
           .agg(count(lit(1)).as("in_deg"))
         docs.select("doc_id").join(deg, Seq("doc_id"), "left")
           .select(coalesce(col("in_deg"), lit(0L)).as("in_deg"))
@@ -278,7 +299,7 @@ object GraphOps {
       (s, d) => {
         val n = nodeCount(s, d)
         val docs = t(s, d, "documents")
-        val und = linkEdges(docs, n).where(col("src") =!= col("dst"))
+        val und = linkEdgesShared(s, d).where(col("src") =!= col("dst"))
           .select(least(col("src"), col("dst")).as("u"),
             greatest(col("src"), col("dst")).as("v"))
           .distinct()
@@ -292,6 +313,11 @@ object GraphOps {
           .join(deg.select(col("node").as("v"), col("dg").as("dgv")), "v")
           .select(when(lower, col("u")).otherwise(col("v")).as("a"),
             when(lower, col("v")).otherwise(col("u")).as("b"))
+          // o feeds THREE plan branches (both wedge sides + the closing
+          // semi-join); without a checkpoint each branch replans the
+          // orient join chain from the scan (measured: 30 scans in the
+          // g03 physical plan)
+          .localCheckpoint()
         val wedge = o.as("o1").join(o.as("o2"), col("o1.b") === col("o2.a"))
           .select(col("o1.a").as("a"), col("o1.b").as("b"), col("o2.b").as("c"))
         val tri = wedge.join(
@@ -332,7 +358,9 @@ object GraphOps {
       (s, d) => {
         val n = nodeCount(s, d)
         val docs = t(s, d, "documents")
-        val ed = linkEdges(docs, n).where(col("src") =!= col("dst")).distinct()
+        val ed = linkEdgesShared(s, d).where(col("src") =!= col("dst")).distinct()
+          // three consumers (a1, h1's join, a2's join) — checkpoint once
+          .localCheckpoint()
         val a1 = ed.groupBy(col("dst").as("doc_id")).agg(count(lit(1)).as("a1"))
         val h1 = ed.join(a1.withColumnRenamed("doc_id", "dst"), "dst")
           .groupBy(col("src").as("doc_id")).agg(sum("a1").as("h1"))
@@ -375,10 +403,13 @@ object GraphOps {
       (s, d) => {
         val n = nodeCount(s, d)
         val docs = t(s, d, "documents")
-        val base = linkEdges(docs, n).where(col("src") =!= col("dst"))
+        val base = linkEdgesShared(s, d).where(col("src") =!= col("dst"))
         val und = base.select(col("src").as("u"), col("dst").as("v"))
           .union(base.select(col("dst").as("u"), col("src").as("v")))
           .distinct()
+          // the peel loop's round-1 degree aggregate and both survivor
+          // semi-joins read this frame — checkpoint once, not per branch
+          .localCheckpoint()
         var edges = und
         val rounds = (1 to 3).map { r =>
           val surv = edges.groupBy("u").agg(count(lit(1)).as("deg"))
@@ -422,7 +453,7 @@ object GraphOps {
       (s, d) => {
         val n = nodeCount(s, d)
         val docs = t(s, d, "documents").where(col("doc_id") < CommunityCap)
-        val edges = linkEdges(docs, n)
+        val edges = linkEdgesShared(s, d)
           .where(col("src") =!= col("dst") && col("dst") < CommunityCap)
           .select(col("src").as("da"), col("dst").as("db")).distinct()
         val labels = DedupOps.connectedComponentsStar(edges, 20)
@@ -465,16 +496,24 @@ object GraphOps {
       (s, d) => {
         val n = nodeCount(s, d)
         val docs = t(s, d, "documents")
-        val base = linkEdges(docs, n).where(col("src") =!= col("dst"))
+        val base = linkEdgesShared(s, d).where(col("src") =!= col("dst"))
         val und = base.select(least(col("src"), col("dst")).as("u"),
             greatest(col("src"), col("dst")).as("v")).distinct()
+          // und feeds adj (twice), the non-edge anti-join, and through adj
+          // the degree table — checkpoint so the four branches share one
+          // distinct pass (measured: 26 scans in the g07 physical plan)
+          .localCheckpoint()
         val adj = und.select(col("u").as("node"), col("v").as("nbr"))
           .union(und.select(col("v").as("node"), col("u").as("nbr")))
         val deg = adj.groupBy("node").agg(count(lit(1)).as("dg"))
+          // deg feeds the pivot cap and both score-side joins
+          .localCheckpoint()
         val capped = adj
           .join(deg.select(col("node").as("nbr"), col("dg").as("piv_dg")), "nbr")
           .where(col("piv_dg") <= LinkPredPivotCap)
           .select("node", "nbr")
+          // both sides of the wedge self-join
+          .localCheckpoint()
         val pairs = capped.as("x").join(capped.as("y"),
             col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
           .select(col("x.node").as("a"), col("y.node").as("b"))
@@ -540,7 +579,7 @@ object GraphOps {
       (s, d) => {
         val docs = t(s, d, "documents")
         val view = s"graft_edges_${Catalog.pathTag(d)}"
-        linkEdges(docs, nodeCount(s, d)).createOrReplaceTempView(view)
+        linkEdgesShared(s, d).createOrReplaceTempView(view)
         s.sql(
           s"""WITH RECURSIVE reach(node, depth) AS (
                 SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
@@ -577,7 +616,7 @@ object GraphOps {
       (s, d) => {
         val n = nodeCount(s, d)
         val docs = t(s, d, "documents")
-        val edges = linkEdges(docs, n)
+        val edges = linkEdgesShared(s, d)
         val seedBase = when(col("doc_id") % PprSeedMod === 0,
           lit(BaseMass * PprSeedMod)).otherwise(lit(0L))
         val m0 = docs.select(col("doc_id"),
@@ -620,7 +659,7 @@ object GraphOps {
       (s, d) => {
         val n = nodeCount(s, d)
         val docs = t(s, d, "documents")
-        val base = linkEdges(docs, n).where(col("src") =!= col("dst"))
+        val base = linkEdgesShared(s, d).where(col("src") =!= col("dst"))
         val und = base.select(least(col("src"), col("dst")).as("u"),
             greatest(col("src"), col("dst")).as("v")).distinct()
         val adj = und.select(col("u").as("node"), col("v").as("nbr"))
@@ -676,7 +715,7 @@ object GraphOps {
       (s, d) => {
         val n = nodeCount(s, d)
         val docs = t(s, d, "documents")
-        val edges = linkEdges(docs, n).localCheckpoint()
+        val edges = linkEdgesShared(s, d).localCheckpoint()
         var settled = docs.where(col("doc_id") % PprSeedMod === 0)
           .select(col("doc_id"), lit(0L).as("dist")).localCheckpoint()
         require(settled.count() > 0, "seed set is empty — BFS is vacuous")
@@ -722,7 +761,7 @@ object GraphOps {
       (s, d) => {
         val n = nodeCount(s, d)
         val docs = t(s, d, "documents")
-        val e = linkEdges(docs, n).localCheckpoint()
+        val e = linkEdgesShared(s, d).localCheckpoint()
         val und = e.where(col("src") =!= col("dst"))
           .select(least(col("src"), col("dst")).as("u"),
             greatest(col("src"), col("dst")).as("v"))

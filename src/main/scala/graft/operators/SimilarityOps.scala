@@ -70,6 +70,44 @@ object SimilarityOps {
                $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
         FROM nv a JOIN nv b ON a.vec_id < $nProbes AND a.vec_id <> b.vec_id"""
 
+  /** The catalog's maximum brute-force probe block: every [[probePairs]]
+    * caller uses nProbes ≤ this, so one scored table at this block subsumes
+    * them all (pairs(k) = pairs(max) WHERE qid < k — per-pair scores depend
+    * only on the pair's own two vectors, so the probe filter commutes with
+    * the scoring bit-for-bit).
+    */
+  val ProbePairsMax = 50
+
+  /** Shared brute-force pair scores (qid, vec_id, cos_sim) at
+    * [[ProbePairsMax]], memoized per (JVM, sfDir) — the ensureDayGrid /
+    * trainedCentroids convention. ~15 catalog queries (exact baselines,
+    * recall truths, MMR/kNN pools) each re-derived this identical
+    * probe×corpus scan per run; materializing it once replaces those with
+    * one build + bounded parquet reads. Narrow columns only: the artifact
+    * is O(probes·corpus) rows with no vectors; callers that need
+    * embeddings join the base table themselves.
+    */
+  private val probePairDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureProbePairs(s: SparkSession, d: String): String =
+    probePairDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_probepairs").toString
+      probePairs(s, d, ProbePairsMax)
+        .select("qid", "vec_id", "cos_sim")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** [[probePairs]]' (qid, vec_id, cos_sim) slice for any probe block ≤
+    * [[ProbePairsMax]], served from the shared artifact; bit-identical to
+    * probePairsShared(s, d, nProbes).select("qid", "vec_id", "cos_sim").
+    */
+  def probePairsShared(s: SparkSession, d: String, nProbes: Int): DataFrame = {
+    require(nProbes <= ProbePairsMax,
+      s"probePairsShared: nProbes=$nProbes exceeds ProbePairsMax=$ProbePairsMax")
+    val df = s.read.parquet(ensureProbePairs(s, d))
+    if (nProbes == ProbePairsMax) df else df.where(col("qid") < nProbes)
+  }
+
   // IVF parameters: 16 coarse cells, 4 probed per query.
   val IvfCells = 16
   val IvfProbe = 4
@@ -973,7 +1011,7 @@ object SimilarityOps {
   val all: Seq[Q] = Seq(
     // Brute-force cosine top-k per probe (the exact ANN baseline).
     Q("sim01_topk_cosine",
-      (s, d) => StockOps.perKeyTopK(probePairs(s, d, 10),
+      (s, d) => StockOps.perKeyTopK(probePairsShared(s, d, 10),
           Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 5)
         .select("qid", "vec_id", "cos_sim", "rk")
         .orderBy("qid", "rk"),
@@ -1112,7 +1150,7 @@ object SimilarityOps {
     // so the recall NUMBER itself is cross-engine-verified.
     Q("sim09_recall_trained",
       (s, d) => {
-        val truth = StockOps.perKeyTopK(probePairs(s, d, 10),
+        val truth = StockOps.perKeyTopK(probePairsShared(s, d, 10),
             Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
           .select("qid", "vec_id")
         val ann = byNameLocal("sim08_ann_ivf_trained").build(s, d)
@@ -1238,7 +1276,7 @@ object SimilarityOps {
     // the sim02 LSH path.
     Q("sim06_hard_negatives",
       (s, d) => StockOps.perKeyTopK(
-          probePairs(s, d, 10).where(col("cos_sim").between(0.05, 0.25)),
+          probePairsShared(s, d, 10).where(col("cos_sim").between(0.05, 0.25)),
           Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 5)
         .select("qid", "vec_id", "cos_sim", "rk")
         .orderBy("qid", "rk"),
@@ -1257,7 +1295,7 @@ object SimilarityOps {
     // DuckDB reproduces the recall NUMBERS themselves.
     Q("sim04_ann_recall",
       (s, d) => {
-        val brute = StockOps.perKeyTopK(probePairs(s, d, 50),
+        val brute = StockOps.perKeyTopK(probePairsShared(s, d, 50),
             Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
           .select("qid", "vec_id")
         def recallOf(method: String, ann: DataFrame, nProbes: Int) = {
@@ -1786,7 +1824,7 @@ object SimilarityOps {
     // are the pruned serving path for bigger probe sets.
     Q("sim23_knn_classify",
       (s, d) => {
-        val pairs = probePairs(s, d, 16).select("qid", "vec_id", "cos_sim")
+        val pairs = probePairsShared(s, d, 16).select("qid", "vec_id", "cos_sim")
         val top = StockOps.perKeyTopK(pairs,
           Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 5)
         val lbl = t(s, d, "embeddings").select(col("vec_id"), col("label"))
@@ -1844,7 +1882,7 @@ object SimilarityOps {
         // shared-subplan lesson; measured 3.8 s steady-state before, the
         // candidate set is K·probes rows so the checkpoint is tiny)
         val cand = StockOps.perKeyTopK(
-          probePairs(s, d, 16).select("qid", "vec_id", "cos_sim"),
+          probePairsShared(s, d, 16).select("qid", "vec_id", "cos_sim"),
           Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), K).drop("rk")
           .localCheckpoint()
         val nv = withNorm(s, d).select(col("vec_id"), col("embedding"), col("norm2"))
@@ -1941,7 +1979,7 @@ object SimilarityOps {
         val truncTop = StockOps.perKeyTopK(tpairs,
             Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
           .select("qid", "vec_id")
-        val truth = StockOps.perKeyTopK(probePairs(s, d, nProbes),
+        val truth = StockOps.perKeyTopK(probePairsShared(s, d, nProbes),
             Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
           .select("qid", "vec_id")
         truth.join(truncTop.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
@@ -2155,7 +2193,7 @@ object SimilarityOps {
     // integer-scaled cosine → direct DuckDB oracle.
     Q("sim30_range_search",
       (s, d) => {
-        val pairs = probePairs(s, d, 10)
+        val pairs = probePairsShared(s, d, 10)
           .where(col("cos_sim") >= RangeTau)
           .select("qid", "vec_id", "cos_sim")
         val cnt = pairs.groupBy("qid").agg(count(lit(1)).as("n_in_range"))
@@ -2181,7 +2219,7 @@ object SimilarityOps {
     Q("sim31_nprobe_sweep",
       (s, d) => {
         val cents = ivfCentroids(withNorm(s, d))
-        val truth = StockOps.perKeyTopK(probePairs(s, d, 10),
+        val truth = StockOps.perKeyTopK(probePairsShared(s, d, 10),
             Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
           .select("qid", "vec_id")
           .localCheckpoint()
@@ -2320,7 +2358,7 @@ object SimilarityOps {
         val kwRank = StockOps.perKeyTopK(kwScores.withColumn("qid", lit(0)),
             Seq("qid"), Seq(desc("kw_score"), col("doc_id")), HybridK, "kw_rank")
           .select(col("doc_id"), col("kw_rank"))
-        val vecRank = StockOps.perKeyTopK(probePairs(s, d, 1),
+        val vecRank = StockOps.perKeyTopK(probePairsShared(s, d, 1),
             Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), HybridK, "vec_rank")
           .select(col("vec_id").as("doc_id"), col("vec_rank"))
         kwRank.join(vecRank, Seq("doc_id"), "full_outer")
@@ -2548,7 +2586,7 @@ object SimilarityOps {
     // walk, so the recall NUMBER itself is cross-engine-verified.
     Q("sim39_walk_recall",
       (s, d) => {
-        val truth = StockOps.perKeyTopK(probePairs(s, d, 10),
+        val truth = StockOps.perKeyTopK(probePairsShared(s, d, 10),
             Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
           .select("qid", "vec_id")
         val walk = byNameLocal("sim38_graph_ann_walk").build(s, d)
@@ -2593,7 +2631,7 @@ object SimilarityOps {
     // a production cell count makes the curve informative.)
     Q("sim40_walk_hop_sweep",
       (s, d) => {
-        val truth = StockOps.perKeyTopK(probePairs(s, d, 10),
+        val truth = StockOps.perKeyTopK(probePairsShared(s, d, 10),
             Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
           .select("qid", "vec_id").localCheckpoint()
         val total = truth.count()
@@ -2757,7 +2795,7 @@ object SimilarityOps {
       (s, d) => {
         val dels = withNorm(s, d).where(docHash(col("vec_id"), 20) === 0)
           .select("vec_id").localCheckpoint()
-        val live = probePairs(s, d, 10)
+        val live = probePairsShared(s, d, 10)
           .join(broadcast(dels.select(col("vec_id").as("qid"))), Seq("qid"), "left_anti")
           .join(broadcast(dels), Seq("vec_id"), "left_anti")
         val truth = StockOps.perKeyTopK(live, Seq("qid"),
@@ -2929,7 +2967,7 @@ object SimilarityOps {
         val (edges, kept) = rngKeptEdges(s, d)
         val nEdges = edges.count()
         val nKept = kept.count()
-        val truth = StockOps.perKeyTopK(probePairs(s, d, 10),
+        val truth = StockOps.perKeyTopK(probePairsShared(s, d, 10),
             Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
           .select("qid", "vec_id").localCheckpoint()
         val frontier = walkFrontiersOver(s, d, kept).last._2
@@ -3061,7 +3099,7 @@ object SimilarityOps {
     // the truth are replayed in SQL, so the number is cross-engine.
     Q("sim49_layered_walk_recall",
       (s, d) => {
-        val truth = StockOps.perKeyTopK(probePairs(s, d, 10),
+        val truth = StockOps.perKeyTopK(probePairsShared(s, d, 10),
             Seq("qid"), Seq(desc("cos_sim"), col("vec_id")), 3)
           .select("qid", "vec_id")
         val walk = byNameLocal("sim48_layered_walk").build(s, d)

@@ -936,6 +936,8 @@ object StockOps {
             .cast(LongType), lit(m))
         val bk = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
           .select(col("c_custkey").as("k"))
+          // two consumers (the position set and the exact semi-join)
+          .localCheckpoint()
         val bloomPos = bk.select(explode(array(
           bpos(col("k"), 0), bpos(col("k"), 1), bpos(col("k"), 2))).as("pos")).distinct()
         val probe = t(s, d, "orders")
@@ -943,6 +945,10 @@ object StockOps {
           .withColumn("ps", array_distinct(array(
             bpos(col("o_custkey"), 0), bpos(col("o_custkey"), 1), bpos(col("o_custkey"), 2))))
           .withColumn("npos", size(col("ps")))
+          // the bloom-pass, exact-pass and base-count branches all read
+          // this frame; one checkpoint computes the 3 md5 positions per
+          // order once instead of once per branch (3 orders scans before)
+          .localCheckpoint()
         val passed = probe
           .select(col("o_orderkey"), col("o_orderstatus"), col("npos"),
             explode(col("ps")).as("pos"))
@@ -951,9 +957,9 @@ object StockOps {
           .agg(first(col("o_orderstatus")).as("o_orderstatus"),
             first(col("npos")).as("npos"), count(lit(1)).as("nhit"))
           .where(col("nhit") === col("npos"))
-        val exact = t(s, d, "orders")
+        val exact = probe
           .join(broadcast(bk), col("o_custkey") === col("k"), "left_semi")
-        t(s, d, "orders").groupBy("o_orderstatus")
+        probe.groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n_orders"))
           .join(passed.groupBy("o_orderstatus").agg(count(lit(1)).as("n_bloom_pass")),
             Seq("o_orderstatus"), "left")
@@ -1458,6 +1464,9 @@ object StockOps {
     Q("c50_robust_stats",
       (s, d) => {
         val ev = t(s, d, "events").select(col("event_type"), col("value"))
+          // four consumers (count, median pass, deviation pass, mode) —
+          // checkpoint the narrow projection once
+          .localCheckpoint()
         val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
         def atMedianRank(df: DataFrame, ord: String, out: String): DataFrame =
           groupedRunningTotal(df.withColumn("one", lit(1L)), "event_type", ord, "one", "rk")

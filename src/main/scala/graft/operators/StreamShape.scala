@@ -2863,8 +2863,7 @@ object StreamShape {
         val corrections = new java.util.concurrent.atomic.AtomicLong(0)
         val properSubset = new java.util.concurrent.atomic.AtomicBoolean(false)
         val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id")
-        val n = docs.count() // bounded 1-value artifact (nodeCount convention)
-        val edges = GraphOps.linkEdges(docs, n)
+        val edges = GraphOps.linkEdgesShared(s, d)
         (0 to 2).foreach { r =>
           edges.where(pmod(col("src"), lit(3)) === r)
             .coalesce(1).write.parquet(s"$srcDir/f$r")
@@ -3005,9 +3004,7 @@ object StreamShape {
         val edgeDirs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
         val oneNew = new java.util.concurrent.atomic.AtomicLong(0)
         val multiNew = new java.util.concurrent.atomic.AtomicLong(0)
-        val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id")
-        val n = docs.count()
-        val und = GraphOps.linkEdges(docs, n).where(col("src") =!= col("dst"))
+        val und = GraphOps.linkEdgesShared(s, d).where(col("src") =!= col("dst"))
           .select(least(col("src"), col("dst")).as("u"),
             greatest(col("src"), col("dst")).as("v"))
           .distinct()
@@ -3127,9 +3124,7 @@ object StreamShape {
         val degDirs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
         val sxyDirs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
         val corrections = new java.util.concurrent.atomic.AtomicLong(0)
-        val docs = s.read.parquet(s"$d/documents.parquet").select("doc_id")
-        val n = docs.count()
-        val und = GraphOps.linkEdges(docs, n).where(col("src") =!= col("dst"))
+        val und = GraphOps.linkEdgesShared(s, d).where(col("src") =!= col("dst"))
           .select(least(col("src"), col("dst")).as("u"),
             greatest(col("src"), col("dst")).as("v"))
           .distinct()

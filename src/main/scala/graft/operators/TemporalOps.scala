@@ -357,6 +357,10 @@ object TemporalOps {
             when(col("us") - lag(col("us"), 1).over(wOrd) >= gapUs, 1L).otherwise(0L))
           .withColumn("sid", sum(col("new_s")).over(wRun))
           .select("user_id", "sid", "us", "event_type")
+          // tagged feeds p1 and the p2/p3 join chains — without a
+          // checkpoint each of the three passes replans the scan +
+          // session window (measured: 10 scans in the r05 physical plan)
+          .localCheckpoint()
         val p1 = tagged.groupBy("user_id", "sid")
           .agg(min(when(col("event_type") === "view", col("us"))).as("t1"))
         val p2 = tagged.join(p1, Seq("user_id", "sid"))

@@ -212,6 +212,30 @@ object TextOps {
                CAST(COUNT(*) FILTER (q_ok) AS BIGINT) AS n_quality
         FROM flags GROUP BY source ORDER BY source"""
 
+  /** The corpus bigram table (doc_id, w1, w2), memoized per (JVM, sfDir)
+    * — the ensureDayGrid convention. t30 (fluency) and t38 (surprisal)
+    * derive ALL their statistics from this one positional-bigram explode,
+    * and each previously replanned the tokenize + lambda explode in three
+    * plan branches (bg, c2, c1). One narrow parquet write; both queries'
+    * count tables and per-doc joins read it back.
+    */
+  private val bigramDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def bigramsShared(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(bigramDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bigrams").toString
+      val dt = t(s, d, "documents")
+        .select(col("doc_id"),
+          filter(tokens(col("text")), x => length(x) > 0).as("toks"))
+        .where(size(col("toks")) >= 2)
+      dt.select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("toks")) - 2),
+            i => struct(element_at(col("toks"), i + 1).as("w1"),
+              element_at(col("toks"), i + 2).as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }))
+
   val all: Seq[Q] = Seq(
     // Token counting: whitespace tokens + a BPE-ish regex token count.
     Q("t01_token_count",
@@ -440,6 +464,9 @@ object TextOps {
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
           .where(length(col("tok")) > 0)
         val tf = toksEx.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          // tf feeds both the df aggregate and the score join — checkpoint
+          // so the tokenize + explode + first aggregate runs once
+          .localCheckpoint()
         val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val scored = tf.join(dfreq, "tok")
           .withColumn("score", col("tf").cast(DoubleType) / col("df"))
@@ -1254,15 +1281,7 @@ object TextOps {
     // hot-spots one pair. Docs need ≥ 2 tokens to have a bigram at all.
     Q("t30_bigram_lm",
       (s, d) => {
-        val dt = t(s, d, "documents")
-          .select(col("doc_id"),
-            filter(tokens(col("text")), x => length(x) > 0).as("toks"))
-          .where(size(col("toks")) >= 2)
-        val bg = dt.select(col("doc_id"),
-            explode(transform(sequence(lit(0), size(col("toks")) - 2),
-              i => struct(element_at(col("toks"), i + 1).as("w1"),
-                element_at(col("toks"), i + 2).as("w2")))).as("p"))
-          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val bg = bigramsShared(s, d)
         val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
         val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
         bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -2115,15 +2134,7 @@ object TextOps {
     // model build is O(vocab²) bounded, scoring is linear in corpus size.
     Q("t38_bigram_surprisal",
       (s, d) => {
-        val dt = t(s, d, "documents")
-          .select(col("doc_id"),
-            filter(tokens(col("text")), x => length(x) > 0).as("toks"))
-          .where(size(col("toks")) >= 2)
-        val bg = dt.select(col("doc_id"),
-            explode(transform(sequence(lit(0), size(col("toks")) - 2),
-              i => struct(element_at(col("toks"), i + 1).as("w1"),
-                element_at(col("toks"), i + 2).as("w2")))).as("p"))
-          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val bg = bigramsShared(s, d)
         val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
         val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
         bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))

@@ -14,6 +14,22 @@ class SimilarityOpsSpec extends SparkSpec {
       .select("qid", "vec_id", "cos_sim").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
 
+  test("probePairsShared is bit-identical to a direct probePairs slice") {
+    // the shared artifact (one materialized scan at ProbePairsMax) must
+    // reproduce every caller's direct computation exactly — same pairs,
+    // same IEEE double score bits — for a representative probe block
+    val shared = SimilarityOps.probePairsShared(spark, sfDir, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val direct = SimilarityOps.probePairs(spark, sfDir, 16)
+      .select("qid", "vec_id", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(shared.nonEmpty && shared.keySet === direct.keySet)
+    direct.foreach { case (p, v) =>
+      assert(java.lang.Double.doubleToRawLongBits(shared(p)) ===
+        java.lang.Double.doubleToRawLongBits(v), s"pair $p: shared=${shared(p)} direct=$v")
+    }
+  }
+
   test("sim02 ANN cosine values are exactly the brute-force values") {
     val ann = Catalog.byName("sim02_ann_lsh").build(spark, sfDir)
       .select("qid", "vec_id", "cos_sim").collect()
