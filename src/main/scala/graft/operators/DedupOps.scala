@@ -217,6 +217,8 @@ object DedupOps {
     s.read.parquet(lshPairDirs.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft_lshpairs").toString
       val buckets = bandBuckets(t(s, d, "documents"))
+        // both sides of the band self-join — one signature pass
+        .localCheckpoint()
       val l = buckets.select(col("doc_id").as("da"), col("band"), col("sig"))
       val r = buckets.select(col("doc_id").as("db"), col("band"), col("sig"))
       val candidates = l.join(r, Seq("band", "sig")).where(col("da") < col("db"))
@@ -411,12 +413,17 @@ object DedupOps {
       .select(col("doc_id"), col("lang"), shingles3(col("text")).as("sh"))
       .withColumn("sz", size(col("sh")))
     val ex = docs.select(col("doc_id"), col("lang"), col("sz"), explode(col("sh")).as("shingle"))
+      // three consumers (df aggregate, the capped join input, hot sets) —
+      // checkpoint so the shingle explode runs once per build
+      .localCheckpoint()
     val hot =
       if (dfCap < 0) None
       else Some(ex.groupBy("lang", "shingle")
         .agg(count(lit(1)).as("__df")).where(col("__df") > dfCap)
         .select("lang", "shingle"))
     val exf = hot.fold(ex)(h => ex.join(h, Seq("lang", "shingle"), "left_anti"))
+      // both sides of the candidate self-join
+      .localCheckpoint()
     val a = exf.select(col("doc_id").as("da"), col("lang").as("la"), col("sz").as("sza"), col("shingle"))
     val b = exf.select(col("doc_id").as("db"), col("lang").as("lb"), col("sz").as("szb"), col("shingle"))
     val cold = a.join(b, a("shingle") === b("shingle") && col("la") === col("lb") && col("da") < col("db"))
