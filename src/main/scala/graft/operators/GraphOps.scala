@@ -453,8 +453,13 @@ object GraphOps {
       (s, d) => {
         val n = nodeCount(s, d)
         val docs = t(s, d, "documents").where(col("doc_id") < CommunityCap)
+        // BOTH endpoint caps are required reading from the shared edge
+        // table: the pre-round-8 form derived edges from the ALREADY
+        // capped doc set, so src < CommunityCap was implicit in the
+        // source — the shared table carries every doc's edges.
         val edges = linkEdgesShared(s, d)
-          .where(col("src") =!= col("dst") && col("dst") < CommunityCap)
+          .where(col("src") =!= col("dst") &&
+            col("src") < CommunityCap && col("dst") < CommunityCap)
           .select(col("src").as("da"), col("dst").as("db")).distinct()
         val labels = DedupOps.connectedComponentsStar(edges, 20)
         docs.select("doc_id")

@@ -720,26 +720,43 @@ object SimilarityOps {
     * 8×16 LUT (broadcast) + the integer lookup-sum over each vector's
     * codes — shared by sim16 (search) and sim19 (rerank candidates).
     */
+  /** Memoized per (JVM, sfDir) — the ensureDayGrid convention: sim16,
+    * sim19 and sim28 all start from this identical encode+LUT join, and
+    * each previously re-ran it per query.
+    */
+  private val pqAdcDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def pqAdcScores(s: SparkSession, d: String): DataFrame =
-    pqEncoded(s, d).select("vec_id", "subspace", "code")
-      .join(broadcast(pqAdcLut(s, d)), Seq("subspace", "code"))
-      .where(col("vec_id") =!= col("qid"))
-      .groupBy("qid", "vec_id")
-      .agg(sum(col("pdist")).as("adc_dist"))
+    s.read.parquet(pqAdcDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pqadc").toString
+      pqEncoded(s, d).select("vec_id", "subspace", "code")
+        .join(broadcast(pqAdcLut(s, d)), Seq("subspace", "code"))
+        .where(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(sum(col("pdist")).as("adc_dist"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }))
 
   /** Exact full-vector scaled-L2 top-3 per probe (the sim01 bounded
     * brute-force shape) — the ground truth shared by sim17 and sim19.
     */
-  def pqL2Truth(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    val probes = emb.where(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val pairs = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
-      .withColumn("l2", scaledL2(col("qvec"), col("embedding")))
-      .select("qid", "vec_id", "l2")
-    StockOps.perKeyTopK(pairs, Seq("qid"), Seq(col("l2"), col("vec_id")), 3)
-      .select("qid", "vec_id")
-  }
+  def pqL2Truth(s: SparkSession, d: String): DataFrame =
+    // memoized per (JVM, sfDir): FIVE recall queries (sim17/19/21/27/28)
+    // grade against this same exact-L2 truth — one brute-force pass
+    s.read.parquet(pqTruthDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pqtruth").toString
+      val emb = t(s, d, "embeddings")
+      val probes = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val pairs = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
+        .withColumn("l2", scaledL2(col("qvec"), col("embedding")))
+        .select("qid", "vec_id", "l2")
+      StockOps.perKeyTopK(pairs, Seq("qid"), Seq(col("l2"), col("vec_id")), 3)
+        .select("qid", "vec_id")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }))
+  private val pqTruthDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Oracle CTEs for the PQ family: codebook (`cb`), subvectors (`sub`),
     * all (vector, subspace, codeword) distances (`scored`), and the argmin

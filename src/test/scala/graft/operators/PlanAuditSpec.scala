@@ -234,7 +234,14 @@ class PlanAuditSpec extends SparkSpec {
     "t29_gopher_rules" -> 1, // map-only signal battery + final sort
     "t30_bigram_lm" -> 4, // bigram aggs (c1, c2) + per-doc agg + sort
     "sim22_filtered_ann" -> 4, // label pre-filter + probe cells + perKeyTopK + sort
-    "sim23_knn_classify" -> 3, // neighbor topk + vote argmax + sort
+    // round 8: pairs now read from the shared probe-pair artifact, whose
+    // accurate (small) stats flip the label join's build side — the
+    // bounded ≤ k·probes top list is broadcast and the corpus-sized
+    // label table STREAMS (the old plan broadcast the whole label
+    // projection: cheaper-looking here, wrong at scale). Re-establishing
+    // qid clustering downstream costs 3 extra exchanges of ≤ k·probes
+    // rows each — bounded frames, deliberately accepted.
+    "sim23_knn_classify" -> 6, // neighbor topk + vote agg + vote argmax + sort
     "sim24_mmr_rerank" -> 71, // greedy loop: 8 bounded pool-sized argmax stages (≤ k·parts rows each)
     "c36_bloom_semijoin" -> 6, // bloom build agg + probe + exact side + compare join
     "c37_quantile_sketch" -> 6, // bucket agg + two-phase prefix sum + n-from-sketch agg split + probe join + sort
