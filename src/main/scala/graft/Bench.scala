@@ -171,11 +171,15 @@ object Bench {
         val ratios = sentinels.flatMap { case (n, r) =>
           results.find(_._1 == n).collect { case (_, f) if r > 0 => f / r }
         }.sorted
-        val floor = if (ratios.isEmpty) -1.0 else ratios(ratios.size / 2)
+        // no usable sentinel ratio (all sentinels failed, or a partial
+        // run) → JSON null, NOT -1: a numeric consumer comparing
+        // floor > 1.5 would read -1 as a clean-host certificate
+        val floor =
+          if (ratios.isEmpty) "null" else num(ratios(ratios.size / 2))
         s""","rerun_top5":${rerun.map { case (k, v) => "\"" + k + "\":" + num(v) }
           .mkString("{", ",", "}")},"sentinel_rerun":${sentinels
           .map { case (k, v) => "\"" + k + "\":" + num(v) }
-          .mkString("{", ",", "}")},"noise_floor":${num(floor)}"""
+          .mkString("{", ",", "}")},"noise_floor":$floor"""
       }
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","ordered":$ordered,"queries":$qjson$latJson$rerunJson,"sf":"$sfDir"}"""

@@ -131,11 +131,9 @@ object GraphOps {
   private val linkEdgeDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   def linkEdgesShared(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(linkEdgeDirs.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_linkedges").toString
+    s.read.parquet(linkEdgeDirs.computeIfAbsent(d, _ => Artifacts.build("graft_linkedges") { dir =>
       linkEdges(t(s, d, "documents"), nodeCount(s, d))
         .write.mode("overwrite").parquet(dir)
-      dir
     }))
 
   /** g08's propagated labels (doc_id, label-or-NULL after [[LpRounds]]

@@ -2178,7 +2178,7 @@ object StockOps {
   private def ensureBucketed(s: org.apache.spark.sql.SparkSession, d: String): String =
     bucketedDbs.computeIfAbsent(d, _ => {
       val db = s"graft_bkt_${Catalog.pathTag(d)}"
-      val loc = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      val loc = Artifacts.newDir("graft_bkt")
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
       t(s, d, "lineitem")
         .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")

@@ -119,8 +119,7 @@ object TemporalOps {
     */
   private val dayGridDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ensureDayGrid(s: org.apache.spark.sql.SparkSession, d: String): String =
-    dayGridDirs.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_daygrid").toString
+    dayGridDirs.computeIfAbsent(d, _ => Artifacts.build("graft_daygrid") { dir =>
       val obs = t(s, d, "events").where(col("event_type") === "purchase")
         .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("day"), col("value"))
         .groupBy("user_id", "day").agg(dsum(col("value")).as("obs_val"))
@@ -134,7 +133,6 @@ object TemporalOps {
           obs.withColumn("one", lit(1L)), "user_id", "day", "one", "rk")
         .select("user_id", "day", "obs_val", "rk")
         .write.mode("overwrite").parquet(s"$dir/ranked")
-      dir
     })
 
   /** Per-shard OHLC bar PARTIALS for (event_type, bucket): open/close as

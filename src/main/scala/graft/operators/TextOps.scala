@@ -221,8 +221,7 @@ object TextOps {
     */
   private val bigramDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def bigramsShared(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(bigramDirs.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_bigrams").toString
+    s.read.parquet(bigramDirs.computeIfAbsent(d, _ => Artifacts.build("graft_bigrams") { dir =>
       val dt = t(s, d, "documents")
         .select(col("doc_id"),
           filter(tokens(col("text")), x => length(x) > 0).as("toks"))
@@ -233,7 +232,6 @@ object TextOps {
               element_at(col("toks"), i + 2).as("w2")))).as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
         .write.mode("overwrite").parquet(dir)
-      dir
     }))
 
   val all: Seq[Q] = Seq(

@@ -11,6 +11,20 @@ import graft.SparkSpec
   */
 class PlanAuditSpec extends SparkSpec {
 
+  // Build each catalog query ONCE and share the DataFrame across the four
+  // whole-catalog audits below. Each audit previously called q.build
+  // itself, so the catalog was built 4× per run — and a build is not free:
+  // checkpoint-on-build queries (g08, d22, sim38…) and shared-artifact
+  // builders run real Spark jobs during construction. QueryExecution
+  // memoizes sparkPlan/executedPlan per DataFrame, so every assertion
+  // below still sees exactly the plan it asserted on before; this is a
+  // measurement of the same object, not a behavior change. (Measured:
+  // suite 350s → ~1/3 of that.)
+  private val builtCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private def built(name: String): org.apache.spark.sql.DataFrame =
+    builtCache.getOrElseUpdate(name, Catalog.byName(name).build(spark, sfDir))
+
   // builds that EXECUTE on construction (streaming drains) — audited via
   // their own specs/gate entries instead
   private val executesOnBuild = Set(
@@ -149,7 +163,7 @@ class PlanAuditSpec extends SparkSpec {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     Catalog.all.filterNot(q => executesOnBuild(q.name)).foreach { q =>
       val plan =
-        try q.build(spark, sfDir).queryExecution.executedPlan.toString
+        try built(q.name).queryExecution.executedPlan.toString
         catch { case e: Throwable => fail(s"${q.name} failed to plan: $e") }
       val ok = allowed.getOrElse(q.name, Set.empty)
       Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition")
@@ -359,7 +373,7 @@ class PlanAuditSpec extends SparkSpec {
   test("headline queries stay inside their shuffle-exchange budgets") {
     val shuffle = raw"(?<!Broadcast)Exchange (hash|range)partitioning".r
     val counts = shuffleBudgets.keys.toSeq.sorted.map { name =>
-      val plan = Catalog.byName(name).build(spark, sfDir).queryExecution.executedPlan.toString
+      val plan = built(name).queryExecution.executedPlan.toString
       name -> shuffle.findAllIn(plan).size
     }
     val over = counts.filter { case (n, c) => c > shuffleBudgets(n) }
@@ -436,7 +450,7 @@ class PlanAuditSpec extends SparkSpec {
   test("no window partitions only on bounded-domain keys") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     Catalog.all.filterNot(q => executesOnBuild(q.name)).foreach { q =>
-      lowCardWindowKeys(q.build(spark, sfDir)).foreach { ks =>
+      lowCardWindowKeys(built(q.name)).foreach { ks =>
         if (!allowedLowCardWindows.contains(q.name))
           offenders += s"${q.name}: Window.partitionBy(${ks.mkString(", ")})"
       }
@@ -461,7 +475,7 @@ class PlanAuditSpec extends SparkSpec {
       "detector missed the per-source running-total window")
     // ...and the shipped two-phase t20 plan contains ONLY windows the
     // allowlist explains (the <= parts-rows offsets window)
-    val fixed = Catalog.byName("t20_pack_sequences").build(spark, sfDir)
+    val fixed = built("t20_pack_sequences")
     assert(lowCardWindowKeys(fixed).forall(_ == Seq("source")),
       "t20's two-phase plan grew an unexplained low-card window")
   }
@@ -506,7 +520,7 @@ class PlanAuditSpec extends SparkSpec {
     }
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     Catalog.all.filterNot(q => executesOnBuild(q.name)).foreach { q =>
-      q.build(spark, sfDir).schema.fields.foreach { f =>
+      built(q.name).schema.fields.foreach { f =>
         if (!ok(f.dataType))
           offenders += s"${q.name}.${f.name}: ${f.dataType.simpleString}"
       }
