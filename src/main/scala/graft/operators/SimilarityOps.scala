@@ -89,12 +89,10 @@ object SimilarityOps {
     */
   private val probePairDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ensureProbePairs(s: SparkSession, d: String): String =
-    probePairDirs.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_probepairs").toString
+    probePairDirs.computeIfAbsent(d, _ => Artifacts.build("graft_probepairs") { dir =>
       probePairs(s, d, ProbePairsMax)
         .select("qid", "vec_id", "cos_sim")
         .write.mode("overwrite").parquet(dir)
-      dir
     })
 
   /** [[probePairs]]' (qid, vec_id, cos_sim) slice for any probe block ≤
@@ -300,7 +298,7 @@ object SimilarityOps {
   def ensureIvfIndex(s: SparkSession, d: String): String =
     ivfDbs.computeIfAbsent(d, _ => {
       val db = s"graft_ivf_${Catalog.pathTag(d)}"
-      val loc = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      val loc = Artifacts.newDir("graft_ivf")
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
       val cents = trainedCentroids(s, d, iters = 2)
       import s.implicits._
@@ -361,13 +359,21 @@ object SimilarityOps {
     * assignment (`assigned(vec_id, cell)`, cell = centroid vec_id — equal
     * to the cell INDEX because centroid vec_ids are the contiguous 0..15).
     */
+  // Every shared CTE below is AS MATERIALIZED: DuckDB inlines plain CTEs,
+  // re-evaluating the whole subtree once PER REFERENCE — the Lloyd/kNN/walk
+  // chains reference nv/a2/kedges many times, so the comparator's cost grew
+  // exponentially with chain depth (measured at sf0.001: sim38's oracle
+  // 96.4 s plain vs 3.9 s materialized, identical result; sim40 did not
+  // finish in 10 min). The driver's correctness slot pays this comparator
+  // cost for every walk-family query — this is an oracle-side evaluation
+  // hint only, the declared semantics are untouched.
   lazy val sqlIvfAssignCtes: String =
-    s"""nv AS (SELECT vec_id, embedding, $sqlNorm2 AS norm2 FROM embeddings),
-          cscores AS (
+    s"""nv AS MATERIALIZED (SELECT vec_id, embedding, $sqlNorm2 AS norm2 FROM embeddings),
+          cscores AS MATERIALIZED (
             SELECT a.vec_id, b.cell, $sqlDot / SQRT(CAST(b.norm2 AS DOUBLE)) AS score
             FROM nv a CROSS JOIN
               (SELECT vec_id AS cell, embedding, norm2 FROM nv WHERE vec_id < $IvfCells) b),
-          assigned AS (
+          assigned AS MATERIALIZED (
             SELECT vec_id, cell FROM (
               SELECT vec_id, cell,
                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
@@ -428,7 +434,7 @@ object SimilarityOps {
     */
   def sqlLloydSums(i: Int): String = {
     val prev = if (i == 1) "assigned" else s"a${i - 1}"
-    s"""s$i AS (
+    s"""s$i AS MATERIALIZED (
           SELECT a.cell, i.dim, COUNT(*) AS n_members,
                  SUM(CAST(FLOOR(CAST(e.embedding[CAST(i.dim + 1 AS INT)] AS DOUBLE) * 1e15) AS BIGINT)) AS ssum
           FROM $prev a JOIN nv e USING (vec_id),
@@ -443,14 +449,14 @@ object SimilarityOps {
     * reproduces the whole training trajectory bit-for-bit.
     */
   def sqlLloydAssign(i: Int): String =
-    s"""c$i AS (SELECT cell, dim, CAST(CAST(ssum AS BIGINT) AS DOUBLE) / (n_members * 1e15) AS cval FROM s$i),
-        cn$i AS (SELECT cell, CAST(SUM(CAST(FLOOR(cval * cval * 1e15) AS BIGINT)) AS BIGINT) AS norm2 FROM c$i GROUP BY 1),
-        sc$i AS (
+    s"""c$i AS MATERIALIZED (SELECT cell, dim, CAST(CAST(ssum AS BIGINT) AS DOUBLE) / (n_members * 1e15) AS cval FROM s$i),
+        cn$i AS MATERIALIZED (SELECT cell, CAST(SUM(CAST(FLOOR(cval * cval * 1e15) AS BIGINT)) AS BIGINT) AS norm2 FROM c$i GROUP BY 1),
+        sc$i AS MATERIALIZED (
           SELECT e.vec_id, c.cell,
                  CAST(SUM(CAST(FLOOR(CAST(e.embedding[CAST(c.dim + 1 AS INT)] AS DOUBLE) * c.cval * 1e15) AS BIGINT)) AS BIGINT) AS dot
           FROM nv e CROSS JOIN c$i c
           GROUP BY 1, 2),
-        a$i AS (
+        a$i AS MATERIALIZED (
           SELECT vec_id, cell FROM (
             SELECT s.vec_id, s.cell,
                    ROW_NUMBER() OVER (PARTITION BY s.vec_id
@@ -472,16 +478,16 @@ object SimilarityOps {
     */
   lazy val sqlTrainedSearchCtes: String =
     s"""$sqlTrainedAssignCtes,
-        pcells AS (
+        pcells AS MATERIALIZED (
           SELECT vec_id AS qid, cell FROM (
             SELECT s.vec_id, s.cell,
                    ROW_NUMBER() OVER (PARTITION BY s.vec_id
                      ORDER BY CAST(s.dot AS DOUBLE) / SQRT(CAST(n.norm2 AS DOUBLE)) DESC, s.cell) AS rn
             FROM sc2 s JOIN cn2 n USING (cell) WHERE s.vec_id < 10) WHERE rn <= $IvfProbe),
-        icand AS (
+        icand AS MATERIALIZED (
           SELECT p.qid, s.vec_id FROM pcells p JOIN a2 s ON s.cell = p.cell
           WHERE s.vec_id <> p.qid),
-        iscored AS (
+        iscored AS MATERIALIZED (
           SELECT icand.qid, icand.vec_id,
                  $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
           FROM icand JOIN nv a ON a.vec_id = icand.qid
@@ -494,14 +500,14 @@ object SimilarityOps {
     */
   lazy val sqlSemDedupCtes: String =
     s"""$sqlTrainedAssignCtes,
-        spairs AS (
+        spairs AS MATERIALIZED (
           SELECT x.vec_id AS u, y.vec_id AS v
           FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id
           JOIN nv a ON a.vec_id = x.vec_id
           JOIN nv b ON b.vec_id = y.vec_id
           WHERE $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) >= 0.4),
-        sdup AS (SELECT DISTINCT v FROM spairs),
-        skept AS (SELECT a2.vec_id, a2.cell FROM a2 ANTI JOIN sdup ON a2.vec_id = sdup.v)"""
+        sdup AS MATERIALIZED (SELECT DISTINCT v FROM spairs),
+        skept AS MATERIALIZED (SELECT a2.vec_id, a2.cell FROM a2 ANTI JOIN sdup ON a2.vec_id = sdup.v)"""
 
   /** Trained-IVF top-3 per probe — the shared sim08/sim11 oracle (the
     * persisted index must change WHERE bytes are read, never the answer).
@@ -726,15 +732,13 @@ object SimilarityOps {
     */
   private val pqAdcDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def pqAdcScores(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(pqAdcDirs.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_pqadc").toString
+    s.read.parquet(pqAdcDirs.computeIfAbsent(d, _ => Artifacts.build("graft_pqadc") { dir =>
       pqEncoded(s, d).select("vec_id", "subspace", "code")
         .join(broadcast(pqAdcLut(s, d)), Seq("subspace", "code"))
         .where(col("vec_id") =!= col("qid"))
         .groupBy("qid", "vec_id")
         .agg(sum(col("pdist")).as("adc_dist"))
         .write.mode("overwrite").parquet(dir)
-      dir
     }))
 
   /** Exact full-vector scaled-L2 top-3 per probe (the sim01 bounded
@@ -743,8 +747,7 @@ object SimilarityOps {
   def pqL2Truth(s: SparkSession, d: String): DataFrame =
     // memoized per (JVM, sfDir): FIVE recall queries (sim17/19/21/27/28)
     // grade against this same exact-L2 truth — one brute-force pass
-    s.read.parquet(pqTruthDirs.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_pqtruth").toString
+    s.read.parquet(pqTruthDirs.computeIfAbsent(d, _ => Artifacts.build("graft_pqtruth") { dir =>
       val emb = t(s, d, "embeddings")
       val probes = emb.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -754,7 +757,6 @@ object SimilarityOps {
       StockOps.perKeyTopK(pairs, Seq("qid"), Seq(col("l2"), col("vec_id")), 3)
         .select("qid", "vec_id")
         .write.mode("overwrite").parquet(dir)
-      dir
     }))
   private val pqTruthDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1183,11 +1185,11 @@ object SimilarityOps {
                      SELECT qid, vec_id,
                             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
                      FROM iscored) WHERE rk <= 3),
-                 bpairs AS (
+                 bpairs AS MATERIALIZED (
                    SELECT a.vec_id AS qid, b.vec_id AS vec_id,
                           $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
                    FROM nv a JOIN nv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
-                 brute_top AS (
+                 brute_top AS MATERIALIZED (
                    SELECT qid, vec_id FROM (
                      SELECT qid, vec_id,
                             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
@@ -1364,11 +1366,11 @@ object SimilarityOps {
                   SELECT qid, vec_id,
                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
                   FROM lscored) WHERE rk <= 3),
-              bpairs AS (
+              bpairs AS MATERIALIZED (
                 SELECT a.vec_id AS qid, b.vec_id AS vec_id,
                        $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
                 FROM nv a JOIN nv b ON a.vec_id < 50 AND a.vec_id <> b.vec_id),
-              brute_top AS (
+              brute_top AS MATERIALIZED (
                 SELECT qid, vec_id FROM (
                   SELECT qid, vec_id,
                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
@@ -2277,11 +2279,11 @@ object SimilarityOps {
                 FROM top_$p i JOIN brute_top b USING (qid, vec_id))"""
         }.mkString(",\n")
         s"""WITH $sqlIvfAssignCtes,
-              bpairs AS (
+              bpairs AS MATERIALIZED (
                 SELECT a.vec_id AS qid, b.vec_id AS vec_id,
                        $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
                 FROM nv a JOIN nv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
-              brute_top AS (
+              brute_top AS MATERIALIZED (
                 SELECT qid, vec_id FROM (
                   SELECT qid, vec_id,
                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
@@ -2620,11 +2622,11 @@ object SimilarityOps {
                      SELECT qid, vec_id,
                             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
                      FROM wf$WalkHops) WHERE rk <= 3),
-                 bpairs AS (
+                 bpairs AS MATERIALIZED (
                    SELECT a.vec_id AS qid, b.vec_id AS vec_id,
                           $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
                    FROM nv a JOIN nv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
-                 brute_top AS (
+                 brute_top AS MATERIALIZED (
                    SELECT qid, vec_id FROM (
                      SELECT qid, vec_id,
                             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
@@ -2663,11 +2665,11 @@ object SimilarityOps {
         rows.toDF("hops", "n_truth", "n_hit", "recall").orderBy("hops")
       },
       Some(s"""WITH RECURSIVE $sqlWalkCtes,
-                 bpairs AS (
+                 bpairs AS MATERIALIZED (
                    SELECT a.vec_id AS qid, b.vec_id AS vec_id,
                           $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
                    FROM nv a JOIN nv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
-                 brute_top AS (
+                 brute_top AS MATERIALIZED (
                    SELECT qid, vec_id FROM (
                      SELECT qid, vec_id,
                             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
@@ -2835,13 +2837,13 @@ object SimilarityOps {
                      SELECT qid, vec_id,
                             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
                      FROM rlive) WHERE rk <= 3),
-                 rbpairs AS (
+                 rbpairs AS MATERIALIZED (
                    SELECT a.vec_id AS qid, b.vec_id AS vec_id,
                           $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
                    FROM nv a JOIN nv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
                    WHERE a.vec_id NOT IN (SELECT vec_id FROM rdel)
                      AND b.vec_id NOT IN (SELECT vec_id FROM rdel)),
-                 rbrute_top AS (SELECT qid, vec_id FROM (
+                 rbrute_top AS MATERIALIZED (SELECT qid, vec_id FROM (
                      SELECT qid, vec_id,
                             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
                      FROM rbpairs) WHERE rk <= 3),
@@ -3016,11 +3018,11 @@ object SimilarityOps {
                      SELECT qid, vec_id,
                             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
                      FROM wf$WalkHops) WHERE rk <= 3),
-                 bpairs AS (
+                 bpairs AS MATERIALIZED (
                    SELECT a.vec_id AS qid, b.vec_id AS vec_id,
                           $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
                    FROM nv a JOIN nv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
-                 brute_top AS (
+                 brute_top AS MATERIALIZED (
                    SELECT qid, vec_id FROM (
                      SELECT qid, vec_id,
                             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
@@ -3162,11 +3164,11 @@ object SimilarityOps {
                    SELECT qid, vec_id,
                           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
                    FROM hfl$WalkHops) WHERE rk <= 3),
-               lbpairs AS (
+               lbpairs AS MATERIALIZED (
                  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
                         $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
                  FROM nv a JOIN nv b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
-               lbrute_top AS (
+               lbrute_top AS MATERIALIZED (
                  SELECT qid, vec_id FROM (
                    SELECT qid, vec_id,
                           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
@@ -3298,17 +3300,17 @@ object SimilarityOps {
     * symmetrized navigation edges (`kedges`) — shared by sim36/37/38.
     */
   lazy val sqlKnnCtes: String =
-    s"""kcand AS (
+    s"""kcand AS MATERIALIZED (
           SELECT a.vec_id AS u, b.vec_id AS v,
                  $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
           FROM a2 pa JOIN a2 pb ON pa.cell = pb.cell AND pa.vec_id <> pb.vec_id
                JOIN nv a ON a.vec_id = pa.vec_id
                JOIN nv b ON b.vec_id = pb.vec_id),
-        ktop AS (
+        ktop AS MATERIALIZED (
           SELECT u, v, cos_sim,
                  ROW_NUMBER() OVER (PARTITION BY u ORDER BY cos_sim DESC, v) AS rk
           FROM kcand),
-        kedges AS (SELECT DISTINCT u, v FROM (
+        kedges AS MATERIALIZED (SELECT DISTINCT u, v FROM (
                      SELECT u, v FROM ktop WHERE rk <= $KnnK
                      UNION ALL SELECT v, u FROM ktop WHERE rk <= $KnnK))"""
   // NOTE the explicit DISTINCT-over-UNION-ALL: inside a WITH RECURSIVE
@@ -3402,9 +3404,9 @@ object SimilarityOps {
           SELECT u, u FROM $edgeCte
           UNION
           SELECT e.u, rr.r FROM $edgeCte e JOIN kreach rr ON e.v = rr.id),
-        wkcomp AS (SELECT id, MIN(r) AS label FROM kreach GROUP BY id),
-        wentries AS (SELECT DISTINCT label FROM wkcomp),
-        wf0 AS (SELECT p.vec_id AS qid, e.label AS vec_id
+        wkcomp AS MATERIALIZED (SELECT id, MIN(r) AS label FROM kreach GROUP BY id),
+        wentries AS MATERIALIZED (SELECT DISTINCT label FROM wkcomp),
+        wf0 AS MATERIALIZED (SELECT p.vec_id AS qid, e.label AS vec_id
                 FROM nv p, wentries e WHERE p.vec_id < 10),
         ${(1 to WalkHops).map(sqlWalkHop(_, WalkBeam, edgeCte)).mkString(",\n        ")}"""
 
@@ -3417,16 +3419,16 @@ object SimilarityOps {
     // SUFFIXED CTE names (wc/ws/wf): c$i/s$i live inside the Lloyd chain
     // this composes with — the p02 collision lesson
     val prev = s"wf${i - 1}"
-    s"""wc$i AS (SELECT DISTINCT qid, vec_id FROM (
+    s"""wc$i AS MATERIALIZED (SELECT DISTINCT qid, vec_id FROM (
                    SELECT qid, vec_id FROM $prev
                    UNION ALL
                    SELECT f.qid, e.v AS vec_id FROM $prev f JOIN $edgeCte e ON e.u = f.vec_id)),
-        ws$i AS (SELECT c.qid, c.vec_id,
+        ws$i AS MATERIALIZED (SELECT c.qid, c.vec_id,
                         $sqlDot / SQRT(CAST(a.norm2 AS DOUBLE) * CAST(b.norm2 AS DOUBLE)) AS cos_sim
                  FROM wc$i c JOIN nv a ON a.vec_id = c.qid
                              JOIN nv b ON b.vec_id = c.vec_id
                  WHERE c.vec_id <> c.qid),
-        wf$i AS (SELECT qid, vec_id, cos_sim FROM (
+        wf$i AS MATERIALIZED (SELECT qid, vec_id, cos_sim FROM (
                    SELECT qid, vec_id, cos_sim,
                           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
                    FROM ws$i) WHERE rk <= $beam)"""
