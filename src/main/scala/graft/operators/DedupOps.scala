@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Catalog._
@@ -214,8 +215,7 @@ object DedupOps {
     */
   private val lshPairDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def lshPairsShared(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(lshPairDirs.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_lshpairs").toString
+    s.read.parquet(lshPairDirs.computeIfAbsent(d, _ => Artifacts.build("graft_lshpairs") { dir =>
       val buckets = bandBuckets(t(s, d, "documents"))
         // both sides of the band self-join — one signature pass
         .localCheckpoint()
@@ -224,7 +224,6 @@ object DedupOps {
       val candidates = l.join(r, Seq("band", "sig")).where(col("da") < col("db"))
         .select("da", "db").distinct()
       jaccardVerified(s, d, candidates).write.mode("overwrite").parquet(dir)
-      dir
     }))
 
   /** d06's cluster labels (doc_id, cluster) over [[lshPairsShared]],
@@ -234,12 +233,10 @@ object DedupOps {
     */
   private val lshClusterDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def lshClustersShared(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(lshClusterDirs.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_lshclusters").toString
+    s.read.parquet(lshClusterDirs.computeIfAbsent(d, _ => Artifacts.build("graft_lshclusters") { dir =>
       connectedComponents(lshPairsShared(s, d).select("da", "db"), maxIter = 20)
         .select(col("id").as("doc_id"), col("label").as("cluster"))
         .write.mode("overwrite").parquet(dir)
-      dir
     }))
 
   /** Min-label propagation to fixpoint over an undirected edge list
@@ -310,52 +307,78 @@ object DedupOps {
     * min).
     */
   def connectedComponentsStar(edges: DataFrame, maxIter: Int): DataFrame = {
-    val e0 = edges.localCheckpoint()
+    // LAZY localCheckpoints throughout the loop (eager = false): lineage
+    // still truncates at every round boundary, but materialization happens
+    // inside the SAME job as the round's convergence aggregate — one
+    // action per round instead of two (checkpoint + compare). g06 is the
+    // slowest steady-state query and scales 1.00 from 8→32 cores: its
+    // floor is the per-round action count, not shuffle bytes.
+    val e0 = edges.localCheckpoint(false)
     // node set BEFORE dropping self-loops, so a node appearing only in a
     // self-loop edge still gets its (self) label — matching
     // connectedComponents, whose symmetrized edge list keeps such nodes
     val nodes = e0.select(col("da").as("id"))
-      .union(e0.select(col("db").as("id"))).distinct().localCheckpoint()
+      .union(e0.select(col("db").as("id"))).distinct()
     val sym0 = e0.select(col("da").as("u"), col("db").as("v"))
       .union(e0.select(col("db").as("u"), col("da").as("v")))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+      .where(col("u") =!= col("v")).distinct()
 
+    // Each star phase is ONE window pass (exchange by u + per-u min),
+    // not a groupBy + join-back: the min-neighbor lookup and the edge
+    // emission read the phase input once. Both phases are insensitive to
+    // duplicate input edges (per-u min is unchanged; duplicate emissions
+    // collapse in smallStar's round-final distinct), so the intermediate
+    // distincts the join form needed are dropped — 2 exchanges per round
+    // (plus the final distinct) instead of 5.
     // large-star over a SYMMETRIC edge set → big→small directed edges
     def largeStar(sym: DataFrame): DataFrame = {
-      val mins = sym.groupBy("u").agg(min("v").as("mv"))
-      sym.join(mins, "u")
-        .withColumn("m", least(col("u"), col("mv")))
+      val mv = min(col("v")).over(Window.partitionBy("u"))
+      sym.withColumn("m", least(col("u"), mv))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+    }
+    // small-star over big→small directed edges (every v < u): per input
+    // row emit the self edge (u, mv) and — when v itself moved — the
+    // rewired edge (v, mv); exactly the moved ∪ self union of the join
+    // form, deduplicated by the final distinct
+    def smallStar(dir: DataFrame): DataFrame =
+      dir.withColumn("mv", min(col("v")).over(Window.partitionBy("u")))
+        .select(explode(array(
+          struct(col("u").as("nu"), col("mv").as("nv"), lit(true).as("keep")),
+          struct(col("v").as("nu"), col("mv").as("nv"),
+            (col("v") =!= col("mv")).as("keep")))).as("e"))
+        .where(col("e.keep"))
+        .select(col("e.nu").as("u"), col("e.nv").as("v"))
         .where(col("u") =!= col("v")).distinct()
-    }
-    // small-star over big→small directed edges (every v < u)
-    def smallStar(dir: DataFrame): DataFrame = {
-      val mins = dir.groupBy("u").agg(min("v").as("mv"))
-      val moved = dir.join(mins, "u")
-        .where(col("v") =!= col("mv"))
-        .select(col("v").as("u"), col("mv").as("v"))
-      val self = mins.select(col("u"), col("mv").as("v"))
-      moved.union(self).where(col("u") =!= col("v")).distinct()
-    }
 
     // Fixpoint test in ONE action: both edge frames are distinct sets, so
     // set equality ⟺ the signed symmetric difference is empty — tag each
     // side ±1, group by edge, and any nonzero per-edge sum means the sets
     // differ. One two-level aggregate per iteration instead of the two
     // exceptAll actions (each a full shuffle of both frames) it replaces.
+    // With the lazy checkpoints above, this aggregate is ALSO the job that
+    // materializes the round's checkpoint — the round's only action.
     def edgeSetsDiffer(a: DataFrame, b: DataFrame): Boolean = {
       val signed = a.withColumn("__s", lit(1)).union(b.withColumn("__s", lit(-1)))
       val r = signed.groupBy("u", "v").agg(sum(col("__s")).as("__d"))
         .agg(count_if(col("__d") =!= 0).as("__n")).head.getLong(0)
       r != 0L
     }
-    var dir = smallStar(largeStar(sym0)).localCheckpoint()
+    var dir = smallStar(largeStar(sym0)).localCheckpoint(false)
     var converged = false
     var i = 1
     while (!converged && i < maxIter) {
-      val sym = dir.union(dir.select(col("v").as("u"), col("u").as("v"))).distinct()
-      val next = smallStar(largeStar(sym)).localCheckpoint()
+      // dir is distinct and u ≠ v on every row, so the two orientations
+      // cannot collide — the union needs no dedup (largeStar tolerates
+      // duplicates anyway)
+      val sym = dir.union(dir.select(col("v").as("u"), col("u").as("v")))
+      val next = smallStar(largeStar(sym)).localCheckpoint(false)
+      // measured negative result (r09): testing convergence only every 2nd
+      // round (skipped tests cost one idempotent extra round) A/B'd WORSE
+      // at sf0.1 — solo medians 4.63 s vs 4.17 s — because with the lazy
+      // checkpoints the comparison is already the round's ONLY action and
+      // an extra star round costs more than the action it saves
       converged = !edgeSetsDiffer(next, dir)
       dir = next
       i += 1
@@ -397,11 +420,9 @@ object DedupOps {
   private val pairGraphDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   def pairGraphShared(s: SparkSession, d: String, dfCap: Int): DataFrame =
     if (dfCap != HotShingleDfCap) shinglePairGraph(s, d, dfCap)
-    else s.read.parquet(pairGraphDirs.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_pairgraph").toString
+    else s.read.parquet(pairGraphDirs.computeIfAbsent(d, _ => Artifacts.build("graft_pairgraph") { dir =>
       shinglePairGraph(s, d, HotShingleDfCap)
         .write.mode("overwrite").parquet(dir)
-      dir
     }))
 
   /** The UNthresholded pair graph behind [[jaccardPairs]] (same candidate
