@@ -587,16 +587,20 @@ object SimilarityOps {
   /** [[pqEncodedWith]] over an arbitrary (vec_id, embedding) frame — the
     * residual encode (sim46) passes residual vectors here.
     */
-  def pqEncodedOf(vectors: DataFrame, cb: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("vec_id", "subspace").orderBy(col("dist"), col("code"))
+  def pqEncodedOf(vectors: DataFrame, cb: DataFrame): DataFrame =
+    // argmin by (dist, code) as a MIN over the lexicographic struct — a
+    // map-side-combinable aggregate instead of the r08 row_number window:
+    // the window shuffled and sorted all |vectors|·8·16 scored rows by
+    // (vec_id, subspace); the aggregate combines to one row per
+    // (vec_id, subspace) before its exchange. Identical pick: min
+    // struct(dist, code) == first row under ORDER BY dist, code.
     pqSubvectors(vectors)
       .join(broadcast(cb), Seq("subspace"))
       .withColumn("dist", scaledL2(col("svec"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select("vec_id", "subspace", "code", "dist")
-  }
+      .groupBy("vec_id", "subspace")
+      .agg(min(struct(col("dist"), col("code"))).as("m"))
+      .select(col("vec_id"), col("subspace"),
+        col("m.code").as("code"), col("m.dist").as("dist"))
 
   // ——— Residual IVF-PQ (sim46/sim47): the production IVFADC form ———
 

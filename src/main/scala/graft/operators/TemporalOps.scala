@@ -129,9 +129,15 @@ object TemporalOps {
         .withColumn("is_obs", when(col("obs_val").isNotNull, 1L).otherwise(0L))
       StockOps.groupedRunningTotal(g, "user_id", "day", "is_obs", "obs_idx")
         .write.mode("overwrite").parquet(s"$dir/idx")
-      StockOps.groupedRunningTotal(
-          obs.withColumn("one", lit(1L)), "user_id", "day", "one", "rk")
-        .select("user_id", "day", "obs_val", "rk")
+      // `ranked` (each observation's rank among its user's observations,
+      // ordered by day) is a PROJECTION of idx: at an observation row the
+      // inclusive prefix count of is_obs IS that rank. The r08 build ran a
+      // second full groupedRunningTotal (range exchange + checkpoint +
+      // window) over obs to recompute it; reading the just-written idx
+      // parquet back and filtering is value-identical and one pass cheaper.
+      s.read.parquet(s"$dir/idx").where(col("is_obs") === 1L)
+        .select(col("user_id"), col("day"), col("obs_val"),
+          col("obs_idx").as("rk"))
         .write.mode("overwrite").parquet(s"$dir/ranked")
     })
 
