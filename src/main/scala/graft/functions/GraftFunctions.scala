@@ -70,6 +70,8 @@ object GraftFunctions {
       exprs => WordSetCounts(exprs.head, stringSetsArg("word_set_counts", 2, exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("token_fingerprint",
       exprs => TokenFingerprint(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("doc_pairs",
+      exprs => DocPairs(exprs.head), "built-in")
     spark.udf.register("sum_of_squares", SumOfSquaresLong.udaf)
   }
 
@@ -94,6 +96,7 @@ object GraftFunctions {
     org.apache.spark.sql.GraftSqlBridge.column(
       CentroidScores(org.apache.spark.sql.GraftSqlBridge.expression(v), cents, norms))
   def token_fingerprint(c: Column): Column = call_function("token_fingerprint", c)
+  def doc_pairs(c: Column): Column = call_function("doc_pairs", c)
 }
 
 /** Exemplar typed UDAF (SURVEY §2c: `Aggregator[IN,BUF,OUT]` extension

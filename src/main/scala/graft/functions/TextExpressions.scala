@@ -611,3 +611,79 @@ case class SimHash64(child: Expression, seed: Long = 42L) extends UnaryExpressio
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** Pair-expansion kernel behind `doc_pairs` (d02's candidate generation). */
+object PairKernels extends Serializable {
+  /** All unordered pairs of a posting list array<struct<id:long, sz:int>>,
+    * each emitted id-ordered as struct<da, sza, db, szb> with da < db
+    * (same-id entries are skipped — the self-join's da < db predicate).
+    * One JVM call per (lang, shingle) group; O(k²) in the group size,
+    * which the hot-shingle df cap bounds by construction.
+    */
+  def docPairs(arr: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val szs = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val r = arr.getStruct(i, 2)
+      ids(i) = r.getLong(0)
+      szs(i) = r.getInt(1)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](if (n > 1) n * (n - 1) / 2 else 0)
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (ids(i) != ids(j)) {
+          val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
+          if (ids(i) < ids(j)) {
+            row.update(0, ids(i)); row.update(1, szs(i))
+            row.update(2, ids(j)); row.update(3, szs(j))
+          } else {
+            row.update(0, ids(j)); row.update(1, szs(j))
+            row.update(2, ids(i)); row.update(3, szs(i))
+          }
+          out += row
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `doc_pairs(ds)` — unordered id-ordered pairs of a posting list; the
+  * codegen'd kernel that lets d02 generate candidates with ONE exchange
+  * (groupBy shingle + in-place expansion) instead of the two-sided
+  * self-join. The r08 A/B showed the nested-lambda (transform/flatten)
+  * expansion was interpreted and cost more than the exchange it saved;
+  * a whole-stage-codegen kernel call does not.
+  */
+case class DocPairs(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _)
+        if s.length == 2 && s(0).dataType == LongType && s(1).dataType == IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"doc_pairs expects ARRAY<STRUCT<BIGINT, INT>>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("da", LongType, nullable = false),
+    StructField("sza", IntegerType, nullable = false),
+    StructField("db", LongType, nullable = false),
+    StructField("szb", IntegerType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "doc_pairs"
+
+  protected override def nullSafeEval(input: Any): Any =
+    PairKernels.docPairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PairKernels.docPairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DocPairs =
+    copy(child = newChild)
+}

@@ -443,11 +443,20 @@ object DedupOps {
         .agg(count(lit(1)).as("__df")).where(col("__df") > dfCap)
         .select("lang", "shingle"))
     val exf = hot.fold(ex)(h => ex.join(h, Seq("lang", "shingle"), "left_anti"))
-      // both sides of the candidate self-join
-      .localCheckpoint()
-    val a = exf.select(col("doc_id").as("da"), col("lang").as("la"), col("sz").as("sza"), col("shingle"))
-    val b = exf.select(col("doc_id").as("db"), col("lang").as("lb"), col("sz").as("szb"), col("shingle"))
-    val cold = a.join(b, a("shingle") === b("shingle") && col("la") === col("lb") && col("da") < col("db"))
+    // Candidate generation in ONE exchange (r09): group each (lang,
+    // shingle) posting list and expand its id-ordered pairs in place with
+    // the codegen'd doc_pairs kernel — row-for-row what the two-sided
+    // self-join on (shingle, lang) emitted under da < db, without
+    // exchanging the exploded shingle rows twice. The r08 A/B rejected
+    // this shape built from nested transform/flatten lambdas (interpreted,
+    // slower than the saved exchange); the kernel runs inside whole-stage
+    // codegen. Group size is bounded by the hot-shingle df cap, so the
+    // in-place k² expansion is bounded exactly where the join's output was.
+    val cold = exf.groupBy("lang", "shingle")
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+      .select(explode(graft.functions.GraftFunctions.doc_pairs(col("ds"))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"),
+        col("p.sza").as("sza"), col("p.szb").as("szb"))
       .groupBy("da", "db", "sza", "szb")
       .agg(count(lit(1)).as("__cold"))
     val withInter = hot.fold(cold.withColumn("inter", col("__cold"))) { h =>

@@ -1918,9 +1918,16 @@ object SimilarityOps {
           .select(col("qid"), col("i"), col("j"),
             cosine(scaledDot(col("e1"), col("e2")), col("n1"), col("n2")).as("sim"))
           .localCheckpoint()
+        // each step's winner is LAZILY checkpointed: the ≤16-row frame is
+        // consumed by 2-3 downstream branches (anti-join, redundancy join,
+        // final union), and without truncation Catalyst replans the whole
+        // greedy prefix per consumer — the emitted plan was 1515 lines of
+        // mostly repeated subtrees. Lazy (eager=false) so no extra action:
+        // the final query's job materializes them in-line.
         def top1(df: org.apache.spark.sql.DataFrame, step: Int) =
           StockOps.perKeyTopK(df, Seq("qid"), Seq(desc("mmr"), col("vec_id")), 1)
             .drop("rk").withColumn("rk", lit(step))
+            .localCheckpoint(false)
         val s1 = top1(cand.withColumn("mmr", col("cos_sim") * 2), 1)
         def step(sel: org.apache.spark.sql.DataFrame, k: Int) = {
           val selIds = sel.select(col("qid"), col("vec_id"))
