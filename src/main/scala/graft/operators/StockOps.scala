@@ -929,48 +929,47 @@ object StockOps {
     // consults when sizing m.
     Q("c36_bloom_semijoin",
       (s, d) => {
-        val m = 16384L
+        val m = 16384
         def bpos(key: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column = pmod(
           conv(substring(md5(concat_ws("#",
             key.cast(StringType), lit(i).cast(StringType)).cast(BinaryType)), 1, 15), 16, 10)
-            .cast(LongType), lit(m))
+            .cast(LongType), lit(m.toLong))
         val bk = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
           .select(col("c_custkey").as("k"))
-          // two consumers (the position set and the exact semi-join)
+          // two consumers (the position-set build and the exact left join)
           .localCheckpoint()
-        val bloomPos = bk.select(explode(array(
-          bpos(col("k"), 0), bpos(col("k"), 1), bpos(col("k"), 2))).as("pos")).distinct()
-        val probe = t(s, d, "orders")
+        // The m-bit filter is COLLECTED into a broadcast-style boolean
+        // literal (r09) — bounded by m = 16384 regardless of build-side
+        // size, the same driver+executor residency Spark's own
+        // InjectRuntimeFilter bloom has (the r08 positions-TABLE form paid
+        // an explode of every probe row plus a per-order re-aggregation to
+        // test membership; a bitset probe is 3 codegen'd element_at's).
+        val bits = new Array[Boolean](m)
+        bk.select(explode(array(
+            bpos(col("k"), 0), bpos(col("k"), 1), bpos(col("k"), 2))).as("pos"))
+          .distinct().collect().foreach(r => bits(r.getLong(0).toInt) = true)
+        val bitsLit = typedlit(bits.toSeq)
+        def hit(i: Int): org.apache.spark.sql.Column =
+          element_at(bitsLit, (bpos(col("o_custkey"), i) + 1L).cast(IntegerType))
+        // bloom pass ⟺ every (distinct) position is set ⟺ all three
+        // positions are set — duplicate positions cannot change the
+        // conjunction, so the old array_distinct + nhit = npos count
+        // collapses to AND. Exact pass rides a broadcast LEFT join on the
+        // unique customer key (row-count preserving), so base count, bloom
+        // count and exact count fold into ONE map-side-combined aggregate
+        // over a single orders pass — the r08 form ran three branch passes
+        // over a checkpointed probe and joined them back.
+        t(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
-          .withColumn("ps", array_distinct(array(
-            bpos(col("o_custkey"), 0), bpos(col("o_custkey"), 1), bpos(col("o_custkey"), 2))))
-          .withColumn("npos", size(col("ps")))
-          // the bloom-pass, exact-pass and base-count branches all read
-          // this frame; one checkpoint computes the 3 md5 positions per
-          // order once instead of once per branch (3 orders scans before)
-          .localCheckpoint()
-        val passed = probe
-          .select(col("o_orderkey"), col("o_orderstatus"), col("npos"),
-            explode(col("ps")).as("pos"))
-          .join(broadcast(bloomPos), "pos")
-          .groupBy("o_orderkey")
-          .agg(first(col("o_orderstatus")).as("o_orderstatus"),
-            first(col("npos")).as("npos"), count(lit(1)).as("nhit"))
-          .where(col("nhit") === col("npos"))
-        val exact = probe
-          .join(broadcast(bk), col("o_custkey") === col("k"), "left_semi")
-        probe.groupBy("o_orderstatus")
-          .agg(count(lit(1)).as("n_orders"))
-          .join(passed.groupBy("o_orderstatus").agg(count(lit(1)).as("n_bloom_pass")),
-            Seq("o_orderstatus"), "left")
-          .join(exact.groupBy("o_orderstatus").agg(count(lit(1)).as("n_exact")),
-            Seq("o_orderstatus"), "left")
-          .select(col("o_orderstatus"),
-            col("n_orders"),
-            coalesce(col("n_bloom_pass"), lit(0L)).as("n_bloom_pass"),
-            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-            (coalesce(col("n_bloom_pass"), lit(0L)) -
-              coalesce(col("n_exact"), lit(0L))).as("n_false_pos"))
+          .withColumn("bpass", hit(0) && hit(1) && hit(2))
+          .join(broadcast(bk), col("o_custkey") === col("k"), "left")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            count_if(col("bpass")).as("n_bloom_pass"),
+            count_if(col("k").isNotNull).as("n_exact"))
+          .select(col("o_orderstatus"), col("n_orders"),
+            col("n_bloom_pass"), col("n_exact"),
+            (col("n_bloom_pass") - col("n_exact")).as("n_false_pos"))
           .orderBy("o_orderstatus")
       },
       Some("""WITH bk AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),

@@ -1281,7 +1281,9 @@ object TextOps {
       (s, d) => {
         val bg = bigramsShared(s, d)
         val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        // c1(w1) = Σ_w2 c2(w1, w2) exactly — roll the SMALL count table up
+        // instead of re-scanning/re-shuffling the full bigram table (r09)
+        val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
         bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
             sum(expr("c2 * 1000000L div c1")).as("s"))
@@ -1322,15 +1324,17 @@ object TextOps {
         val toks = t(s, d, "documents")
           .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
           .where(length(col("tok")) > 0)
-        val fc = toks.groupBy("tok").agg(count(lit(1)).as("fc"))
-        val ft = toks.where(col("source") === "src1")
-          .groupBy("tok").agg(count(lit(1)).as("ft"))
-        val tot = toks.agg(count(lit(1)).as("__dc"),
-          count_if(col("source") === "src1").as("__dt"))
-        val lean = fc.join(ft, Seq("tok"), "left")
+        // ONE vocab aggregate carries both frequencies (count_if replaces
+        // the separate filtered agg), and the corpus totals roll up from
+        // the vocab table (Σ fc ≡ corpus token count) — 2 passes over the
+        // exploded corpus instead of 4 (r09)
+        val fc = toks.groupBy("tok").agg(count(lit(1)).as("fc"),
+          count_if(col("source") === "src1").as("ft"))
+        val tot = fc.agg(sum(col("fc")).as("__dc"), sum(col("ft")).as("__dt"))
+        val lean = fc
           .crossJoin(broadcast(tot))
           .select(col("tok"),
-            (coalesce(col("ft"), lit(0L)) * col("__dc") > col("fc") * col("__dt")).as("lean"))
+            (col("ft") * col("__dc") > col("fc") * col("__dt")).as("lean"))
         toks.join(lean, "tok")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"), count_if(col("lean")).as("n_lean"))
@@ -2134,7 +2138,8 @@ object TextOps {
       (s, d) => {
         val bg = bigramsShared(s, d)
         val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        // c1 rolled up from c2 (see t30) — one fewer full bigram pass
+        val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
         bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
             sum((length(bin(col("c1"))) - length(bin(col("c2")))).cast(LongType))
